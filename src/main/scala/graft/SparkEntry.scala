@@ -1,13 +1,60 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] exercises one operator from SURVEY.md §2 over
+  * the driver-generated parquet tables at `<dir>/<table>.parquet`; the
+  * matching [[oracleSql]] is ANSI SQL DuckDB runs over the same tables.
+  * Column names are aliased identically on both sides (the driver compare
+  * sorts columns by name before hashing values).
+  */
 object SparkEntry {
+
+  private[graft] def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    GraftSession.tune(spark)
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1/A2-family hash aggregation with map-side partial agg (SURVEY §2.5).
+    // TPC-H Q1 shape: groupBy two low-cardinality keys -> 32-partition
+    // shuffle of tiny partial-agg state regardless of input size.
+    "q1_agg" -> ((s, dir) => {
+      GraftSession.tune(s)
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    })
+  )
+
+  /** Queries intentionally lacking a DuckDB oracle (non-SQL-expressible),
+    * so the driver records a rows-only check. Keep this set tight. */
+  def rowsOnlyJustified: Set[String] = Set()
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  )
 }
