@@ -1,0 +1,421 @@
+package graft.tables
+
+import java.net.URLDecoder
+import java.nio.charset.StandardCharsets
+import java.sql.Timestamp
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.Serialization
+
+/** One data file of a table version. `path` is relative to `<root>/data`. */
+case class FileEntry(path: String,
+                     partitionValues: Map[String, String],
+                     sizeBytes: Long)
+
+/** One commit in the version log — Delta-shaped (add/remove actions +
+  * commitInfo fields), modeled on the commit files observed in the
+  * reference's committed table
+  * (reference: landing_test/header/_delta_log/00000000000000000003.json).
+  */
+case class LogEntry(version: Long,
+                    timestampMs: Long,
+                    operation: String,
+                    schemaJson: String,
+                    partitionColumns: Seq[String],
+                    add: Seq[FileEntry],
+                    remove: Seq[String],
+                    operationMetrics: Map[String, String])
+
+/** A versioned Parquet table with ACID-ish single-writer semantics:
+  * Hive-partitioned parquet files under `<root>/data/` plus a JSON commit
+  * log under `<root>/_graft_log/`. Replaces everything the reference
+  * delegates to delta-spark (absent in this environment — SURVEY.md §7.1):
+  * MERGE, time travel (`versionAsOf`), `history`, `isDeltaTable`,
+  * `mergeSchema` append.
+  *
+  * Scale design notes:
+  *  - Snapshots are computed by replaying add/remove actions on the
+  *    driver — O(versions × files) of pure metadata, no data read.
+  *  - MERGE prunes to *touched files* first (inner join source×target on
+  *    the merge condition, collecting only distinct file names), then
+  *    rewrites just those files plus new-row files — the same bounded-work
+  *    strategy Delta's MERGE uses; untouched files are carried by
+  *    reference in the log.
+  *  - Commits are atomic via write-temp + rename on the Hadoop
+  *    FileSystem API (atomic on HDFS/local; on object stores a real
+  *    deployment would put the log on a store with atomic rename or a
+  *    coordination service).
+  */
+class VersionedTable private (val spark: SparkSession,
+                              val root: String,
+                              private var aliasName: Option[String]) {
+  import VersionedTable._
+
+  private val rootPath = new Path(root)
+  private def fs: FileSystem =
+    rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def logDir = new Path(rootPath, LogDirName)
+  private def dataDir = new Path(rootPath, "data")
+
+  def as(name: String): VersionedTable = alias(name)
+  def alias(name: String): VersionedTable = {
+    val t = new VersionedTable(spark, root, Some(name))
+    t
+  }
+
+  // ---------------------------------------------------------------- log --
+
+  private[tables] def entries: Seq[LogEntry] = {
+    val f = fs
+    if (!f.exists(logDir)) return Seq.empty
+    val files = f.listStatus(logDir).map(_.getPath)
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+    files.map(p => parseEntry(readFully(f, p))).sortBy(_.version)
+  }
+
+  def currentVersion: Long = {
+    val e = entries
+    if (e.isEmpty) -1L else e.last.version
+  }
+
+  /** Live file set at `asOf` (inclusive), with the schema of that version. */
+  private def snapshot(asOf: Option[Long]): (Seq[FileEntry], StructType, Seq[String]) = {
+    val all = entries
+    require(all.nonEmpty, s"$root is not a graft table (empty log)")
+    val upTo = asOf match {
+      case Some(v) =>
+        require(all.exists(_.version == v), s"version $v not found in $root (latest=${all.last.version})")
+        all.filter(_.version <= v)
+      case None => all
+    }
+    val files = scala.collection.mutable.LinkedHashMap[String, FileEntry]()
+    upTo.foreach { e =>
+      e.remove.foreach(files.remove)
+      e.add.foreach(a => files(a.path) = a)
+    }
+    val last = upTo.last
+    (files.values.toSeq,
+      DataType.fromJson(last.schemaJson).asInstanceOf[StructType],
+      last.partitionColumns)
+  }
+
+  private def commit(entry: LogEntry): Unit = {
+    val f = fs
+    f.mkdirs(logDir)
+    val target = new Path(logDir, f"${entry.version}%020d.json")
+    if (f.exists(target))
+      throw new IllegalStateException(
+        s"concurrent commit detected: version ${entry.version} already exists at $root")
+    val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}.json")
+    val out = f.create(tmp, false)
+    out.write(renderEntry(entry).getBytes(StandardCharsets.UTF_8))
+    out.close()
+    if (!f.rename(tmp, target)) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(s"commit rename failed for version ${entry.version} at $root")
+    }
+  }
+
+  // --------------------------------------------------------------- read --
+
+  def toDF: DataFrame = read
+  def read: DataFrame = readAt(None)
+  /** Time-travel read (reference: schema_evolution_step1.py:139,166,182). */
+  def readVersion(v: Long): DataFrame = readAt(Some(v))
+
+  private def readAt(asOf: Option[Long]): DataFrame = {
+    val (files, schema, _) = snapshot(asOf)
+    val df =
+      if (files.isEmpty) {
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      } else {
+        val paths = files.map(fe => new Path(dataDir, fe.path).toString)
+        spark.read
+          .schema(schema)
+          .option("basePath", dataDir.toString)
+          .parquet(paths: _*)
+      }
+    aliasName.fold(df)(df.alias)
+  }
+
+  /** Commit history, newest first (reference: DeltaTable.history —
+    * schema_evolution_step1.py:129-136). */
+  def history(limit: Int = Int.MaxValue): DataFrame = {
+    import spark.implicits._
+    entries.sortBy(-_.version).take(limit)
+      .map(e => (e.version, new Timestamp(e.timestampMs), e.operation,
+        e.operationMetrics, e.add.size.toLong, e.remove.size.toLong))
+      .toDF("version", "timestamp", "operation", "operationMetrics",
+        "numAddedFiles", "numRemovedFiles")
+  }
+
+  def schema: StructType = snapshot(None)._2
+  def partitionColumns: Seq[String] = snapshot(None)._3
+
+  // -------------------------------------------------------------- write --
+
+  /** Append `df`. With `mergeSchema=true`, new nullable columns widen the
+    * table schema (reference: schema_evolution_step1.py:139-144). */
+  def append(df: DataFrame, mergeSchema: Boolean = false): Unit = {
+    val (_, cur, partCols) = snapshot(None)
+    val newSchema =
+      if (mergeSchema) widenSchema(cur, df.schema)
+      else {
+        val missing = cur.fieldNames.toSet -- df.schema.fieldNames.toSet
+        val extra = df.schema.fieldNames.toSet -- cur.fieldNames.toSet
+        require(extra.isEmpty, s"append schema has extra columns $extra (use mergeSchema)")
+        require(missing.isEmpty, s"append schema is missing columns $missing")
+        cur
+      }
+    val aligned = df.select(newSchema.fieldNames.map { n =>
+      if (df.schema.fieldNames.contains(n))
+        col(n).cast(newSchema(n).dataType).as(n)
+      else lit(null).cast(newSchema(n).dataType).as(n)
+    }: _*)
+    val added = writeFiles(aligned, partCols)
+    commit(LogEntry(currentVersion + 1, now(), "WRITE",
+      newSchema.json, partCols, added, Seq.empty,
+      Map("numFiles" -> added.size.toString, "mode" -> "Append",
+        "mergeSchema" -> mergeSchema.toString)))
+  }
+
+  /** Physically write `df` partitioned by `partCols` into the data dir via
+    * a staging dir + per-file rename; returns the added FileEntries. */
+  private def writeFiles(df: DataFrame, partCols: Seq[String]): Seq[FileEntry] = {
+    val f = fs
+    val stage = new Path(rootPath, s".stage-${UUID.randomUUID()}")
+    val writer = df.write.mode("overwrite")
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(stage.toString)
+    val added = scala.collection.mutable.ArrayBuffer[FileEntry]()
+    def walk(dir: Path, rel: String): Unit =
+      f.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) walk(st.getPath, if (rel.isEmpty) name else s"$rel/$name")
+        else if (name.endsWith(".parquet")) {
+          val relPath = if (rel.isEmpty) name else s"$rel/$name"
+          val dest = new Path(dataDir, relPath)
+          f.mkdirs(dest.getParent)
+          if (!f.rename(st.getPath, dest))
+            throw new IllegalStateException(s"failed to move $relPath into $dataDir")
+          added += FileEntry(relPath, partitionValuesOf(relPath), st.getLen)
+        }
+      }
+    walk(stage, "")
+    f.delete(stage, true)
+    added.toSeq
+  }
+
+  // -------------------------------------------------------------- merge --
+
+  /** Delta-style MERGE builder (reference API usage:
+    * src/header_etl.py:205-215,253-280; src/items_etl.py:114-143). */
+  def merge(source: DataFrame, condition: String): MergeBuilder =
+    new MergeBuilder(this, aliasName.getOrElse("existing"), source, condition)
+
+  private[tables] def executeMerge(targetAlias: String,
+                                   source: DataFrame,
+                                   condition: String,
+                                   matchedUpdate: Option[(Option[String], Map[String, String])],
+                                   notMatchedInsert: Option[(Option[String], Map[String, String])]): Unit = {
+    val (files, tableSchema, partCols) = snapshot(None)
+    val dataCols = tableSchema.fields.toSeq
+
+    // --- 1. prune: which existing files contain rows matched by source? --
+    // Inner join on the merge condition; only file names are collected
+    // (bounded by file count, never by row count). Catalyst/AQE picks the
+    // join strategy — the source side of a batch merge is typically small
+    // enough to broadcast.
+    val qualify = files.map(fe => new Path(dataDir, fe.path).toString -> fe.path).toMap
+    val touchedRel: Set[String] =
+      if (files.isEmpty) Set.empty
+      else {
+        val t = read.withColumn(FileCol, col("_metadata.file_path")).alias(targetAlias)
+        t.join(source, expr(condition), "inner")
+          .select(col(FileCol)).distinct()
+          .collect().map(_.getString(0))
+          .map(p => relativize(p, qualify))
+          .toSet
+      }
+    val untouched = files.filterNot(fe => touchedRel.contains(fe.path))
+    val touchedFiles = files.filter(fe => touchedRel.contains(fe.path))
+
+    // --- 2. rewrite touched files + insert unmatched source rows --------
+    val touchedDF =
+      if (touchedFiles.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
+      else
+        spark.read.schema(tableSchema)
+          .option("basePath", dataDir.toString)
+          .parquet(touchedFiles.map(fe => new Path(dataDir, fe.path).toString): _*)
+
+    val t = touchedDF
+      .withColumn(TidCol, monotonically_increasing_id())
+      .withColumn(TPresent, lit(true))
+      .alias(targetAlias)
+    val s = source.withColumn(SPresent, lit(true))
+    val joined = t.join(s, expr(condition), "full_outer")
+
+    val tPresent = col(TPresent) === lit(true)
+    val sPresent = col(SPresent) === lit(true)
+
+    // Delta errors when one target row is matched by >1 source row. The
+    // check costs one extra job over touched rows only; disable with
+    // spark.graft.merge.checkCardinality=false for trusted pipelines.
+    if (spark.conf.get("spark.graft.merge.checkCardinality", "true") != "false") {
+      val dupMatches = joined.filter(tPresent && sPresent)
+        .groupBy(col(TidCol)).count().filter(col("count") > 1).limit(1).count()
+      if (dupMatches > 0)
+        throw new IllegalStateException(
+          "MERGE: multiple source rows matched the same target row")
+    }
+
+    val updCond: Column = matchedUpdate match {
+      case Some((Some(c), _)) => expr(c)
+      case Some((None, _)) => lit(true)
+      case None => lit(false)
+    }
+    val updSet = matchedUpdate.map(_._2).getOrElse(Map.empty)
+    val insCond: Column = notMatchedInsert match {
+      case Some((Some(c), _)) => expr(c)
+      case Some((None, _)) => lit(true)
+      case None => lit(false)
+    }
+    val insVals = notMatchedInsert.map(_._2).getOrElse(Map.empty)
+
+    val kept = joined.filter(tPresent || (sPresent && insCond))
+    val outCols = dataCols.map { f =>
+      val tCol = col(s"$targetAlias.${f.name}")
+      val upd = updSet.get(f.name).map(expr).getOrElse(tCol)
+      val ins = insVals.get(f.name).map(expr).getOrElse(lit(null))
+      when(tPresent && sPresent && updCond, upd.cast(f.dataType))
+        .when(tPresent, tCol)
+        .otherwise(ins.cast(f.dataType))
+        .as(f.name)
+    }
+    val rewritten = kept.select(outCols: _*)
+
+    val added =
+      if (touchedFiles.isEmpty && notMatchedInsert.isEmpty) Seq.empty
+      else writeFiles(rewritten, partCols)
+
+    commit(LogEntry(currentVersion + 1, now(), "MERGE",
+      tableSchema.json, partCols,
+      added, touchedFiles.map(_.path),
+      Map(
+        "numTargetFilesAdded" -> added.size.toString,
+        "numTargetFilesRemoved" -> touchedFiles.size.toString,
+        "numTargetFilesUntouched" -> untouched.size.toString)))
+  }
+
+  // ------------------------------------------------------------- helpers --
+
+  private def partitionValuesOf(relPath: String): Map[String, String] =
+    relPath.split('/').dropRight(1).flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0) None
+      else Some(seg.substring(0, i) ->
+        URLDecoder.decode(seg.substring(i + 1), "UTF-8"))
+    }.toMap
+
+  private def relativize(qualified: String, map: Map[String, String]): String =
+    map.getOrElse(qualified,
+      map.collectFirst { case (k, v) if qualified.endsWith(v) => v }
+        .getOrElse(throw new IllegalStateException(s"unknown file in scan: $qualified")))
+}
+
+object VersionedTable {
+  private val LogDirName = "_graft_log"
+  private val FileCol = "__graft_file"
+  private val TidCol = "__graft_tid"
+  private val TPresent = "__graft_t_present"
+  private val SPresent = "__graft_s_present"
+  private implicit val fmts: Formats = DefaultFormats
+
+  private def now(): Long = System.currentTimeMillis()
+
+  /** Reference: DeltaTable.isDeltaTable (src/header_etl.py:157). */
+  def isTable(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path, LogDirName)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.exists(p) && f.listStatus(p).exists(_.getPath.getName.endsWith(".json"))
+  }
+
+  /** Reference: DeltaTable.forPath (src/header_etl.py:166). */
+  def forPath(spark: SparkSession, path: String): VersionedTable = {
+    require(isTable(spark, path), s"$path is not a graft table")
+    new VersionedTable(spark, path, None)
+  }
+
+  /** Initial partitioned write (reference: src/header_etl.py:159-162). */
+  def create(spark: SparkSession, df: DataFrame, path: String,
+             partitionBy: Seq[String] = Seq.empty): VersionedTable = {
+    require(!isTable(spark, path), s"$path is already a graft table")
+    val t = new VersionedTable(spark, path, None)
+    val added = t.writeFiles(df, partitionBy)
+    t.commit(LogEntry(0L, now(), "CREATE TABLE AS SELECT",
+      df.schema.json, partitionBy, added, Seq.empty,
+      Map("numFiles" -> added.size.toString)))
+    t
+  }
+
+  private[tables] def widenSchema(cur: StructType, incoming: StructType): StructType = {
+    val byName = cur.fieldNames.toSet
+    val extras = incoming.fields.filterNot(f => byName.contains(f.name))
+      .map(f => StructField(f.name, f.dataType, nullable = true))
+    incoming.fields.foreach { f =>
+      if (byName.contains(f.name))
+        require(cur(f.name).dataType == f.dataType,
+          s"mergeSchema type conflict on ${f.name}: ${cur(f.name).dataType} vs ${f.dataType}")
+    }
+    StructType(cur.fields ++ extras)
+  }
+
+  private def parseEntry(json: String): LogEntry =
+    Serialization.read[LogEntry](json)
+  private def renderEntry(e: LogEntry): String =
+    Serialization.write(e)
+
+  private def readFully(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+}
+
+/** Fluent MERGE builder mirroring the subset of the Delta API the
+  * reference exercises: at most one whenMatchedUpdate and one
+  * whenNotMatchedInsert clause, conditions and assignments as SQL
+  * expression strings over the target/source aliases. */
+class MergeBuilder private[tables] (table: VersionedTable,
+                                    targetAlias: String,
+                                    source: DataFrame,
+                                    condition: String) {
+  private var matchedUpdate: Option[(Option[String], Map[String, String])] = None
+  private var notMatchedInsert: Option[(Option[String], Map[String, String])] = None
+
+  def whenMatchedUpdate(set: Map[String, String]): MergeBuilder =
+    whenMatchedUpdate(null, set)
+  def whenMatchedUpdate(condition: String, set: Map[String, String]): MergeBuilder = {
+    require(matchedUpdate.isEmpty, "only one whenMatchedUpdate clause is supported")
+    matchedUpdate = Some((Option(condition), set)); this
+  }
+  def whenNotMatchedInsert(values: Map[String, String]): MergeBuilder =
+    whenNotMatchedInsert(null, values)
+  def whenNotMatchedInsert(condition: String, values: Map[String, String]): MergeBuilder = {
+    require(notMatchedInsert.isEmpty, "only one whenNotMatchedInsert clause is supported")
+    notMatchedInsert = Some((Option(condition), values)); this
+  }
+  def execute(): Unit =
+    table.executeMerge(targetAlias, source, condition, matchedUpdate, notMatchedInsert)
+}

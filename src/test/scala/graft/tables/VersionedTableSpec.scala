@@ -1,0 +1,148 @@
+package graft.tables
+
+import java.nio.file.Files
+
+import graft.SharedSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class VersionedTableSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-vt").toString
+
+  test("create / isTable / read round-trip with partitioning") {
+    val path = tmpDir() + "/t1"
+    assert(!VersionedTable.isTable(spark, path))
+    val df = Seq((1, "a", 2023), (2, "b", 2023), (3, "c", 2024))
+      .toDF("id", "v", "year")
+    val t = VersionedTable.create(spark, df, path, Seq("year"))
+    assert(VersionedTable.isTable(spark, path))
+    assert(t.currentVersion == 0)
+    val back = t.read
+    assert(back.count() == 3)
+    assert(back.columns.toSet == Set("id", "v", "year"))
+    // partition pruning reads only the matching dir
+    assert(back.filter($"year" === 2024).count() == 1)
+    // partition column type preserved (int, not string)
+    assert(back.schema("year").dataType.typeName == "integer")
+  }
+
+  test("append and time travel") {
+    val path = tmpDir() + "/t2"
+    val t = VersionedTable.create(spark,
+      Seq((1, "a")).toDF("id", "v"), path)
+    t.append(Seq((2, "b")).toDF("id", "v"))
+    assert(t.currentVersion == 1)
+    assert(t.read.count() == 2)
+    assert(t.readVersion(0).count() == 1)
+    assert(t.history().count() == 2)
+    assert(t.history(1).select("version").as[Long].head() == 1L)
+  }
+
+  test("mergeSchema append widens schema; old files read as null") {
+    val path = tmpDir() + "/t3"
+    val t = VersionedTable.create(spark, Seq((1, "a")).toDF("id", "v"), path)
+    t.append(Seq((2, "b", 9.5)).toDF("id", "v", "score"), mergeSchema = true)
+    val cur = t.read
+    assert(cur.columns.toSet == Set("id", "v", "score"))
+    assert(cur.filter($"id" === 1).select("score").first().isNullAt(0))
+    // time travel sees the old 2-column schema
+    assert(t.readVersion(0).columns.toSet == Set("id", "v"))
+    // strict append without the new column still works post-evolution
+    intercept[IllegalArgumentException] {
+      t.append(Seq((3, "c")).toDF("id", "v"))
+    }
+  }
+
+  test("merge: matched update + not-matched insert (SCD2 close/open shape)") {
+    val path = tmpDir() + "/t4"
+    val target = Seq(
+      ("k1", "old", true), ("k2", "same", true)
+    ).toDF("key", "val", "is_current")
+    val t = VersionedTable.create(spark, target, path)
+
+    val source = Seq(
+      ("k1", "new"), // should close k1
+      ("k3", "brand") // should insert
+    ).toDF("key", "val").alias("staged")
+
+    t.alias("existing")
+      .merge(source, "existing.key = staged.key")
+      .whenMatchedUpdate(
+        condition = "existing.is_current = true",
+        set = Map("val" -> "staged.val", "is_current" -> "false"))
+      .whenNotMatchedInsert(values = Map(
+        "key" -> "staged.key", "val" -> "staged.val", "is_current" -> "true"))
+      .execute()
+
+    val out = t.read.orderBy("key").collect()
+    assert(out.length == 3)
+    val byKey = out.map(r => r.getString(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(byKey("k1") == ("new", false))
+    assert(byKey("k2") == ("same", true)) // untouched row copied intact
+    assert(byKey("k3") == ("brand", true))
+  }
+
+  test("merge with update condition leaves non-qualifying matches as no-op") {
+    val path = tmpDir() + "/t5"
+    val t = VersionedTable.create(spark,
+      Seq(("k1", "v", false)).toDF("key", "val", "is_current"), path)
+    t.alias("existing")
+      .merge(Seq(("k1", "x")).toDF("key", "val").alias("staged"),
+        "existing.key = staged.key")
+      .whenMatchedUpdate(condition = "existing.is_current = true",
+        set = Map("val" -> "staged.val"))
+      .execute()
+    assert(t.read.select("val").as[String].head() == "v")
+  }
+
+  test("merge prunes untouched files (file-level bounded work)") {
+    val path = tmpDir() + "/t6"
+    val df = Seq((1, "a", 2023), (2, "b", 2024)).toDF("id", "v", "year")
+    val t = VersionedTable.create(spark, df, path, Seq("year"))
+    t.alias("e")
+      .merge(Seq((1, "a2")).toDF("id", "v").alias("s"), "e.id = s.id")
+      .whenMatchedUpdate(set = Map("v" -> "s.v"))
+      .execute()
+    // only the year=2023 file should have been rewritten
+    val hist = t.history(1).select("operationMetrics").as[Map[String, String]].head()
+    assert(hist("numTargetFilesRemoved").toInt == 1)
+    assert(hist("numTargetFilesUntouched").toInt >= 1)
+    val out = t.read.orderBy("id").select("v").as[String].collect()
+    assert(out.toSeq == Seq("a2", "b"))
+  }
+
+  test("merge rejects multiple source rows matching one target row") {
+    val path = tmpDir() + "/t7"
+    val t = VersionedTable.create(spark, Seq(("k1", "v")).toDF("key", "val"), path)
+    val dup = Seq(("k1", "x"), ("k1", "y")).toDF("key", "val").alias("s")
+    intercept[IllegalStateException] {
+      t.alias("e").merge(dup, "e.key = s.key")
+        .whenMatchedUpdate(set = Map("val" -> "s.val")).execute()
+    }
+  }
+
+  test("NULL merge keys in source never match (items staging trick J6)") {
+    val path = tmpDir() + "/t8"
+    val t = VersionedTable.create(spark,
+      Seq(("k1", "old", true)).toDF("key", "val", "is_current"), path)
+    val staged = Seq(
+      (null.asInstanceOf[String], "k1", "new"), // NULL mergeKey → insert
+      ("k1", "k1", "new") // keyed → update path
+    ).toDF("mergeKey", "key", "val").alias("staged")
+    t.alias("existing")
+      .merge(staged, "existing.key = staged.mergeKey")
+      .whenMatchedUpdate(condition = "existing.is_current = true",
+        set = Map("is_current" -> "false"))
+      .whenNotMatchedInsert(values = Map(
+        "key" -> "staged.key", "val" -> "staged.val", "is_current" -> "true"))
+      .execute()
+    val rows = t.read.collect()
+    assert(rows.length == 2)
+    assert(t.read.filter($"is_current" === true).count() == 1)
+    assert(t.read.filter($"is_current" === false).count() == 1)
+  }
+}
