@@ -1,0 +1,245 @@
+package graft.jobs
+
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+
+import graft.core.Schemas
+import graft.ops.{DqMetrics, Validation}
+import graft.tables.VersionedTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.storage.StorageLevel
+
+/** Run metrics of one header batch — same fields as the reference's
+  * run_metrics dict (reference: src/header_etl.py:319-336) plus the DQ
+  * counters flattened with a `dq_` prefix. */
+case class HeaderRunMetrics(batch_id: String,
+                            duration_s: Double,
+                            duration_s_extract: Double,
+                            duration_s_validation: Double,
+                            duration_s_transform: Double,
+                            duration_s_merge: Double,
+                            staged_count: Long,
+                            inserted_count: Long,
+                            closed_count: Long,
+                            spark_app_id: String,
+                            dq_batch_date: String,
+                            dq_total: Long,
+                            dq_kept: Long,
+                            dq_discarded: Long,
+                            dq_duplicates_older: Long,
+                            dq_null_key: Long,
+                            dq_batch_date_mismatch: Long)
+
+/** OP-B: timestamp-grained SCD2 with intra-batch versioning — the
+  * reference's flagship pipeline (reference: src/header_etl.py:53-340).
+  *
+  * One batch = one pipe-separated CSV drop. Pipeline:
+  *  1. extract + audit columns (`closed_by_batch`, `source_file`,
+  *     `ingest_ts`, `batch_id`) — batch_id is computed on the driver, not
+  *     via the reference's `limit(1).collect()` round-trip.
+  *  2. validation (null-key / batch-date / keep-latest-duplicate) via
+  *     [[Validation.validate]].
+  *  3. transform: 5-format timestamp fallback parse, intra-batch version
+  *     rows via `lead()` over (contratto_cod, event_time asc), y/m/d
+  *     partition columns, `creazione_dta` normalization + parse.
+  *  4. two-phase SCD2 merge into a [[VersionedTable]]:
+  *     Phase A closes the open row once per key at the first event that
+  *     null-safely differs on {status_quote, codice_agente,
+  *     codice_ordine_sap}; Phase B idempotently inserts all version rows
+  *     keyed on (contratto_cod, valid_from_ts).
+  *
+  * Scale notes: the transformed batch is persisted once and feeds the init
+  * write, the Phase-A change join, and the Phase-B staging — one CSV
+  * scan + one window shuffle total. The change-detection join's existing
+  * side is pre-projected to 5 columns (reference does the same to shrink
+  * the join); the merge itself rewrites only files containing matched keys.
+  */
+object HeaderEtlJob {
+
+  private val MaxTsExpr = s"to_timestamp('${Schemas.MaxTs}')"
+
+  /** Phase-B staging projection — the 21 columns the reference stages
+    * (reference: src/header_etl.py:221-243). `creazione_dta_raw/parsed`
+    * are deliberately absent: merged-in rows carry NULL for them, exactly
+    * as Delta's whenNotMatchedInsert leaves unmapped columns NULL. */
+  private[jobs] val StagedColumns: Seq[String] = Seq(
+    "contratto_cod", "codice_ordine_sap", "tipo_contratto", "codice_opec",
+    "data_firma", "net_amount", "causale_annullamento", "data_annullamento",
+    "codice_agente", "status_quote", "creazione_dta", "ingest_ts",
+    "valid_from_ts", "valid_to_ts", "valid_from_year", "valid_from_month",
+    "valid_from_day", "is_current", "batch_id", "source_file",
+    "closed_by_batch")
+
+  def run(spark: SparkSession,
+          readPath: String,
+          writePath: String,
+          discardedPath: String,
+          metricsPath: String): HeaderRunMetrics = {
+    val t0 = System.nanoTime()
+    val filename = readPath.split("/").last
+    // driver-side batch id (reference computes the same value through the
+    // cluster: src/header_etl.py:70-73)
+    val batchId = DateTimeFormatter.ofPattern("yyyyMMddHHmmss")
+      .withZone(ZoneOffset.UTC).format(Instant.now()) + "_" + filename
+
+    // ---- EXTRACT (reference: src/header_etl.py:64-73) ------------------
+    val tExtract0 = System.nanoTime()
+    val dfExtracted = spark.read
+      .option("header", "true").option("sep", "|")
+      .schema(Schemas.Header)
+      .csv(readPath)
+      .withColumn("closed_by_batch", lit(null).cast(StringType))
+      .withColumn("source_file", lit(filename))
+      .withColumn("ingest_ts", current_timestamp())
+      .withColumn("batch_id", lit(batchId))
+    val durExtract = secondsSince(tExtract0)
+
+    // ---- VALIDATION (reference: src/header_etl.py:78-80) ---------------
+    val tValid0 = System.nanoTime()
+    val (validated, dq, releaseValidation) = Validation.validate(
+      dfExtracted, Schemas.HeaderDedupKeys, filename,
+      Schemas.HeaderDateRegex, discardedPath)
+    val durValidation = secondsSince(tValid0)
+
+    // ---- TRANSFORM (reference: src/header_etl.py:87-136) ---------------
+    val tTransform0 = System.nanoTime()
+    // 5-format ordered fallback parse (reference: src/header_etl.py:89-102)
+    val dfParsed = validated.withColumn("event_time_ts", coalesce(
+      to_timestamp(col("event_time"), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"),
+      to_timestamp(col("event_time"), "yyyy-MM-dd'T'HH:mm:ssXXX"),
+      to_timestamp(col("event_time"), "yyyy-MM-dd HH:mm:ss"),
+      to_timestamp(col("event_time"), "yyyy-MM-dd"),
+      to_timestamp(col("event_time"))))
+
+    // intra-batch version rows via lead() (reference: src/header_etl.py:106-119)
+    val w = Window.partitionBy("contratto_cod").orderBy(col("event_time_ts").asc)
+    val dfVersions = dfParsed
+      .withColumn("valid_from_ts", col("event_time_ts"))
+      .withColumn("next_event_time", lead("event_time_ts", 1).over(w))
+      .withColumn("valid_to_ts",
+        when(col("next_event_time").isNull, expr(MaxTsExpr))
+          .otherwise(col("next_event_time")))
+      .withColumn("is_current", col("next_event_time").isNull)
+      .drop("next_event_time", "event_time", "event_time_ts")
+
+    // partition columns + creazione_dta normalization
+    // (reference: src/header_etl.py:122-136)
+    val dfTransformed = dfVersions
+      .withColumn("valid_from_year", year(col("valid_from_ts")))
+      .withColumn("valid_from_month", month(col("valid_from_ts")))
+      .withColumn("valid_from_day", dayofmonth(col("valid_from_ts")))
+      .withColumn("creazione_dta_raw", trim(col("creazione_dta")))
+      .withColumn("creazione_dta_raw",
+        when(col("creazione_dta_raw") === "", lit(null))
+          .otherwise(col("creazione_dta_raw")))
+      .withColumn("creazione_dta_parsed",
+        expr("coalesce(to_date(creazione_dta_raw, 'M/d/yyyy'), to_date(creazione_dta_raw, 'yyyy-MM-dd'))"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val durTransform = secondsSince(tTransform0)
+
+    // ---- MERGE (reference: src/header_etl.py:157-294) ------------------
+    val tMerge0 = System.nanoTime()
+    if (!VersionedTable.isTable(spark, writePath)) {
+      // init write — the current batch is then ALSO merged against itself,
+      // harmless by Phase-B idempotence (reference: src/header_etl.py:157-166)
+      VersionedTable.create(spark, dfTransformed, writePath, Schemas.PartitionColumns)
+    }
+    val table = VersionedTable.forPath(spark, writePath)
+
+    // -- Phase A: close open rows only on real change, once per key ------
+    // (reference: src/header_etl.py:168-215)
+    val existingCurrent = table.read
+      .filter(col("valid_to_ts").isNull || col("valid_to_ts") === expr(MaxTsExpr))
+      // narrow projection shrinks the join (reference: src/header_etl.py:174-180)
+      .select("contratto_cod", "status_quote", "codice_agente",
+        "codice_ordine_sap", "valid_from_ts")
+
+    val joined = dfTransformed.alias("st").join(
+      existingCurrent.alias("ex"),
+      col("st.contratto_cod") === col("ex.contratto_cod"), "inner")
+
+    // null-safe difference on the tracked attributes (reference: :189-194)
+    val diffExpr =
+      "NOT (st.status_quote <=> ex.status_quote) OR " +
+        "NOT (st.codice_agente <=> ex.codice_agente) OR " +
+        "NOT (st.codice_ordine_sap <=> ex.codice_ordine_sap)"
+    val changedEvents = joined.filter(expr(diffExpr))
+      .select(col("st.contratto_cod").as("contratto_cod"),
+        col("st.valid_from_ts").as("valid_from_ts"))
+
+    // first event causing a difference, per key (reference: :200)
+    val firstChange = changedEvents.groupBy("contratto_cod")
+      .agg(min("valid_from_ts").as("first_change_ts"))
+
+    table.alias("existing")
+      .merge(firstChange.alias("min_staged"),
+        "existing.contratto_cod = min_staged.contratto_cod")
+      .whenMatchedUpdate(
+        condition = s"(existing.valid_to_ts = $MaxTsExpr OR existing.valid_to_ts IS NULL) " +
+          "AND min_staged.first_change_ts > existing.valid_from_ts",
+        set = Map(
+          "valid_to_ts" -> "min_staged.first_change_ts",
+          "is_current" -> "false",
+          "closed_by_batch" -> s"'$batchId'"))
+      .execute()
+
+    // -- Phase B: idempotent insert of all version rows ------------------
+    // (reference: src/header_etl.py:219-280)
+    val staged = dfTransformed.selectExpr(StagedColumns: _*)
+    val stagedCount = staged.count()
+    table.alias("existing")
+      .merge(staged.alias("staged"),
+        "existing.contratto_cod = staged.contratto_cod AND existing.valid_from_ts = staged.valid_from_ts")
+      .whenNotMatchedInsert(values =
+        StagedColumns.map(c => c -> s"staged.$c").toMap)
+      .execute()
+
+    // post-merge accounting in ONE scan (reference runs two full-table
+    // count() jobs at src/header_etl.py:284-294)
+    val counts = table.read.agg(
+      sum(when(col("batch_id") === batchId, 1).otherwise(0)).as("inserted"),
+      sum(when(col("closed_by_batch") === batchId, 1).otherwise(0)).as("closed")
+    ).collect()(0)
+    val insertedCount = Option(counts.getAs[Long]("inserted")).getOrElse(0L)
+    val closedCount = Option(counts.getAs[Long]("closed")).getOrElse(0L)
+    val durMerge = secondsSince(tMerge0)
+
+    dfTransformed.unpersist(false)
+    releaseValidation()
+
+    val metrics = HeaderRunMetrics(
+      batch_id = batchId,
+      duration_s = secondsSince(t0),
+      duration_s_extract = durExtract,
+      duration_s_validation = durValidation,
+      duration_s_transform = durTransform,
+      duration_s_merge = durMerge,
+      staged_count = stagedCount,
+      inserted_count = insertedCount,
+      closed_count = closedCount,
+      spark_app_id = spark.sparkContext.applicationId,
+      dq_batch_date = dq.batchDate,
+      dq_total = dq.total,
+      dq_kept = dq.kept,
+      dq_discarded = dq.discarded,
+      dq_duplicates_older = dq.duplicatesOlder,
+      dq_null_key = dq.nullKey,
+      dq_batch_date_mismatch = dq.batchDateMismatch)
+    writeMetrics(spark, metrics, s"$metricsPath/$batchId")
+    metrics
+  }
+
+  /** Run-metrics CSV sink, one dir per batch, append mode with header
+    * (reference: src/header_etl.py:338-340). */
+  private def writeMetrics(spark: SparkSession, m: HeaderRunMetrics, path: String): Unit = {
+    import spark.implicits._
+    Seq(m).toDF().coalesce(1)
+      .write.mode("append").option("header", "true").csv(path)
+  }
+
+  private def secondsSince(nanos: Long): Double =
+    (System.nanoTime() - nanos) / 1e9
+}

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Data-quality counters of one validated batch.
   * Reference: src/utils/validations_utils.py:124-132. */
@@ -30,13 +31,15 @@ object Validation {
     *                   validations_utils.py:54-57, which doesn't scale)
     * @param dateRegex  extracts yyyyMMdd from the file name
     * @param discardedPath discarded-rows sink root (one dir per batch date)
-    * @return (kept rows ready for transform, DQ counters)
+    * @return (kept rows ready for transform, DQ counters, release hook that
+    *         unpersists the cached tagged frame — call after the kept rows
+    *         have been fully consumed)
     */
   def validate(extracted: DataFrame,
                dedupKeys: Seq[String],
                sourceFile: String,
                dateRegex: String,
-               discardedPath: String): (DataFrame, DqMetrics) = {
+               discardedPath: String): (DataFrame, DqMetrics, () => Unit) = {
     require(dedupKeys.nonEmpty, "dedupKeys must be a non-empty column list")
 
     // 1) parse event_time into timestamp/date with ordered fallbacks
@@ -67,6 +70,10 @@ object Validation {
     // 4) keep the most recent row per duplicate group
     val wDedup = Window.partitionBy(dedupKeys.map(col): _*)
       .orderBy(col("event_time_ts").desc_nulls_last)
+    // Persisted: the tagged frame feeds three consumers (discard sink,
+    // metrics agg, kept rows) — without it the CSV scan + parse + window
+    // shuffle re-run three times. Caller releases via the returned handle
+    // once the kept rows have been consumed.
     val df = df0
       .withColumn("rn", row_number().over(wDedup))
       .withColumn("discard_reason",
@@ -74,6 +81,7 @@ object Validation {
           .when(mismatchCondition, lit("BATCH_DATE_MISMATCH"))
           .when(col("rn") > 1, lit("DUPLICATE_OLDER"))
           .otherwise(lit(null)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val kept = df.filter(col("rn") === 1 && !nullCondition && !mismatchCondition)
     val discarded = df.filter(col("discard_reason").isNotNull)
@@ -109,6 +117,6 @@ object Validation {
       batchDateMismatch = agg.getAs[Long]("batch_date_mismatch"))
 
     val keptClean = kept.drop("rn", "discard_reason", "event_date_parsed", "event_time_ts")
-    (keptClean, metrics)
+    (keptClean, metrics, () => { df.unpersist(); () })
   }
 }

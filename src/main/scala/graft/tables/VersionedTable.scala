@@ -9,6 +9,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
 import org.json4s.{DefaultFormats, Formats}
 import org.json4s.jackson.Serialization
 
@@ -30,6 +31,15 @@ case class LogEntry(version: Long,
                     add: Seq[FileEntry],
                     remove: Seq[String],
                     operationMetrics: Map[String, String])
+
+/** Materialized snapshot of the live file set at `version`, written every
+  * [[VersionedTable.CheckpointInterval]] commits so that computing a
+  * snapshot replays O(interval) JSON files instead of O(versions) — the
+  * same role Delta's parquet checkpoints play. */
+case class Checkpoint(version: Long,
+                      schemaJson: String,
+                      partitionColumns: Seq[String],
+                      files: Seq[FileEntry])
 
 /** A versioned Parquet table with ACID-ish single-writer semantics:
   * Hive-partitioned parquet files under `<root>/data/` plus a JSON commit
@@ -70,38 +80,64 @@ class VersionedTable private (val spark: SparkSession,
 
   // ---------------------------------------------------------------- log --
 
+  /** Log-dir listing split into (commit files, checkpoint files), each as
+    * (version, path) sorted by version. One filesystem LIST; versions come
+    * from file names, so no JSON is parsed here. */
+  private def listLog(): (Seq[(Long, Path)], Seq[(Long, Path)]) = {
+    val f = fs
+    if (!f.exists(logDir)) return (Seq.empty, Seq.empty)
+    val paths = f.listStatus(logDir).map(_.getPath)
+    val commits = paths.toSeq
+      .filter(_.getName.matches("""\d{20}\.json"""))
+      .map(p => (p.getName.stripSuffix(".json").toLong, p)).sortBy(_._1)
+    val cps = paths.toSeq
+      .filter(_.getName.matches("""\d{20}\.checkpoint\.json"""))
+      .map(p => (p.getName.stripSuffix(".checkpoint.json").toLong, p)).sortBy(_._1)
+    (commits, cps)
+  }
+
   private[tables] def entries: Seq[LogEntry] = {
     val f = fs
-    if (!f.exists(logDir)) return Seq.empty
-    val files = f.listStatus(logDir).map(_.getPath)
-      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
-    files.map(p => parseEntry(readFully(f, p))).sortBy(_.version)
+    listLog()._1.map { case (_, p) => parseEntry(readFully(f, p)) }
   }
 
   def currentVersion: Long = {
-    val e = entries
-    if (e.isEmpty) -1L else e.last.version
+    val (commits, _) = listLog()
+    if (commits.isEmpty) -1L else commits.last._1
   }
 
-  /** Live file set at `asOf` (inclusive), with the schema of that version. */
+  /** Live file set at `asOf` (inclusive), with the schema of that version.
+    * Starts from the newest checkpoint ≤ target and replays only the
+    * commits after it — O(CheckpointInterval) JSON reads, not O(versions). */
   private def snapshot(asOf: Option[Long]): (Seq[FileEntry], StructType, Seq[String]) = {
-    val all = entries
-    require(all.nonEmpty, s"$root is not a graft table (empty log)")
-    val upTo = asOf match {
+    val f = fs
+    val (commits, cps) = listLog()
+    require(commits.nonEmpty, s"$root is not a graft table (empty log)")
+    val target = asOf match {
       case Some(v) =>
-        require(all.exists(_.version == v), s"version $v not found in $root (latest=${all.last.version})")
-        all.filter(_.version <= v)
-      case None => all
+        require(commits.exists(_._1 == v),
+          s"version $v not found in $root (latest=${commits.last._1})")
+        v
+      case None => commits.last._1
     }
+    val cp = cps.filter(_._1 <= target).lastOption
+      .map { case (_, p) => parseCheckpoint(readFully(f, p)) }
     val files = scala.collection.mutable.LinkedHashMap[String, FileEntry]()
-    upTo.foreach { e =>
+    cp.foreach(_.files.foreach(fe => files(fe.path) = fe))
+    val fromV = cp.map(_.version).getOrElse(-1L)
+    val replayed = commits
+      .filter { case (v, _) => v > fromV && v <= target }
+      .map { case (_, p) => parseEntry(readFully(f, p)) }
+    replayed.foreach { e =>
       e.remove.foreach(files.remove)
       e.add.foreach(a => files(a.path) = a)
     }
-    val last = upTo.last
+    val (schemaJson, partCols) = replayed.lastOption
+      .map(e => (e.schemaJson, e.partitionColumns))
+      .getOrElse((cp.get.schemaJson, cp.get.partitionColumns))
     (files.values.toSeq,
-      DataType.fromJson(last.schemaJson).asInstanceOf[StructType],
-      last.partitionColumns)
+      DataType.fromJson(schemaJson).asInstanceOf[StructType],
+      partCols)
   }
 
   private def commit(entry: LogEntry): Unit = {
@@ -111,13 +147,31 @@ class VersionedTable private (val spark: SparkSession,
     if (f.exists(target))
       throw new IllegalStateException(
         s"concurrent commit detected: version ${entry.version} already exists at $root")
-    val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}.json")
+    atomicWrite(f, target, renderEntry(entry))
+    maybeCheckpoint(entry.version)
+  }
+
+  /** Every CheckpointInterval commits, materialize the live file set so
+    * later snapshots replay a bounded number of commit files. Failure here
+    * never fails the commit — a checkpoint is an optimization, not state. */
+  private def maybeCheckpoint(version: Long): Unit =
+    if (version > 0 && version % CheckpointInterval == 0) {
+      try {
+        val (files, schema, partCols) = snapshot(Some(version))
+        val cpPath = new Path(logDir, f"$version%020d.checkpoint.json")
+        atomicWrite(fs, cpPath,
+          renderCheckpoint(Checkpoint(version, schema.json, partCols, files)))
+      } catch { case scala.util.control.NonFatal(_) => }
+    }
+
+  private def atomicWrite(f: FileSystem, target: Path, content: String): Unit = {
+    val tmp = new Path(target.getParent, s".tmp-${UUID.randomUUID()}.json")
     val out = f.create(tmp, false)
-    out.write(renderEntry(entry).getBytes(StandardCharsets.UTF_8))
+    out.write(content.getBytes(StandardCharsets.UTF_8))
     out.close()
     if (!f.rename(tmp, target)) {
       f.delete(tmp, false)
-      throw new IllegalStateException(s"commit rename failed for version ${entry.version} at $root")
+      throw new IllegalStateException(s"atomic write failed for $target")
     }
   }
 
@@ -226,6 +280,11 @@ class VersionedTable private (val spark: SparkSession,
     val (files, tableSchema, partCols) = snapshot(None)
     val dataCols = tableSchema.fields.toSeq
 
+    // The source is consumed twice (file-prune join, then the rewrite
+    // join). A typical merge source is a freshly-transformed batch with
+    // windows/joins upstream — persist it so the lineage runs once.
+    val src = source.persist(StorageLevel.MEMORY_AND_DISK)
+
     // --- 1. prune: which existing files contain rows matched by source? --
     // Inner join on the merge condition; only file names are collected
     // (bounded by file count, never by row count). Catalyst/AQE picks the
@@ -236,7 +295,7 @@ class VersionedTable private (val spark: SparkSession,
       if (files.isEmpty) Set.empty
       else {
         val t = read.withColumn(FileCol, col("_metadata.file_path")).alias(targetAlias)
-        t.join(source, expr(condition), "inner")
+        t.join(src, expr(condition), "inner")
           .select(col(FileCol)).distinct()
           .collect().map(_.getString(0))
           .map(p => relativize(p, qualify))
@@ -258,21 +317,30 @@ class VersionedTable private (val spark: SparkSession,
       .withColumn(TidCol, monotonically_increasing_id())
       .withColumn(TPresent, lit(true))
       .alias(targetAlias)
-    val s = source.withColumn(SPresent, lit(true))
+    val s = src.withColumn(SPresent, lit(true))
+    val checkCardinality =
+      spark.conf.get("spark.graft.merge.checkCardinality", "true") != "false"
+    // Persisted so the cardinality check and the rewrite share one join
+    // computation instead of running source×target twice (the merge is
+    // the dominant phase at scale — BASELINE.md shows it super-linear).
     val joined = t.join(s, expr(condition), "full_outer")
+    if (checkCardinality) joined.persist(StorageLevel.MEMORY_AND_DISK)
 
     val tPresent = col(TPresent) === lit(true)
     val sPresent = col(SPresent) === lit(true)
 
     // Delta errors when one target row is matched by >1 source row. The
-    // check costs one extra job over touched rows only; disable with
+    // check reuses the persisted join output; disable with
     // spark.graft.merge.checkCardinality=false for trusted pipelines.
-    if (spark.conf.get("spark.graft.merge.checkCardinality", "true") != "false") {
+    if (checkCardinality) {
       val dupMatches = joined.filter(tPresent && sPresent)
         .groupBy(col(TidCol)).count().filter(col("count") > 1).limit(1).count()
-      if (dupMatches > 0)
+      if (dupMatches > 0) {
+        joined.unpersist()
+        src.unpersist()
         throw new IllegalStateException(
           "MERGE: multiple source rows matched the same target row")
+      }
     }
 
     val updCond: Column = matchedUpdate match {
@@ -303,6 +371,8 @@ class VersionedTable private (val spark: SparkSession,
     val added =
       if (touchedFiles.isEmpty && notMatchedInsert.isEmpty) Seq.empty
       else writeFiles(rewritten, partCols)
+    if (checkCardinality) joined.unpersist(false)
+    src.unpersist(false)
 
     commit(LogEntry(currentVersion + 1, now(), "MERGE",
       tableSchema.json, partCols,
@@ -323,14 +393,21 @@ class VersionedTable private (val spark: SparkSession,
         URLDecoder.decode(seg.substring(i + 1), "UTF-8"))
     }.toMap
 
+  /** `_metadata.file_path` yields fully-qualified URIs; log entries store
+    * paths relative to the data dir. Strip the qualified data-dir prefix —
+    * O(1) per path, no linear scan over the table's file list. */
   private def relativize(qualified: String, map: Map[String, String]): String =
-    map.getOrElse(qualified,
-      map.collectFirst { case (k, v) if qualified.endsWith(v) => v }
-        .getOrElse(throw new IllegalStateException(s"unknown file in scan: $qualified")))
+    map.getOrElse(qualified, {
+      val prefix = fs.makeQualified(dataDir).toString + "/"
+      if (qualified.startsWith(prefix)) qualified.stripPrefix(prefix)
+      else throw new IllegalStateException(s"unknown file in scan: $qualified")
+    })
 }
 
 object VersionedTable {
   private val LogDirName = "_graft_log"
+  /** Commits between snapshot checkpoints (Delta uses 10 as well). */
+  private val CheckpointInterval = 10L
   private val FileCol = "__graft_file"
   private val TidCol = "__graft_tid"
   private val TPresent = "__graft_t_present"
@@ -380,6 +457,10 @@ object VersionedTable {
     Serialization.read[LogEntry](json)
   private def renderEntry(e: LogEntry): String =
     Serialization.write(e)
+  private def parseCheckpoint(json: String): Checkpoint =
+    Serialization.read[Checkpoint](json)
+  private def renderCheckpoint(c: Checkpoint): String =
+    Serialization.write(c)
 
   private def readFully(f: FileSystem, p: Path): String = {
     val in = f.open(p)
