@@ -23,6 +23,10 @@ object GraftSession {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.legacy.timeParserPolicy", "CORRECTED")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // Parquet TIMESTAMP(NANOS) (events.ts) is rejected by Spark 4 unless
+    // read as raw nanos; SparkEntry.tbl converts the long back to a
+    // microsecond timestamp.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark
   }
 

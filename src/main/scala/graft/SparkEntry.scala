@@ -1,20 +1,36 @@
 package graft
 
+import java.nio.file.Files
+
+import graft.tables.VersionedTable
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Each entry in [[queries]] exercises one operator from SURVEY.md §2 over
-  * the driver-generated parquet tables at `<dir>/<table>.parquet`; the
-  * matching [[oracleSql]] is ANSI SQL DuckDB runs over the same tables.
-  * Column names are aliased identically on both sides (the driver compare
-  * sorts columns by name before hashing values).
+  * Each entry in [[queries]] exercises one operator family from SURVEY.md
+  * §2 (or a §7.6 LLM-pipeline extension) over the driver-generated parquet
+  * tables at `<dir>/<table>.parquet`; the matching [[oracleSql]] is ANSI
+  * SQL DuckDB runs over the same tables. Column names are aliased
+  * identically on both sides (the driver compare sorts columns by name
+  * before hashing values).
+  *
+  * Scale notes per query are inline — every plan is shuffle-minimal:
+  * map-side partial aggregation, broadcast dimension joins, single window
+  * shuffle per windowed query, filter/projection pushdown into the scan.
   */
 object SparkEntry {
 
-  private[graft] def tbl(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  private[graft] def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 only reads as a
+    // raw long (nanosAsLong, set in GraftSession.tune) — convert to a
+    // microsecond timestamp, matching DuckDB's ns→us truncation.
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -37,6 +53,202 @@ object SparkEntry {
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // P5/P13 predicate + P2 projection pushdown (SURVEY §2.2). TPC-H Q6
+    // shape: no shuffle at all — scan with PushedFilters + partial sum.
+    "q2_filter_sum" -> ((s, dir) => {
+      GraftSession.tune(s)
+      tbl(s, dir, "lineitem")
+        .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // J1-family equi-join with an explicitly broadcast dimension side
+    // (SURVEY §2.4): orders ⋈ customer, agg per segment. At 100 TB the
+    // fact side streams; the dim broadcast avoids the shuffle entirely.
+    "q3_join_agg" -> ((s, dir) => {
+      GraftSession.tune(s)
+      tbl(s, dir, "orders").join(
+        broadcast(tbl(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total_price"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // W2 row_number keep-latest dedup (SURVEY §2.6; the validation
+    // operator's core). One window shuffle on the dedup key.
+    "q4_dedup_latest" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      tbl(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("latest_event_id"),
+          round(col("value"), 2).as("latest_value"))
+        .orderBy("user_id", "event_type")
+    }),
+
+    // W1 lead()-chain intra-batch SCD2 versioning (SURVEY §2.6, the heart
+    // of OP-B) applied to the events stream: each event becomes a version
+    // row. valid_to is NULL on the open row (the 9999-12-31 sentinel
+    // overflows pandas datetimes in the compare harness; NULL + is_current
+    // carries the same information).
+    "q5_scd2_lead" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      tbl(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .withColumn("valid_to", lead("ts", 1).over(w))
+        .select(col("user_id"), col("event_id"), col("ts").as("valid_from"),
+          col("valid_to"), col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from", "event_id")
+    }),
+
+    // P10 null-safe change detection over a lag() window (SURVEY §2.2 P10
+    // + §2.9 Phase-A diff): count value transitions per user.
+    "q6_nullsafe_diff" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      tbl(s, dir, "events")
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull &&
+          !(col("event_type") <=> col("prev_type")))
+        .groupBy("user_id").agg(count(lit(1)).as("n_changes"))
+        .orderBy("user_id")
+    }),
+
+    // A1 first-event aggregation (SURVEY §2.5 A1 — Phase A's
+    // min(valid_from_ts) per key shape).
+    "q7_first_event" -> ((s, dir) => {
+      GraftSession.tune(s)
+      tbl(s, dir, "events")
+        .groupBy("user_id")
+        .agg(min("ts").as("first_ts"), max("ts").as("last_ts"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // J5 anti-join (SURVEY §2.4 J5 — header-without-items shape):
+    // customers with no high-value order. Spark plans a broadcast-anti join.
+    "q8_anti_join" -> ((s, dir) => {
+      GraftSession.tune(s)
+      tbl(s, dir, "customer")
+        .join(tbl(s, dir, "orders").filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // O-union positional union + unionByName (SURVEY §2.7): high-value ∪
+    // small-urgent orders, deduplicated by key via distinct-on-union.
+    "q9_union" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val o = tbl(s, dir, "orders")
+      val high = o.filter(col("o_totalprice") > 400000)
+        .select("o_orderkey", "o_totalprice")
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") < 1000)
+        .selectExpr("o_totalprice", "o_orderkey") // reordered → unionByName
+      high.unionByName(urgent.select("o_orderkey", "o_totalprice"))
+        .union(high.limit(0)) // positional-union operator coverage
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+        .orderBy("o_orderkey")
+    }),
+
+    // W3 count-over-partition keep-exactly-one quirk (SURVEY §2.6 W3 —
+    // the items dedup drops ALL copies of keys occurring >1 time).
+    "q10_dropall_dups" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val w = Window.partitionBy(col("user_id"), col("event_type"),
+        col("value").cast("decimal(10,2)"))
+      tbl(s, dir, "events")
+        .withColumn("flag", count(lit(1)).over(w))
+        .filter(col("flag") === 1)
+        .groupBy("event_type").agg(count(lit(1)).as("n_unique"))
+        .orderBy("event_type")
+    }),
+
+    // S14 SQL surface: temp view + spark.sql text query (SURVEY §2.1 S14).
+    "q11_sql_view" -> ((s, dir) => {
+      GraftSession.tune(s)
+      tbl(s, dir, "events").createOrReplaceTempView("graft_events")
+      s.sql(
+        """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+          |FROM graft_events
+          |WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
+    // S3/S6/S7 versioned table: init write + MERGE + time-travel read back
+    // to v0 (SURVEY §2.1). The oracle sees only the v0 content — proving
+    // snapshot isolation survives a subsequent merge.
+    "q12_time_travel" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val path = Files.createTempDirectory("graft-q12").toString + "/t"
+      val base = tbl(s, dir, "events")
+        .filter(col("user_id") < 30)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      val t = VersionedTable.create(s, base, path)
+      t.alias("e")
+        .merge(base.filter(col("user_id") % 2 === 0)
+          .select(col("user_id").as("u")).alias("s"), "e.user_id = s.u")
+        .whenMatchedUpdate(set = Map("n_events" -> "e.n_events + 1"))
+        .execute()
+      t.readVersion(0).orderBy("user_id")
+    }),
+
+    // LLM-pipeline: exact content dedup over documents (SURVEY §7.6) —
+    // hash-groupBy on the text, keep the lowest doc_id as canonical.
+    // Scale: shuffles only (text-hash, min(id), count) partial aggregates.
+    "q13_exact_dedup" -> ((s, dir) => {
+      GraftSession.tune(s)
+      tbl(s, dir, "documents")
+        .groupBy("text")
+        .agg(min("doc_id").as("canonical_doc_id"), count(lit(1)).as("n_copies"))
+        .select("canonical_doc_id", "n_copies")
+        .orderBy("canonical_doc_id")
+    }),
+
+    // LLM-pipeline: brute-force cosine top-k over embeddings (SURVEY §7.6)
+    // — the ANN baseline. Query vector broadcast via crossJoin(broadcast);
+    // dot/norms computed with codegen'd higher-order functions (zip_with +
+    // aggregate), no UDF. O-limit coverage via the top-k limit.
+    "q14_topk_cosine" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val emb = tbl(s, dir, "embeddings")
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_embedding"))
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(query))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(embedding, q_embedding, (x, y) -> cast(x AS double) * cast(y AS double)), cast(0.0 AS double), (acc, v) -> acc + v)"))
+        .withColumn("norm_a", expr(
+          "sqrt(aggregate(embedding, cast(0.0 AS double), (acc, x) -> acc + cast(x AS double) * cast(x AS double)))"))
+        .withColumn("norm_b", expr(
+          "sqrt(aggregate(q_embedding, cast(0.0 AS double), (acc, x) -> acc + cast(x AS double) * cast(x AS double)))"))
+        .withColumn("cosine", col("dot") / (col("norm_a") * col("norm_b")))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"), round(col("cosine"), 4).as("cosine_sim"))
+    }),
+
+    // LLM-pipeline: text statistics (token count, char stats) via
+    // codegen'd string/array functions — no UDF (SURVEY §7.6).
+    "q15_token_stats" -> ((s, dir) => {
+      GraftSession.tune(s)
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+          length(col("text")).as("text_len"),
+          col("n_chars"))
+        .filter(col("n_tokens") > 0)
+        .orderBy("doc_id")
     })
   )
 
@@ -55,6 +267,100 @@ object SparkEntry {
         |  count(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_filter_sum" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q3_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q4_dedup_latest" ->
+      """SELECT user_id, event_type, event_id AS latest_event_id,
+        |  round(value, 2) AS latest_value
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id, event_type
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q5_scd2_lead" ->
+      """SELECT user_id, event_id, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM events WHERE user_id < 20
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    "q6_nullsafe_diff" ->
+      """SELECT user_id, count(*) AS n_changes
+        |FROM (SELECT user_id, event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |      FROM events)
+        |WHERE prev_type IS NOT NULL AND event_type IS DISTINCT FROM prev_type
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q7_first_event" ->
+      """SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+        |  count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q8_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q9_union" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice < 1000)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q10_dropall_dups" ->
+      """SELECT event_type, count(*) AS n_unique FROM (
+        |  SELECT event_type, count(*) OVER (
+        |    PARTITION BY user_id, event_type, CAST(value AS DECIMAL(10,2))) AS flag
+        |  FROM events)
+        |WHERE flag = 1 GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q11_sql_view" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q12_time_travel" ->
+      """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events WHERE user_id < 30
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q13_exact_dedup" ->
+      """SELECT min(doc_id) AS canonical_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY canonical_doc_id""".stripMargin,
+
+    "q14_topk_cosine" ->
+      """SELECT vec_id, round(list_cosine_similarity(
+        |    embedding::DOUBLE[],
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS cosine_sim
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY list_cosine_similarity(
+        |    embedding::DOUBLE[],
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+        |LIMIT 10""".stripMargin,
+
+    "q15_token_stats" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  length(text) AS text_len, n_chars
+        |FROM documents
+        |WHERE len(regexp_split_to_array(trim(text), '\s+')) > 0
+        |ORDER BY doc_id""".stripMargin
   )
 }
