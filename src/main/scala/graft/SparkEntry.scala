@@ -249,12 +249,82 @@ object SparkEntry {
           col("n_chars"))
         .filter(col("n_tokens") > 0)
         .orderBy("doc_id")
+    }),
+
+    // LLM-pipeline: MinHash-LSH near-dup pairs, exact-Jaccard verified
+    // (SURVEY §7.6). Banded bucket join — never all-pairs; the oracle IS
+    // all-pairs, so a match also demonstrates the LSH recall.
+    "q16_minhash_lsh" -> ((s, dir) => {
+      GraftSession.tune(s)
+      graft.ops.TextDedup
+        .minHashLshPairs(tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id_1", "doc_id_2")
+    }),
+
+    // LLM-pipeline: SimHash near-dup PAIRS via pigeonhole combo buckets
+    // (SURVEY §7.6) — an independent algorithm that must land on the same
+    // planted pairs the Jaccard oracle finds.
+    "q17_simhash" -> ((s, dir) => {
+      GraftSession.tune(s)
+      graft.ops.TextDedup
+        .simHashPairs(tbl(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id_1", "doc_id_2")
+        .orderBy("doc_id_1", "doc_id_2")
+    }),
+
+    // LLM-pipeline: language-ID heuristic + quality score + md5
+    // fingerprint, all deterministic expressions (SURVEY §7.6).
+    "q18_text_analysis" -> ((s, dir) => {
+      GraftSession.tune(s)
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.languageId("text").as("lang_guess"),
+          graft.ops.TextAnalysis.tokenCount("text").as("n_tokens"),
+          graft.ops.TextAnalysis.qualityScore("text").as("quality"),
+          graft.ops.TextAnalysis.fingerprint("text").as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    // LLM-pipeline: LSH-bucketed approximate nearest neighbors (SURVEY
+    // §7.6) — the scale path of q14. Approximate by design → rows-only.
+    "q19_ann_lsh" -> ((s, dir) => {
+      GraftSession.tune(s)
+      graft.ops.Similarity
+        .lshTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          queryId = 0, k = 10)
+        .select(col("vec_id"), round(col("cosine"), 4).as("cosine_sim"))
+    }),
+
+    // LLM-pipeline: multimodal binary-column plumbing (SURVEY §7.6) —
+    // opaque blobs with byte length + content hash, computed distributed.
+    "q20_blob_stats" -> ((s, dir) => {
+      GraftSession.tune(s)
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("blob"))
+        .select(col("doc_id"),
+          length(col("blob")).as("blob_len"),
+          sha2(col("blob"), 256).as("blob_sha256"))
+        .orderBy("doc_id")
+    }),
+
+    // Semi-structured: JSON field extraction from the events props column
+    // — a training-pipeline staple (metadata filtering).
+    "q21_json_extract" -> ((s, dir) => {
+      GraftSession.tune(s)
+      tbl(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(pmod(col("k"), lit(10)).as("k_mod"))
+        .agg(count(lit(1)).as("n"), round(avg("value"), 2).as("avg_value"))
+        .orderBy("k_mod")
     })
   )
 
   /** Queries intentionally lacking a DuckDB oracle (non-SQL-expressible),
-    * so the driver records a rows-only check. Keep this set tight. */
-  def rowsOnlyJustified: Set[String] = Set()
+    * so the driver records a rows-only check. Keep this set tight.
+    *  - q19_ann_lsh: approximate by construction (probes a bounded bucket
+    *    set); its exact twin q14_topk_cosine IS oracle-checked, and the
+    *    LlmOpsSpec asserts every LSH result carries the exact cosine. */
+  def rowsOnlyJustified: Set[String] = Set("q19_ann_lsh")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -361,6 +431,81 @@ object SparkEntry {
         |  length(text) AS text_len, n_chars
         |FROM documents
         |WHERE len(regexp_split_to_array(trim(text), '\s+')) > 0
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // all-pairs ground truth — the engine side must reproduce it from
+    // banded LSH buckets + exact verification
+    "q16_minhash_lsh" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents
+        |), grams AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs
+        |  FROM toks WHERE len(ws) >= 3
+        |)
+        |SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+        |  round(len(list_intersect(a.gs, b.gs))::DOUBLE
+        |        / len(list_distinct(list_concat(a.gs, b.gs))), 3) AS jaccard
+        |FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
+        |      / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.5
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin,
+
+    "q17_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents
+        |), grams AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs
+        |  FROM toks WHERE len(ws) >= 3
+        |)
+        |SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+        |FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
+        |      / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.5
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin,
+
+    "q18_text_analysis" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS dt,
+        |    regexp_split_to_array(trim(text), '\s+') AS wt
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, text, dt, wt,
+        |    len(list_intersect(dt, ['the','a','of','and','to','in','is','on','for','with'])) AS s_en,
+        |    len(list_intersect(dt, ['el','la','de','que','y','en','un','por','con','para'])) AS s_es,
+        |    len(list_intersect(dt, ['der','die','das','und','ist','mit','von','ein','fur','auf'])) AS s_de,
+        |    len(list_intersect(dt, ['le','la','de','et','un','pour','dans','que','sur','pas'])) AS s_fr
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CASE
+        |    WHEN regexp_matches(text, '[\x{4E00}-\x{9FFF}]') THEN 'zh'
+        |    WHEN regexp_matches(text, '[\x{0400}-\x{04FF}]') THEN 'ru'
+        |    WHEN regexp_matches(text, '[\x{0600}-\x{06FF}]') THEN 'ar'
+        |    WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+        |    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |    WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |    WHEN s_de >= s_fr THEN 'de'
+        |    ELSE 'fr'
+        |  END AS lang_guess,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens,
+        |  round(0.4 * least(len(wt)::DOUBLE / 100.0, 1.0)
+        |      + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text))
+        |      + 0.3 * (len(dt)::DOUBLE / len(wt)), 4) AS quality,
+        |  md5(array_to_string(regexp_split_to_array(lower(trim(text)), '\s+'), ' ')) AS fingerprint
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q20_blob_stats" ->
+      """SELECT doc_id, octet_length(encode(text)) AS blob_len,
+        |  sha256(text) AS blob_sha256
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q21_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+        |  count(*) AS n, round(avg(value), 2) AS avg_value
+        |FROM events
+        |GROUP BY 1 ORDER BY k_mod""".stripMargin
   )
 }

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md §7.6):
+  * language ID, quality scoring, token counting, document fingerprinting.
+  *
+  * Everything is a codegen'd column expression — no UDFs, embarrassingly
+  * parallel per partition, no shuffle. Each rule is deliberately
+  * deterministic and re-expressible in ANSI SQL so the driver's DuckDB
+  * oracle can verify it.
+  */
+object TextAnalysis {
+
+  /** Distinct lowercase word tokens (set semantics, for stopword votes). */
+  private def distinctToks(textCol: String): String =
+    s"array_distinct(split(lower(trim($textCol)), '\\\\s+'))"
+
+  // Small public stopword lists — votes, not linguistics.
+  private val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "para"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "von", "ein", "fur", "auf"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "pour", "dans", "que", "sur", "pas"))
+
+  /** Heuristic language ID: character-script detection first (CJK,
+    * Cyrillic, Arabic), then a stopword vote among Latin-script languages
+    * with a fixed priority order on ties; 'und' when nothing matches. */
+  def languageId(textCol: String): Column = {
+    val toks = distinctToks(textCol)
+    def score(words: Seq[String]): String =
+      s"size(array_intersect($toks, array(${words.map(w => s"'$w'").mkString(",")})))"
+    val s = Stopwords.map { case (lang, words) => lang -> score(words) }.toMap
+    expr(
+      s"""CASE
+         |  WHEN $textCol RLIKE '[\\\\u4E00-\\\\u9FFF]' THEN 'zh'
+         |  WHEN $textCol RLIKE '[\\\\u0400-\\\\u04FF]' THEN 'ru'
+         |  WHEN $textCol RLIKE '[\\\\u0600-\\\\u06FF]' THEN 'ar'
+         |  WHEN ${s("en")} = 0 AND ${s("es")} = 0 AND ${s("de")} = 0 AND ${s("fr")} = 0 THEN 'und'
+         |  WHEN ${s("en")} >= ${s("es")} AND ${s("en")} >= ${s("de")} AND ${s("en")} >= ${s("fr")} THEN 'en'
+         |  WHEN ${s("es")} >= ${s("de")} AND ${s("es")} >= ${s("fr")} THEN 'es'
+         |  WHEN ${s("de")} >= ${s("fr")} THEN 'de'
+         |  ELSE 'fr'
+         |END""".stripMargin)
+  }
+
+  /** BPE-ish token count: words | numbers | single punctuation marks. */
+  def tokenCount(textCol: String): Column =
+    expr(s"size(regexp_extract_all($textCol, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0))")
+
+  /** Whitespace token count. */
+  def wordCount(textCol: String): Column =
+    expr(s"size(split(trim($textCol), '\\\\s+'))")
+
+  /** Composite quality score in [0,1]:
+    *   0.4 · min(words/100, 1)  — length credit
+    * + 0.3 · alpha-char ratio   — symbol soup penalty
+    * + 0.3 · distinct-word ratio — repetition penalty
+    * rounded to 4 decimals. */
+  def qualityScore(textCol: String): Column = {
+    val words = s"cast(size(split(trim($textCol), '\\\\s+')) AS double)"
+    val alphaRatio =
+      s"cast(length(regexp_replace($textCol, '[^A-Za-z]', '')) AS double) / length($textCol)"
+    val distinctRatio =
+      s"cast(size(array_distinct(split(lower(trim($textCol)), '\\\\s+'))) AS double) / $words"
+    expr(s"round(0.4 * least($words / 100.0, 1.0) + 0.3 * ($alphaRatio) + 0.3 * ($distinctRatio), 4)")
+  }
+
+  /** Content fingerprint: md5 of the whitespace-normalized lowercase text.
+    * Identical across engines (md5 is md5), so exact-dup groups can be
+    * found from fingerprints alone without shipping full texts. */
+  def fingerprint(textCol: String): Column =
+    expr(s"md5(concat_ws(' ', split(lower(trim($textCol)), '\\\\s+')))")
+
+  /** Rolling polynomial hash over normalized tokens (order-sensitive —
+    * distinguishes shuffled copies that [[fingerprint]] of sorted tokens
+    * would not): h = fold(h * 31 + xxhash64(token)) mod 2^61-1. */
+  def rollingHash(textCol: String): Column =
+    expr(s"aggregate(split(lower(trim($textCol)), '\\\\s+'), 7L, " +
+      "(acc, t) -> pmod(acc * 31 + xxhash64(t), 2305843009213693951L))")
+
+  /** Convenience: attach all text-analysis columns. */
+  def analyze(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("lang_guess", languageId(textCol))
+      .withColumn("n_tokens", tokenCount(textCol))
+      .withColumn("n_words", wordCount(textCol))
+      .withColumn("quality", qualityScore(textCol))
+      .withColumn("fingerprint", fingerprint(textCol))
+      .withColumn("rolling_hash", rollingHash(textCol))
+}

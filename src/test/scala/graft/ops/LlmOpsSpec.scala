@@ -1,0 +1,103 @@
+package graft.ops
+
+import graft.SharedSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** LLM-pipeline operators over the driver testdata (sf0.001). */
+class LlmOpsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("doc_id_1", "doc_id_2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  // the O(n²) ground truth, computed once for both dedup tests
+  private lazy val exactPairs: Set[(Long, Long)] =
+    pairSet(TextDedup.exactJaccardPairs(docs, "doc_id", "text"))
+
+  test("minhash-LSH pairs match exact all-pairs Jaccard (recall AND precision)") {
+    val lsh = pairSet(TextDedup.minHashLshPairs(docs, "doc_id", "text"))
+    assert(exactPairs.nonEmpty, "testdata should contain planted near-dup pairs")
+    assert(lsh == exactPairs,
+      s"LSH missed ${exactPairs -- lsh}, extra ${lsh -- exactPairs}")
+  }
+
+  test("simhash combo-bucketed pairs find the planted near-dups exactly") {
+    val sim = pairSet(TextDedup.simHashPairs(docs, "doc_id", "text"))
+    assert(sim == exactPairs,
+      s"simhash missed ${exactPairs -- sim}, extra ${sim -- exactPairs}")
+  }
+
+  test("exact dedup returns one canonical row per distinct text") {
+    val out = TextDedup.exactDedup(docs, "doc_id", "text")
+    assert(out.count() == out.select("canonical_doc_id").distinct().count())
+    assert(out.agg(sum("n_copies")).collect()(0).getLong(0) == docs.count())
+  }
+
+  test("text analysis columns are deterministic and well-formed") {
+    val a = TextAnalysis.analyze(docs, "text")
+    val b = TextAnalysis.analyze(docs, "text")
+    assert(a.select("doc_id", "fingerprint", "rolling_hash", "quality", "lang_guess")
+      .except(b.select("doc_id", "fingerprint", "rolling_hash", "quality", "lang_guess"))
+      .count() == 0)
+    val row = a.filter(col("doc_id") === 0)
+      .select("n_tokens", "n_words", "quality").collect()(0)
+    assert(row.getInt(0) >= row.getInt(1), "BPE-ish tokens >= whitespace words")
+    val q = row.getDouble(2)
+    assert(q >= 0.0 && q <= 1.0)
+    // shuffled word order changes the rolling hash but not the fingerprint
+    // of identical text — check rolling hash is order-sensitive
+    import spark.implicits._
+    val two = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("doc_id", "text")
+    val hashes = two.select(TextAnalysis.rollingHash("text")).as[Long].collect()
+    assert(hashes(0) != hashes(1))
+  }
+
+  test("brute-force cosine top-k is ordered and excludes the query") {
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queryId = 0, k = 10)
+      .collect()
+    assert(top.length == 10)
+    assert(!top.map(_.getLong(0)).contains(0L))
+    val sims = top.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (x, y) => x >= y }, "descending order")
+  }
+
+  test("LSH top-k returns exact-cosine-ranked results from probed buckets") {
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", queryId = 0, k = 10)
+      .collect()
+    assert(lsh.nonEmpty && lsh.length <= 10)
+    val sims = lsh.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+    // every LSH result's cosine matches the brute-force value for that id
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0, 499)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    lsh.foreach(r => assert(math.abs(brute(r.getLong(0)) - r.getDouble(1)) < 1e-9))
+  }
+
+  test("multimodal stub pipeline: schema, determinism, partition parallelism") {
+    import spark.implicits._
+    val media = docs.limit(50)
+      .select(col("doc_id").as("media_id"),
+        col("text").cast("binary").as("blob"),
+        struct(lit("fake/raw").as("format"), lit(8).as("width"),
+          lit(8).as("height"), lit(1).as("channels")).as("meta"))
+      .repartition(4) // prove the pipeline is partition-parallel
+    val out = Multimodal.processMedia(media)
+    assert(out.rdd.getNumPartitions == 4)
+    val row = out.filter(col("media_id") === 0).collect()(0)
+    assert(row.getAs[collection.Seq[Int]]("pixels").length == 64)
+    assert(row.getAs[collection.Seq[Float]]("features").length == 4)
+    assert(row.getAs[collection.Seq[Array[Byte]]]("frames").length == 4)
+    assert(row.getAs[collection.Seq[Int]]("pixels_resized").length == 16)
+    assert(row.getAs[String]("blob_sha256").length == 64)
+    // determinism of the stub decode
+    val again = Multimodal.processMedia(media).filter(col("media_id") === 0).collect()(0)
+    assert(again.getAs[collection.Seq[Int]]("pixels") ==
+      row.getAs[collection.Seq[Int]]("pixels"))
+  }
+}
