@@ -1,9 +1,18 @@
 package graft
+
+import java.nio.file.Files
+
+import graft.jobs.HeaderEtlJob
+import graft.tools.HeaderDataGen
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line. Failed queries are reported as errors with a
-  * negative time — never as a (fake, fast) wall time. */
+/** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR,
+  * then runs the header-ETL volume-scaling scenario (generate batch1 +
+  * batch2 at each size, init-load batch1, measure the batch2 MERGE batch
+  * with the extract/validation/transform/merge phase breakdown — the
+  * exact workload behind BASELINE.md's volume-scaling rows), and prints
+  * ONE JSON line. Failed queries are reported as errors with a negative
+  * time — never as a (fake, fast) wall time. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,6 +24,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.tune(spark)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -27,13 +37,45 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+
+    // ---- header-ETL volume scaling (BASELINE.md rows 1-4) --------------
+    // batch2 (50% new keys) against an n-row table is the measured batch.
+    val headerSizes = sys.env.getOrElse("SPARK_GRAFT_HEADER_SIZES", "100000,1000000")
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong)
+    val headerRuns = headerSizes.flatMap { n =>
+      try {
+        val tmp = Files.createTempDirectory(s"graft-bench-header-$n").toString
+        HeaderDataGen.writeBatch1(spark, n, "20230127", s"$tmp/crm", cpus.toInt, seed = 42)
+        HeaderDataGen.writeBatch2(spark, n, "20230228", s"$tmp/crm", cpus.toInt,
+          seed = 43, existingCount = n, pctNew = 50.0)
+        HeaderEtlJob.run(spark, s"$tmp/crm/header_20230127.csv",
+          s"$tmp/table", s"$tmp/discarded", s"$tmp/metrics")
+        val m2 = HeaderEtlJob.run(spark, s"$tmp/crm/header_20230228.csv",
+          s"$tmp/table", s"$tmp/discarded", s"$tmp/metrics")
+        Some(n -> m2)
+      } catch {
+        case e: Throwable =>
+          errors(s"header_etl_$n") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          None
+      }
+    }
+
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
                   case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
-    val qs = results.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    def r3(d: Double): Double = math.rint(d * 1000) / 1000
+    val qs = results.map { case (k, v) => s""""${esc(k)}":${r3(v)}""" }.mkString("{", ",", "}")
+    val headerJson = headerRuns.map { case (n, m) =>
+      s""""$n":{"duration_s":${r3(m.duration_s)},"extract":${r3(m.duration_s_extract)},""" +
+        s""""validation":${r3(m.duration_s_validation)},"transform":${r3(m.duration_s_transform)},""" +
+        s""""merge":${r3(m.duration_s_merge)},"staged":${m.staged_count},""" +
+        s""""inserted":${m.inserted_count},"closed":${m.closed_count},""" +
+        s""""dq_kept":${m.dq_kept},"dq_discarded":${m.dq_discarded}}"""
+    }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum +
+      headerRuns.map(_._2.duration_s).sum
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"header_etl_batch2":$headerJson,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -1,0 +1,69 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import graft.SharedSpark
+import graft.jobs.HeaderEtlJob
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generator semantics (reference: src/utils/generate_header_datasets.py)
+  * plus a small end-to-end run of the volume-scaling bench workload:
+  * batch1 init load, batch2 50%-new MERGE batch, SCD2 invariants after. */
+class HeaderDataGenSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  private lazy val root = Files.createTempDirectory("graft-datagen").toString
+  private val N = 2000L
+
+  test("batch1: n distinct C-keys, well-formed columns, deterministic seed") {
+    val p = HeaderDataGen.writeBatch1(spark, N, "20230127", s"$root/crm", 4, seed = 42)
+    val df = spark.read.option("header", "true").option("sep", "|").csv(p)
+    assert(df.count() === N)
+    assert(df.select("contratto_cod").distinct().count() === N)
+    assert(df.filter(col("contratto_cod").rlike("^C\\d{8}$")).count() === N)
+    // ISO event_time with the +01:00 offset on the batch date
+    assert(df.filter(col("event_time")
+      .rlike("^2023-01-27T\\d{2}:\\d{2}:\\d{2}\\.000\\+01:00$")).count() === N)
+    assert(df.filter(col("tipo_contratto").isin("365", "366", "400")).count() === N)
+    // seeded rand: regenerating yields byte-identical content
+    val p2 = HeaderDataGen.writeBatch1(spark, N, "20230127", s"$root/crm2", 4, seed = 42)
+    val df2 = spark.read.option("header", "true").option("sep", "|").csv(p2)
+    assert(df.exceptAll(df2).isEmpty && df2.exceptAll(df).isEmpty)
+  }
+
+  test("batch2: pct_new split between N-keys and existing C-keys") {
+    val p = HeaderDataGen.writeBatch2(spark, N, "20230228", s"$root/crm", 4,
+      seed = 43, existingCount = N, pctNew = 50.0)
+    val df = spark.read.option("header", "true").option("sep", "|").csv(p)
+    assert(df.count() === N)
+    val newKeys = df.filter(col("contratto_cod").startsWith("N")).count()
+    val updKeys = df.filter(col("contratto_cod").startsWith("C")).count()
+    assert(newKeys === N / 2)
+    assert(updKeys === N / 2)
+    // every update key hits the existing range C00000000..C<n-1>
+    val maxIdx = df.filter(col("contratto_cod").startsWith("C"))
+      .select(max(expr("cast(substring(contratto_cod, 2, 8) AS int)"))).collect()(0).getInt(0)
+    assert(maxIdx < N)
+    // zip join attached full attributes to every update row
+    assert(df.filter(col("event_time").isNull || col("status_quote").isNull).count() === 0)
+  }
+
+  test("end-to-end volume-scaling workload: batch2 MERGE batch invariants") {
+    val m1 = HeaderEtlJob.run(spark, s"$root/crm/header_20230127.csv",
+      s"$root/table", s"$root/discarded", s"$root/metrics")
+    // ~1/24 of rows (hour 0, +01:00 offset -> previous UTC day) discarded
+    assert(m1.dq_batch_date_mismatch > 0 && m1.dq_batch_date_mismatch < N / 8)
+    assert(m1.dq_kept + m1.dq_discarded === N)
+
+    val m2 = HeaderEtlJob.run(spark, s"$root/crm/header_20230228.csv",
+      s"$root/table", s"$root/discarded", s"$root/metrics")
+    assert(m2.inserted_count > 0, "batch2 must insert new version rows")
+    assert(m2.closed_count > 0, "batch2 must close changed open rows")
+    // SCD2 invariant: exactly one current row per key
+    val t = graft.tables.VersionedTable.forPath(spark, s"$root/table").read
+    val bad = t.filter(col("is_current")).groupBy("contratto_cod")
+      .count().filter(col("count") =!= 1).count()
+    assert(bad === 0, "every key must have exactly one current row")
+  }
+}
