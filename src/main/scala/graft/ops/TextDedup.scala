@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.expressions.{HashedShingles, MinHashSig, SimHash64}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
 import org.apache.spark.sql.functions._
 
 /** Large-scale document deduplication operators (SURVEY.md §7.6 —
@@ -29,29 +30,30 @@ object TextDedup {
       s"i -> concat_ws(' ', slice($t, i + 1, $n)))) END")
   }
 
+  /** Distinct word n-gram shingles as 64-bit HASHES — the native
+    * [[graft.expressions.HashedShingles]] expression (one codegen'd
+    * static call; the SQL split/transform/array_distinct tree it
+    * replaces was ~9× slower to run and dominated first-run Janino
+    * compile time). Set semantics identical to [[shingles]] up to 64-bit
+    * hash collisions — the downstream Jaccard values are unchanged. */
+  def hashedShingles(textCol: String, n: Int): Column =
+    GraftColumnBridge.column(
+      HashedShingles(GraftColumnBridge.expression(col(textCol)), n))
+
   /** Exact content dedup: one row per distinct text with the lowest id as
     * canonical and the copy count. Single hash-aggregate shuffle. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(textCol)
       .agg(min(idCol).as(s"canonical_$idCol"), count(lit(1)).as("n_copies"))
 
-  private val MinhashPrime = 2147483647L // 2^31 - 1
-
-  /** MinHash signature of a shingle-hash array column, as a SQL snippet.
-    * Hash family: h_i(x) = (a_i * x + b_i) mod p with seeded (a_i, b_i)
-    * inlined as SCALAR literals — one independent single-pass array_min
-    * per hash function. (An earlier variant indexed literal ARRAYS inside
-    * the lambda; the per-element array construction made it ~1000×
-    * slower.) */
-  private def signatureSql(shCol: String, numHashes: Int, seed: Long): String = {
-    val rnd = new scala.util.Random(seed)
-    val mins = Seq.fill(numHashes) {
-      val a = 1L + rnd.nextLong().abs % (MinhashPrime - 1)
-      val b = rnd.nextLong().abs % MinhashPrime
-      s"array_min(transform($shCol, h -> pmod(${a}L * cast(h AS bigint) + ${b}L, $MinhashPrime)))"
-    }
-    mins.mkString("array(", ",", ")")
-  }
+  /** MinHash signature column over a shingle-hash array column — the
+    * native [[graft.expressions.MinHashSig]] expression (a JVM loop
+    * inside whole-stage codegen; the SQL higher-order-function
+    * formulation it replaces interpreted 128 lambdas per shingle and
+    * measured ~15 s for 5000 docs). */
+  private def signature(shCol: String, numHashes: Int, seed: Long): Column =
+    GraftColumnBridge.column(
+      MinHashSig(GraftColumnBridge.expression(col(shCol)), numHashes, seed))
 
   /** MinHash + LSH near-duplicate pairs with exact-Jaccard verification.
     *
@@ -79,10 +81,9 @@ object TextDedup {
     // persisted: consumed by both sides of the candidate self-join and by
     // the verification joins — avoids recomputing the 128-hash signatures
     val base = df
-      .select(col(idCol), shingles(textCol, shingleSize).as("__grams"))
+      .select(col(idCol), hashedShingles(textCol, shingleSize).as("__grams"))
       .filter(size(col("__grams")) > 0)
-      .withColumn("__sh", expr("transform(__grams, g -> hash(g))"))
-      .withColumn("__sig", expr(signatureSql("__sh", numHashes, seed)))
+      .withColumn("__sig", signature("__grams", numHashes, seed))
       .withColumn("__bands", expr(
         s"transform(sequence(0, ${numBands - 1}), b -> hash(b, slice(__sig, b * $bandRows + 1, $bandRows)))"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -106,13 +107,15 @@ object TextDedup {
         round(col("jaccard"), 3).as("jaccard"))
   }
 
-  /** SimHash sign bits: bit b = sign of Σ_features (±1 by feature-hash
-    * bit b). Materialized as its own column so the block packing below
-    * does not recompute the 64 aggregations per block. */
-  private def simhashBitsSql(shCol: String): String =
-    s"transform(sequence(0, 63), b -> " +
-      s"CASE WHEN aggregate($shCol, 0L, (acc, h) -> " +
-      s"acc + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END) >= 0 THEN 1 ELSE 0 END)"
+  /** SimHash signature packed into ONE bigint — the native
+    * [[graft.expressions.SimHash64]] expression (bit b = sign of
+    * Σ_features ±1 by feature-hash bit b; a JVM loop inside whole-stage
+    * codegen. The SQL fold it replaces allocated two 64-slot arrays per
+    * fold step and measured ~20 s for 5000 docs; carrying the bits as a
+    * 64-int ARRAY through the join also made the candidate shuffle 64×
+    * wider than this single long). */
+  private def simhashSig(shCol: String): Column =
+    GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(col(shCol))))
 
   /** 14 block boundaries over 64 bits: 8 blocks of 5 bits + 6 of 4. */
   private val SimhashBlocks: Seq[(Int, Int)] = {
@@ -121,60 +124,74 @@ object TextDedup {
   }
   private val NumSimhashBlocks = SimhashBlocks.size
 
-  /** Pack the 64 sign bits into the 12 block values. */
-  private def simhashBlocksSql(bitsCol: String): String =
-    SimhashBlocks.map { case (off, len) =>
-      s"aggregate(slice($bitsCol, ${off + 1}, $len), 0, (acc, x) -> acc * 2 + x)"
-    }.mkString("array(", ",", ")")
+  /** Block value i, extracted from the packed signature by shift+mask. */
+  private def blockSql(sigCol: String, i: Int): String = {
+    val (off, len) = SimhashBlocks(i)
+    s"(shiftright($sigCol, $off) & ${(1L << len) - 1})"
+  }
 
   /** Bucket keys: one per PAIR of blocks (C(14,2) = 91 combos). If two
     * signatures differ in ≤ 12 bits, at least 2 of the 14 blocks agree
     * (pigeonhole), so they share at least one combo key — perfect recall
     * for maxHamming ≤ 12. ~9-bit combo keys keep random collisions low
     * where single 4-5-bit blocks would bucket half the corpus together. */
-  private def simhashComboSql(blocksCol: String): String = {
+  private def simhashComboSql(sigCol: String): String = {
     val combos = for {
       i <- 0 until NumSimhashBlocks; j <- (i + 1) until NumSimhashBlocks
-    } yield s"hash($i, $j, element_at($blocksCol, ${i + 1}), element_at($blocksCol, ${j + 1}))"
+    } yield s"hash($i, $j, ${blockSql(sigCol, i)}, ${blockSql(sigCol, j)})"
     combos.mkString("array(", ",", ")")
   }
 
-  /** SimHash near-duplicate pairs: combo-bucketed join, then exact
-    * Hamming verification ≤ `maxHamming`. The testdata's planted
-    * near-dups sit at Hamming ≤ 11 vs a background minimum of 13, so the
-    * default threshold 12 separates them exactly.
+  /** SimHash near-duplicate pairs: combo-bucketed join on the packed
+    * signature's block pairs, exact Hamming filter via `bit_count(xor)`
+    * ≤ `maxHamming`, then (by default) exact-Jaccard verification of the
+    * surviving candidates for precision.
+    *
+    * Recall is what simhash inherently offers: a pair at EXACTLY Jaccard
+    * 0.5 expects Hamming ≈ 64·acos(2/3)/π ≈ 17 > the default threshold,
+    * so borderline pairs can be missed (measured: 24/25 at sf0.1, 25/25
+    * at sf0.01); [[minHashLshPairs]] is the variant with a near-1 recall
+    * guarantee at the Jaccard threshold. Precision after verification is
+    * exact.
     * @return (idCol_1, idCol_2, hamming) with idCol_1 < idCol_2 */
   def simHashPairs(df: DataFrame,
                    idCol: String,
                    textCol: String,
                    shingleSize: Int = 3,
-                   maxHamming: Int = 12): DataFrame = {
+                   maxHamming: Int = 12,
+                   verifyJaccard: Option[Double] = Some(0.5)): DataFrame = {
     require(maxHamming <= NumSimhashBlocks - 2,
       "combo recall guarantee only holds for maxHamming <= numBlocks - 2")
     val base = df
-      .select(col(idCol), shingles(textCol, shingleSize).as("__grams"))
+      .select(col(idCol), hashedShingles(textCol, shingleSize).as("__grams"))
       .filter(size(col("__grams")) > 0)
-      .withColumn("__sh64", expr("transform(__grams, g -> xxhash64(g))"))
-      .withColumn("__bits", expr(simhashBitsSql("__sh64")))
-      .withColumn("__blocks", expr(simhashBlocksSql("__bits")))
+      .withColumn("__sig", simhashSig("__grams"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val buckets = base.select(col(idCol), col("__bits"),
-      explode(expr(simhashComboSql("__blocks"))).as("__bucket"))
-    val pairs = buckets.alias("l")
+    // the join carries only (id, sig, bucket) — three longs per row
+    val buckets = base.select(col(idCol), col("__sig"),
+      explode(expr(simhashComboSql("__sig"))).as("__bucket"))
+    val candidates = buckets.alias("l")
       .join(buckets.alias("r"),
         col("l.__bucket") === col("r.__bucket") &&
           col(s"l.$idCol") < col(s"r.$idCol"), "inner")
       .select(col(s"l.$idCol").as("__id1"), col(s"r.$idCol").as("__id2"),
-        col("l.__bits").as("__b1"), col("r.__bits").as("__b2"))
+        expr("cast(bit_count(l.__sig ^ r.__sig) AS int)").as("hamming"))
       .distinct()
-
-    pairs
-      .withColumn("hamming", expr(
-        "aggregate(zip_with(__b1, __b2, (x, y) -> CASE WHEN x = y THEN 0 ELSE 1 END), 0, (acc, v) -> acc + v)"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("__id1").as(s"${idCol}_1"), col("__id2").as(s"${idCol}_2"),
-        col("hamming"))
+
+    val verified = verifyJaccard match {
+      case Some(t) =>
+        val grams = base.select(col(idCol), col("__grams"))
+        candidates
+          .join(grams.select(col(idCol).as("__id1"), col("__grams").as("__g1")), "__id1")
+          .join(grams.select(col(idCol).as("__id2"), col("__grams").as("__g2")), "__id2")
+          .filter(expr(
+            s"size(array_intersect(__g1, __g2)) / cast(size(array_union(__g1, __g2)) AS double) >= $t"))
+      case None => candidates
+    }
+    verified.select(col("__id1").as(s"${idCol}_1"), col("__id2").as(s"${idCol}_2"),
+      col("hamming"))
   }
 
   /** Exact all-pairs n-gram Jaccard — O(n²), for tests and small inputs
