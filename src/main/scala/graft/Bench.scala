@@ -42,6 +42,7 @@ object Bench {
     // batch2 (50% new keys) against an n-row table is the measured batch.
     val headerSizes = sys.env.getOrElse("SPARK_GRAFT_HEADER_SIZES", "100000,1000000")
       .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong)
+    var lastTablePath: Option[String] = None
     val headerRuns = headerSizes.flatMap { n =>
       try {
         val tmp = Files.createTempDirectory(s"graft-bench-header-$n").toString
@@ -52,11 +53,50 @@ object Bench {
           s"$tmp/table", s"$tmp/discarded", s"$tmp/metrics")
         val m2 = HeaderEtlJob.run(spark, s"$tmp/crm/header_20230228.csv",
           s"$tmp/table", s"$tmp/discarded", s"$tmp/metrics")
+        lastTablePath = Some(s"$tmp/table")
         Some(n -> m2)
       } catch {
         case e: Throwable =>
           errors(s"header_etl_$n") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           None
+      }
+    }
+
+    // ---- partitioning + schema-evolution scenarios over the largest
+    // header table (BASELINE.md partitioning + schema-evolution rows) ----
+    def timed(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = f
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    val extraJson: Seq[String] = lastTablePath.toSeq.flatMap { path =>
+      try {
+        import org.apache.spark.sql.functions.{col, lit}
+        val t = graft.tables.VersionedTable.forPath(spark, path)
+        // partition-pruned count (reference: src/utils/partitioning_test.py:24
+        // — y/m/d filter + is_current over the partitioned table)
+        val (qSec, qRows) = timed {
+          t.read.filter(col("valid_from_year") === 2023 &&
+            col("valid_from_month") === 2 && col("valid_from_day") === 28 &&
+            col("is_current") === true).count()
+        }
+        // schema evolution: mergeSchema-append 100 rows with a new column,
+        // then time-travel read prev + read current
+        // (reference: schema_evolution_step1.py:139-178)
+        val prevVersion = t.currentVersion
+        val sample = t.read.limit(100).withColumn("new_col", lit("x"))
+        val (wSec, _) = timed { t.append(sample, mergeSchema = true); 0L }
+        val (rPrevSec, prevRows) = timed { t.readVersion(prevVersion).count() }
+        val (rCurSec, curRows) = timed { t.read.count() }
+        Seq(
+          s""""partitioned_count":{"sec":${math.rint(qSec * 1000) / 1000},"rows":$qRows}""",
+          s""""schema_evolution":{"append_sec":${math.rint(wSec * 1000) / 1000},""" +
+            s""""read_prev_sec":${math.rint(rPrevSec * 1000) / 1000},"prev_rows":$prevRows,""" +
+            s""""read_cur_sec":${math.rint(rCurSec * 1000) / 1000},"cur_rows":$curRows}""")
+      } catch {
+        case e: Throwable =>
+          errors("extra_scenarios") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          Nil
       }
     }
 
@@ -75,7 +115,8 @@ object Bench {
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum +
       headerRuns.map(_._2.duration_s).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"header_etl_batch2":$headerJson,"errors":$errJson,"sf":"$sfDir"}""")
+    val extras = if (extraJson.isEmpty) "" else extraJson.mkString(",", ",", "")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"header_etl_batch2":$headerJson$extras,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -101,6 +101,36 @@ class ItemsEtlJobSpec extends AnyFunSuite {
     assert(df.filter(col("contratto_cod") === "Y5").count() == 1)
   }
 
+  test("SQL surface: header-without-items LEFT JOIN + IS NULL anti query") {
+    // reference: test/items_etl_test.py:164-187 — headers whose partition
+    // day has no matching item rows, via the 4-col composite left join
+    val headerCols = Seq("contratto_cod", "codice_ordine_sap",
+      "tipo_contratto", "codice_opec", "data_firma", "net_amount",
+      "causale_annullamento", "data_annullamento", "codice_agente",
+      "status_quote", "creazione_dta", "event_time")
+    def headerRow(cod: String): Seq[String] =
+      Seq(cod, "3000000001", "365", "OPEC0001", "2023-01-01", "1500.00",
+        "", "", "10001", "Accepted", "2023-01-01", "2023-01-23 10:00:00")
+    val hPath = s"$root/crm/header/header_20230123.csv"
+    TestCsv.write(hPath, headerCols, Seq(headerRow("Y1"), headerRow("ZZ9")))
+    HeaderEtlJob.run(spark, hPath, s"$root/landing/header",
+      s"$root/discarded/header", s"$root/metrics/header")
+
+    VersionedTable.forPath(spark, tablePath).read.createOrReplaceTempView("items")
+    VersionedTable.forPath(spark, s"$root/landing/header").read
+      .createOrReplaceTempView("header")
+    val orphans = spark.sql(
+      """SELECT h.* FROM header h
+        |LEFT JOIN items i
+        |  ON h.contratto_cod = i.contratto_cod
+        |  AND h.valid_from_year = i.valid_from_year
+        |  AND h.valid_from_month = i.valid_from_month
+        |  AND h.valid_from_day = i.valid_from_day
+        |WHERE i.numero_annuncio IS NULL""".stripMargin).collect()
+    // Y1 has items on 2023-01-23; ZZ9 has none → only ZZ9 is an orphan
+    assert(orphans.map(_.getAs[String]("contratto_cod")).toSeq == Seq("ZZ9"))
+  }
+
   test("non-null-safe <> change detection ignores NULL-valued changes") {
     // a NULL contracted_price never satisfies `<>` — known reference
     // defect preserved for parity (reference: notes.md:3-20)
