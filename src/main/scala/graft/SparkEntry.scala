@@ -307,6 +307,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // LLM-pipeline: embedding-cosine near-dup pairs, exact path (SURVEY
+    // §7.6). The testdata has no planted vector near-dups (max pairwise
+    // cosine ≈ 0.5-0.6), so the oracle-checked threshold sits where the
+    // data has pairs; the LSH-bucketed scale path (cosinePairsLsh) is
+    // spec-verified against planted near-dups instead.
+    "q22_embed_neardup" -> ((s, dir) => {
+      GraftSession.tune(s)
+      graft.ops.Similarity
+        .cosinePairs(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.45)
+        .select(col("vec_id_1"), col("vec_id_2"),
+          round(col("cosine"), 4).as("cosine_sim"))
+        .orderBy("vec_id_1", "vec_id_2")
+    }),
+
     // Semi-structured: JSON field extraction from the events props column
     // — a training-pipeline staple (metadata filtering).
     "q21_json_extract" -> ((s, dir) => {
@@ -506,6 +521,14 @@ object SparkEntry {
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
         |  count(*) AS n, round(avg(value), 2) AS avg_value
         |FROM events
-        |GROUP BY 1 ORDER BY k_mod""".stripMargin
+        |GROUP BY 1 ORDER BY k_mod""".stripMargin,
+
+    "q22_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cosine_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+        |ORDER BY vec_id_1, vec_id_2""".stripMargin
   )
 }

@@ -134,6 +134,87 @@ object HashedShingles {
   }
 }
 
+/** Random-hyperplane LSH bucket keys for an embedding column
+  * (array<float> or array<double>): `tables` independent signatures of
+  * `bits` sign-bits each, every signature hashed with its table index
+  * into one bucket key — the classic OR-of-ANDs construction. Two
+  * vectors are candidates when ANY table's full signature matches.
+  * Plane components are drawn from a seeded per-plane generator and
+  * cached per (dim, planes, seed). */
+case class RandProjBuckets(child: Expression, tables: Int, bits: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) |
+         ArrayType(org.apache.spark.sql.types.DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_randproj_buckets requires array<float|double>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_randproj_buckets"
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    RandProjBuckets.compute(input.asInstanceOf[ArrayData], isFloat, tables, bits, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.RandProjBuckets.compute($c, $isFloat, $tables, $bits, ${seed}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): RandProjBuckets =
+    copy(child = newChild)
+}
+
+object RandProjBuckets {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Array[Double]]]()
+
+  /** `n` unit-free random planes of `dim` components, seeded per plane. */
+  def planes(dim: Int, n: Int, seed: Long): Array[Array[Double]] =
+    planeCache.computeIfAbsent((dim, n, seed), { _ =>
+      Array.tabulate(n) { p =>
+        val rnd = new java.util.Random(seed * 1315423911L + p)
+        Array.fill(dim)(rnd.nextGaussian())
+      }
+    })
+
+  /** Static so generated code can call it. */
+  def compute(arr: ArrayData, isFloat: Boolean, tables: Int, bits: Int, seed: Long): ArrayData = {
+    val dim = arr.numElements()
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    val ps = planes(dim, tables * bits, seed)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        val plane = ps(t * bits + b)
+        var dot = 0.0
+        i = 0
+        while (i < dim) { dot += v(i) * plane(i); i += 1 }
+        sig = (sig << 1) | (if (dot >= 0) 1L else 0L)
+        b += 1
+      }
+      out(t) = XXH64.hashLong(sig, seed + t)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** MinHash signature of an array<bigint> of shingle hashes: element i =
   * min over shingles of h_i(x) = (a_i·x + b_i) mod p, p = 2³¹-1, with
   * (a_i, b_i) drawn from a seeded generator — value-identical to the SQL

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.expressions.RandProjBuckets
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search (SURVEY.md §7.6): brute-force cosine top-k
@@ -33,6 +34,59 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("cosine"))
+  }
+
+  /** Exact embedding near-duplicate pairs: every pair with cosine ≥
+    * `threshold`. A distributed block self-join — O(n²) dot products
+    * spread over the cluster. This is the correct algorithm when the
+    * threshold is low (no sublinear method exists for far pairs) and the
+    * oracle baseline for [[cosinePairsLsh]]; at 100 TB with a HIGH
+    * threshold use the LSH variant, which probes only colliding buckets.
+    * @return (idCol_1, idCol_2, cosine) with idCol_1 < idCol_2 */
+  def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double): DataFrame = {
+    val l = emb.select(col(idCol).as("__id1"), col(vecCol).as("__v1"))
+    val r = emb.select(col(idCol).as("__id2"), col(vecCol).as("__v2"))
+    l.join(r, col("__id1") < col("__id2"))
+      .withColumn("cosine", cosineExpr("__v1", "__v2"))
+      .filter(col("cosine") >= threshold)
+      .select(col("__id1").as(s"${idCol}_1"), col("__id2").as(s"${idCol}_2"),
+        col("cosine"))
+  }
+
+  /** Embedding near-duplicate pairs via OR-of-ANDs random-hyperplane LSH:
+    * `tables` independent `bits`-bit signatures per vector (the native
+    * [[graft.expressions.RandProjBuckets]] expression), candidates =
+    * pairs sharing ANY table bucket, then exact-cosine verification.
+    *
+    * Recall for a pair at cosine c: 1-(1-p^bits)^tables with
+    * p = 1 - acos(c)/π — defaults give ≈0.9999 at c = 0.99, ≈0.97 at
+    * c = 0.9. Precision is exact (every candidate is verified). The
+    * shuffle is bounded by n·tables bucket rows — never all-pairs.
+    * @return (idCol_1, idCol_2, cosine) with idCol_1 < idCol_2 */
+  def cosinePairsLsh(emb: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double,
+                     tables: Int = 8, bits: Int = 8,
+                     seed: Long = 7L): DataFrame = {
+    val bucketsCol = GraftColumnBridge.column(
+      RandProjBuckets(GraftColumnBridge.expression(col(vecCol)), tables, bits, seed))
+    val base = emb.select(col(idCol), col(vecCol))
+      .withColumn("__buckets", bucketsCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = base.select(col(idCol), explode(col("__buckets")).as("__b"))
+    val candidates = buckets.alias("l")
+      .join(buckets.alias("r"),
+        col("l.__b") === col("r.__b") && col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("__id1"), col(s"r.$idCol").as("__id2"))
+      .distinct()
+    val vecs = base.select(col(idCol), col(vecCol))
+    candidates
+      .join(vecs.select(col(idCol).as("__id1"), col(vecCol).as("__v1")), "__id1")
+      .join(vecs.select(col(idCol).as("__id2"), col(vecCol).as("__v2")), "__id2")
+      .withColumn("cosine", cosineExpr("__v1", "__v2"))
+      .filter(col("cosine") >= threshold)
+      .select(col("__id1").as(s"${idCol}_1"), col("__id2").as(s"${idCol}_2"),
+        col("cosine"))
   }
 
   /** Signature SQL: `planes` sign-bits of dot(vec, r_j), with pseudo-random

@@ -33,6 +33,28 @@ class LlmOpsSpec extends AnyFunSuite {
       s"simhash missed ${exactPairs -- sim}, extra ${sim -- exactPairs}")
   }
 
+  test("embedding near-dup: LSH pair path finds planted pairs, verified exact") {
+    // synthetic corpus: 200 random 64-dim vectors + 10 jittered copies
+    // (cosine ≈ 0.99 to their originals) — the planted near-dup pairs
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val baseVecs = Seq.tabulate(200) { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat))
+    }
+    val jittered = baseVecs.take(10).map { case (i, v) =>
+      (1000L + i, v.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    val df = (baseVecs ++ jittered).toDF("vec_id", "embedding")
+
+    val exact = Similarity.cosinePairs(df, "vec_id", "embedding", threshold = 0.9)
+      .select("vec_id_1", "vec_id_2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 10, s"expected >=10 planted pairs, got ${exact.size}")
+
+    val lsh = Similarity.cosinePairsLsh(df, "vec_id", "embedding", threshold = 0.9)
+      .select("vec_id_1", "vec_id_2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
+  }
+
   test("exact dedup returns one canonical row per distinct text") {
     val out = TextDedup.exactDedup(docs, "doc_id", "text")
     assert(out.count() == out.select("canonical_doc_id").distinct().count())
