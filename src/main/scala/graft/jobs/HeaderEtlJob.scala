@@ -106,7 +106,55 @@ object HeaderEtlJob {
 
     // ---- TRANSFORM (reference: src/header_etl.py:87-136) ---------------
     val tTransform0 = System.nanoTime()
-    // 5-format ordered fallback parse (reference: src/header_etl.py:89-102)
+    val dfTransformed = transform(validated).persist(StorageLevel.MEMORY_AND_DISK)
+    val durTransform = secondsSince(tTransform0)
+
+    // ---- MERGE (reference: src/header_etl.py:157-294) ------------------
+    val tMerge0 = System.nanoTime()
+    val stagedCount = dfTransformed.count()
+    val table = twoPhaseMerge(spark, writePath, dfTransformed, batchId)
+
+    // post-merge accounting in ONE scan (reference runs two full-table
+    // count() jobs at src/header_etl.py:284-294)
+    val counts = table.read.agg(
+      sum(when(col("batch_id") === batchId, 1).otherwise(0)).as("inserted"),
+      sum(when(col("closed_by_batch") === batchId, 1).otherwise(0)).as("closed")
+    ).collect()(0)
+    val insertedCount = Option(counts.getAs[Long]("inserted")).getOrElse(0L)
+    val closedCount = Option(counts.getAs[Long]("closed")).getOrElse(0L)
+    val durMerge = secondsSince(tMerge0)
+
+    dfTransformed.unpersist(false)
+    releaseValidation()
+
+    val metrics = HeaderRunMetrics(
+      batch_id = batchId,
+      duration_s = secondsSince(t0),
+      duration_s_extract = durExtract,
+      duration_s_validation = durValidation,
+      duration_s_transform = durTransform,
+      duration_s_merge = durMerge,
+      staged_count = stagedCount,
+      inserted_count = insertedCount,
+      closed_count = closedCount,
+      spark_app_id = spark.sparkContext.applicationId,
+      dq_batch_date = dq.batchDate,
+      dq_total = dq.total,
+      dq_kept = dq.kept,
+      dq_discarded = dq.discarded,
+      dq_duplicates_older = dq.duplicatesOlder,
+      dq_null_key = dq.nullKey,
+      dq_batch_date_mismatch = dq.batchDateMismatch)
+    writeMetrics(spark, metrics, s"$metricsPath/$batchId")
+    metrics
+  }
+
+  /** Transform a validated batch into SCD2 version rows: 5-format
+    * ordered-fallback timestamp parse (reference: src/header_etl.py:89-102),
+    * intra-batch versioning via `lead()` (:106-119), y/m/d partition
+    * columns and `creazione_dta` normalization (:122-136). Shared by the
+    * batch job and [[graft.streaming.StreamingScd2Ingest]]. */
+  private[graft] def transform(validated: DataFrame): DataFrame = {
     val dfParsed = validated.withColumn("event_time_ts", coalesce(
       to_timestamp(col("event_time"), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"),
       to_timestamp(col("event_time"), "yyyy-MM-dd'T'HH:mm:ssXXX"),
@@ -114,9 +162,8 @@ object HeaderEtlJob {
       to_timestamp(col("event_time"), "yyyy-MM-dd"),
       to_timestamp(col("event_time"))))
 
-    // intra-batch version rows via lead() (reference: src/header_etl.py:106-119)
     val w = Window.partitionBy("contratto_cod").orderBy(col("event_time_ts").asc)
-    val dfVersions = dfParsed
+    dfParsed
       .withColumn("valid_from_ts", col("event_time_ts"))
       .withColumn("next_event_time", lead("event_time_ts", 1).over(w))
       .withColumn("valid_to_ts",
@@ -124,10 +171,6 @@ object HeaderEtlJob {
           .otherwise(col("next_event_time")))
       .withColumn("is_current", col("next_event_time").isNull)
       .drop("next_event_time", "event_time", "event_time_ts")
-
-    // partition columns + creazione_dta normalization
-    // (reference: src/header_etl.py:122-136)
-    val dfTransformed = dfVersions
       .withColumn("valid_from_year", year(col("valid_from_ts")))
       .withColumn("valid_from_month", month(col("valid_from_ts")))
       .withColumn("valid_from_day", dayofmonth(col("valid_from_ts")))
@@ -137,11 +180,15 @@ object HeaderEtlJob {
           .otherwise(col("creazione_dta_raw")))
       .withColumn("creazione_dta_parsed",
         expr("coalesce(to_date(creazione_dta_raw, 'M/d/yyyy'), to_date(creazione_dta_raw, 'yyyy-MM-dd'))"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val durTransform = secondsSince(tTransform0)
+  }
 
-    // ---- MERGE (reference: src/header_etl.py:157-294) ------------------
-    val tMerge0 = System.nanoTime()
+  /** The two-phase SCD2 merge (init if absent, Phase A close-on-change
+    * once per key, Phase B idempotent insert — reference:
+    * src/header_etl.py:157-280). Shared by the batch job and
+    * [[graft.streaming.StreamingScd2Ingest]]. @return the table handle */
+  private[graft] def twoPhaseMerge(spark: SparkSession, writePath: String,
+                                   dfTransformed: DataFrame,
+                                   batchId: String): VersionedTable = {
     if (!VersionedTable.isTable(spark, writePath)) {
       // init write — the current batch is then ALSO merged against itself,
       // harmless by Phase-B idempotence (reference: src/header_etl.py:157-166)
@@ -189,47 +236,13 @@ object HeaderEtlJob {
     // -- Phase B: idempotent insert of all version rows ------------------
     // (reference: src/header_etl.py:219-280)
     val staged = dfTransformed.selectExpr(StagedColumns: _*)
-    val stagedCount = staged.count()
     table.alias("existing")
       .merge(staged.alias("staged"),
         "existing.contratto_cod = staged.contratto_cod AND existing.valid_from_ts = staged.valid_from_ts")
       .whenNotMatchedInsert(values =
         StagedColumns.map(c => c -> s"staged.$c").toMap)
       .execute()
-
-    // post-merge accounting in ONE scan (reference runs two full-table
-    // count() jobs at src/header_etl.py:284-294)
-    val counts = table.read.agg(
-      sum(when(col("batch_id") === batchId, 1).otherwise(0)).as("inserted"),
-      sum(when(col("closed_by_batch") === batchId, 1).otherwise(0)).as("closed")
-    ).collect()(0)
-    val insertedCount = Option(counts.getAs[Long]("inserted")).getOrElse(0L)
-    val closedCount = Option(counts.getAs[Long]("closed")).getOrElse(0L)
-    val durMerge = secondsSince(tMerge0)
-
-    dfTransformed.unpersist(false)
-    releaseValidation()
-
-    val metrics = HeaderRunMetrics(
-      batch_id = batchId,
-      duration_s = secondsSince(t0),
-      duration_s_extract = durExtract,
-      duration_s_validation = durValidation,
-      duration_s_transform = durTransform,
-      duration_s_merge = durMerge,
-      staged_count = stagedCount,
-      inserted_count = insertedCount,
-      closed_count = closedCount,
-      spark_app_id = spark.sparkContext.applicationId,
-      dq_batch_date = dq.batchDate,
-      dq_total = dq.total,
-      dq_kept = dq.kept,
-      dq_discarded = dq.discarded,
-      dq_duplicates_older = dq.duplicatesOlder,
-      dq_null_key = dq.nullKey,
-      dq_batch_date_mismatch = dq.batchDateMismatch)
-    writeMetrics(spark, metrics, s"$metricsPath/$batchId")
-    metrics
+    table
   }
 
   /** Run-metrics CSV sink, one dir per batch, append mode with header
