@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.tables.VersionedTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the scale properties the engine
+  * relies on (scan pushdown, column pruning, broadcast dimension joins,
+  * partition pruning through the versioned table) must stay visible in
+  * the executed plan — a silent regression here costs nothing at sf0.01
+  * and everything at 100 TB. */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q2: filters reach the parquet scan and columns are pruned") {
+    val p = plan("q2_filter_sum")
+    assert(p.contains("PushedFilters: [IsNotNull(l_discount)"),
+      "filter pushdown missing from scan")
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double>"),
+      "column pruning regressed — scan reads more than the 3 needed columns")
+  }
+
+  test("q3: dimension side is broadcast, fact side is not shuffled for the join") {
+    val p = plan("q3_join_agg")
+    assert(p.contains("BroadcastHashJoin"), "customer dim must broadcast")
+    assert(!p.contains("SortMergeJoin"), "fact side must not sort-merge")
+  }
+
+  test("q1: aggregation is map-side partial before the shuffle") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum"), "partial aggregation missing")
+  }
+
+  test("versioned table read prunes partitions under filters") {
+    val root = Files.createTempDirectory("graft-prune-spec").toString
+    val base = spark.range(0, 300).selectExpr("id", "cast(id % 3 + 2021 as int) as y")
+    val t = VersionedTable.create(spark, base, s"$root/t", Seq("y"))
+    val q = t.read.filter(col("y") === 2022)
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(y") && p.contains("(y"),
+      s"partition pruning missing from versioned-table scan:\n$p")
+    assert(q.count() == 100)
+  }
+}
