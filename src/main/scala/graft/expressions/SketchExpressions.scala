@@ -272,6 +272,72 @@ object RandProjBuckets {
   }
 }
 
+/** Index of the nearest (by cosine) centroid for an embedding column —
+  * the IVF assignment step. The centroid matrix rides in the expression
+  * (serialized with the plan; K × dim doubles, driver-bounded). */
+case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) |
+         ArrayType(org.apache.spark.sql.types.DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_centroid requires array<float|double>, got ${other.sql}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_nearest_centroid"
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val matrix: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    NearestCentroid.compute(input.asInstanceOf[ArrayData], isFloat, matrix)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("centroidMatrix", matrix, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.NearestCentroid.compute($c, $isFloat, $mRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+object NearestCentroid {
+  /** Static so generated code can call it. */
+  def compute(arr: ArrayData, isFloat: Boolean, centroids: Array[Array[Double]]): Int = {
+    val dim = arr.numElements()
+    val v = new Array[Double](dim)
+    var norm = 0.0
+    var i = 0
+    while (i < dim) {
+      v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      norm += v(i) * v(i)
+      i += 1
+    }
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val cv = centroids(c)
+      var dot = 0.0
+      var cn = 0.0
+      i = 0
+      val n = math.min(dim, cv.length)
+      while (i < n) { dot += v(i) * cv(i); cn += cv(i) * cv(i); i += 1 }
+      val sim = dot / (math.sqrt(norm) * math.sqrt(cn))
+      if (sim > bestSim) { bestSim = sim; best = c }
+      c += 1
+    }
+    best
+  }
+}
+
 /** MinHash signature of an array<bigint> of shingle hashes: element i =
   * min over shingles of h_i(x) = (a_i·x + b_i) mod p, p = 2³¹-1, with
   * (a_i, b_i) drawn from a seeded generator — value-identical to the SQL

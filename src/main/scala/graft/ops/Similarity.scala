@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.expressions.{CosineSim, RandProjBuckets}
+import graft.expressions.{CosineSim, NearestCentroid, RandProjBuckets}
 import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
 import org.apache.spark.sql.functions._
 
@@ -89,6 +89,61 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("__id1").as(s"${idCol}_1"), col("__id2").as(s"${idCol}_2"),
         col("cosine"))
+  }
+
+  /** IVF (inverted-file) approximate top-k: vectors are assigned to
+    * their nearest of `nCentroids` anchor vectors (sampled
+    * deterministically from the data — one pass, no iterative k-means);
+    * a query scans only the `nProbe` centroid cells closest to it, then
+    * ranks by exact cosine.
+    *
+    * Scale: the assignment column is a small int — at 100 TB the table
+    * is written partitioned/bucketed by it, so a query becomes a
+    * partition-pruned scan of ~nProbe/nCentroids of the data, and the
+    * centroid set (K × dim doubles) is the only driver/broadcast state.
+    * Raise nCentroids with corpus size to hold cell size constant. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    // deterministic anchors: first K vectors in id-hash order
+    val anchors = emb.select(col(vecCol))
+      .orderBy(expr(s"xxhash64($idCol)"), col(idCol))
+      .limit(nCentroids).collect()
+    val centroids: Seq[Seq[Double]] = anchors.map(
+      _.getSeq[Any](0).map {
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue
+      }.toSeq).toSeq
+
+    val assignCol = GraftColumnBridge.column(
+      NearestCentroid(GraftColumnBridge.expression(col(vecCol)), centroids))
+    // in production this frame is written partitionBy("__cell") once and
+    // reused across queries; here it is computed inline
+    val assigned = emb.withColumn("__cell", assignCol)
+
+    val qRow = assigned.filter(col(idCol) === queryId)
+      .select(col(vecCol)).collect()
+    require(qRow.nonEmpty, s"query id $queryId not found")
+    val qVec = qRow(0).getSeq[Any](0).map {
+      case f: java.lang.Float => f.toDouble
+      case d: java.lang.Double => d.doubleValue
+    }
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val probes = centroids.zipWithIndex
+      .sortBy { case (c, _) => -cos(c, qVec) }.take(nProbe).map(_._2)
+
+    val query = assigned.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"))
+    assigned
+      .filter(col("__cell").isin(probes: _*) && col(idCol) =!= queryId)
+      .crossJoin(broadcast(query))
+      .withColumn("cosine", cosineExpr(vecCol, "__qvec"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("cosine"))
   }
 
   /** Signature SQL: `planes` sign-bits of dot(vec, r_j), with pseudo-random

@@ -55,6 +55,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
   }
 
+  test("IVF top-k: probed-cell results are exact-cosine ranked; planted neighbor found") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val baseVecs = Seq.tabulate(300) { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat))
+    }
+    // planted query: a jittered copy of vector 7 — its true top-1
+    val query = (9007L, baseVecs(7)._2.map(x => x + 0.03f * rnd.nextGaussian().toFloat))
+    val df = (baseVecs :+ query).toDF("vec_id", "embedding")
+
+    val ivf = Similarity.ivfTopK(df, "vec_id", "embedding", queryId = 9007L, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ivf.head._1 == 7L,
+      s"planted neighbor must rank first, got ${ivf.toSeq}")
+    assert(ivf.map(_._2).toSeq == ivf.map(_._2).sorted.reverse.toSeq,
+      "results must be cosine-descending")
+    // every returned cosine matches the brute-force value exactly
+    val bf = Similarity.bruteForceTopK(df, "vec_id", "embedding", 9007L, 300)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ivf.foreach { case (id, c) => assert(math.abs(bf(id) - c) < 1e-12) }
+  }
+
   test("exact dedup returns one canonical row per distinct text") {
     val out = TextDedup.exactDedup(docs, "doc_id", "text")
     assert(out.count() == out.select("canonical_doc_id").distinct().count())
