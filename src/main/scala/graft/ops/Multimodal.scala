@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -67,6 +67,52 @@ object Multimodal {
   def resizePixels(pixelsCol: String, outLen: Int): Column =
     expr(s"transform(sequence(0, ${outLen - 1}), i -> " +
       s"element_at($pixelsCol, 1 + cast(i * size($pixelsCol) / $outLen AS int)))")
+
+  /** One decoded media record produced by the batch decode path. */
+  case class DecodedMedia(media_id: Long, blob_len: Int,
+                          features: Array[Float], ok: Boolean)
+
+  /** Partition-parallel BATCH decode via `mapPartitions` — the Scala
+    * counterpart of a `mapInPandas` decode stage: rows stream through an
+    * iterator per partition, the (stubbed) codec is initialized ONCE per
+    * partition (the expensive part a per-row UDF would pay per call),
+    * and batches of `batchSize` blobs are decoded together — the batch
+    * shape a vectorized codec or an inference runtime wants. The codec
+    * itself is a deterministic stub (no media libs in this container); a
+    * real deployment replaces `decodeOne` only. */
+  def decodeBatches(df: DataFrame, blobCol: String = "blob",
+                    idCol: String = "media_id",
+                    batchSize: Int = 64): Dataset[DecodedMedia] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol)).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition "codec" init happens here, once
+        val codec = new StubCodec
+        rows.grouped(batchSize).flatMap { batch =>
+          codec.decodeBatch(batch)
+        }
+      }
+  }
+
+  /** Stand-in for a native codec handle: stateful, per-partition. */
+  private class StubCodec {
+    private var decoded = 0
+    def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[DecodedMedia] =
+      batch.map { case (id, blob) =>
+        decoded += 1
+        if (blob == null || blob.isEmpty)
+          DecodedMedia(id, 0, Array.empty, ok = false)
+        else {
+          // deterministic fake features from the bytes — a real codec
+          // decodes pixels/samples here
+          var h = 1125899906842597L
+          blob.foreach(b => h = h * 31 + b)
+          val feats = Array.tabulate(4)(i =>
+            ((h >>> (i * 8)) & 0xFF).toFloat / 255f)
+          DecodedMedia(id, blob.length, feats, ok = true)
+        }
+      }
+  }
 
   /** Full stub pipeline over a media table: stats → decode → features →
     * frames. One narrow pass, partition-parallel, no shuffle. */

@@ -152,5 +152,17 @@ class LlmOpsSpec extends AnyFunSuite {
     val again = Multimodal.processMedia(media).filter(col("media_id") === 0).collect()(0)
     assert(again.getAs[collection.Seq[Int]]("pixels") ==
       row.getAs[collection.Seq[Int]]("pixels"))
+
+    // mapPartitions batch-decode path: every row decoded, typed output,
+    // deterministic, partition count preserved (no shuffle)
+    val decoded = Multimodal.decodeBatches(media, batchSize = 16)
+    assert(decoded.rdd.getNumPartitions == 4)
+    val d = decoded.collect()
+    assert(d.length == 50 && d.forall(_.ok) && d.forall(_.features.length == 4))
+    val d0 = d.find(_.media_id == 0).get
+    val d0again = Multimodal.decodeBatches(media, batchSize = 7)
+      .collect().find(_.media_id == 0).get
+    assert(d0.features.toSeq == d0again.features.toSeq,
+      "decode must not depend on batch boundaries")
   }
 }
