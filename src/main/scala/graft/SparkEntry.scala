@@ -322,6 +322,16 @@ object SparkEntry {
         .orderBy("vec_id_1", "vec_id_2")
     }),
 
+    // LLM-pipeline: exact n-gram Jaccard near-dup pairs (SURVEY §7.6) —
+    // the all-pairs ground-truth operator (O(n²), small-corpus / test
+    // tool; q16 is the bucketed scale path to the same answer).
+    "q23_ngram_jaccard" -> ((s, dir) => {
+      GraftSession.tune(s)
+      graft.ops.TextDedup
+        .exactJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id_1", "doc_id_2")
+    }),
+
     // Semi-structured: JSON field extraction from the events props column
     // — a training-pipeline staple (metadata filtering).
     "q21_json_extract" -> ((s, dir) => {
@@ -529,6 +539,22 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.v, b.v), 4) AS cosine_sim
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
-        |ORDER BY vec_id_1, vec_id_2""".stripMargin
+        |ORDER BY vec_id_1, vec_id_2""".stripMargin,
+
+    "q23_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents
+        |), grams AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs
+        |  FROM toks WHERE len(ws) >= 3
+        |)
+        |SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+        |  round(len(list_intersect(a.gs, b.gs))::DOUBLE
+        |        / len(list_distinct(list_concat(a.gs, b.gs))), 3) AS jaccard
+        |FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
+        |      / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.5
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin
   )
 }
