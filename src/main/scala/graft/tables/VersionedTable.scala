@@ -13,10 +13,18 @@ import org.apache.spark.storage.StorageLevel
 import org.json4s.{DefaultFormats, Formats}
 import org.json4s.jackson.Serialization
 
+/** Per-file column statistics harvested from the parquet FOOTER at
+  * commit time (metadata-only — no data re-scan): min/max as parquet's
+  * canonical string form, plus null accounting. The same role Delta's
+  * per-file stats play for data skipping. */
+case class FileColStats(min: String, max: String,
+                        nullCount: Long, hasMinMax: Boolean)
+
 /** One data file of a table version. `path` is relative to `<root>/data`. */
 case class FileEntry(path: String,
                      partitionValues: Map[String, String],
-                     sizeBytes: Long)
+                     sizeBytes: Long,
+                     stats: Option[Map[String, FileColStats]] = None)
 
 /** One commit in the version log — Delta-shaped (add/remove actions +
   * commitInfo fields), modeled on the commit files observed in the
@@ -257,12 +265,103 @@ class VersionedTable private (val spark: SparkSession,
           f.mkdirs(dest.getParent)
           if (!f.rename(st.getPath, dest))
             throw new IllegalStateException(s"failed to move $relPath into $dataDir")
-          added += FileEntry(relPath, partitionValuesOf(relPath), st.getLen)
+          added += FileEntry(relPath, partitionValuesOf(relPath), st.getLen,
+            footerStats(dest))
         }
       }
     walk(stage, "")
     f.delete(stage, true)
     added.toSeq
+  }
+
+  /** Column min/max/null stats from the parquet footer of one written
+    * file — metadata-only, no data read. Only top-level primitive leaves
+    * are recorded; failures degrade to "no stats" (skipping is an
+    * optimization, never required for correctness). */
+  private def footerStats(file: Path): Option[Map[String, FileColStats]] =
+    try {
+      import scala.jdk.CollectionConverters._
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(file, spark.sparkContext.hadoopConfiguration)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val acc = scala.collection.mutable.Map[String, FileColStats]()
+        for (block <- reader.getFooter.getBlocks.asScala;
+             c <- block.getColumns.asScala if c.getPath.size == 1) {
+          val name = c.getPath.toDotString
+          val st = c.getStatistics
+          if (st != null) {
+            val has = st.hasNonNullValue
+            val cur = acc.get(name)
+            val next = cur match {
+              case None =>
+                FileColStats(if (has) st.minAsString else "",
+                  if (has) st.maxAsString else "", st.getNumNulls, has)
+              case Some(p) =>
+                // merge across row groups: widen min/max, add nulls
+                val mn = (p.hasMinMax, has) match {
+                  case (true, true) => if (ordered(st.minAsString, p.min)) st.minAsString else p.min
+                  case (true, false) => p.min
+                  case (false, _) => if (has) st.minAsString else ""
+                }
+                val mx = (p.hasMinMax, has) match {
+                  case (true, true) => if (ordered(p.max, st.maxAsString)) st.maxAsString else p.max
+                  case (true, false) => p.max
+                  case (false, _) => if (has) st.maxAsString else ""
+                }
+                FileColStats(mn, mx, p.nullCount + st.getNumNulls, p.hasMinMax || has)
+            }
+            acc(name) = next
+          }
+        }
+        if (acc.isEmpty) None else Some(acc.toMap)
+      } finally reader.close()
+    } catch { case _: Throwable => None }
+
+  /** "a ≤ b" under numeric comparison when both sides parse as numbers,
+    * lexical otherwise — matches parquet's minAsString forms. */
+  private def ordered(a: String, b: String): Boolean =
+    (toNum(a), toNum(b)) match {
+      case (Some(x), Some(y)) => x <= y
+      case _ => a <= b
+    }
+  private def toNum(s: String): Option[BigDecimal] =
+    try Some(BigDecimal(s)) catch { case _: Throwable => None }
+
+  /** Which live files can contain rows with `colName` ∈ [lo, hi]?
+    * Range-overlap test on the per-file footer stats; files without
+    * stats for the column are conservatively kept; all-null files are
+    * skipped (a range predicate never matches NULL).
+    * @return (candidate files, total live files) */
+  private[tables] def candidateFiles(colName: String, lo: Any, hi: Any): (Seq[FileEntry], Int) = {
+    val (files, _, _) = snapshot(None)
+    val kept = files.filter { fe =>
+      fe.stats.flatMap(_.get(colName)) match {
+        case Some(s) if !s.hasMinMax => false // all NULL
+        case Some(s) => ordered(s.min, hi.toString) && ordered(lo.toString, s.max)
+        case None => true
+      }
+    }
+    (kept, files.size)
+  }
+
+  /** Data-skipping read: scan only files whose footer stats overlap
+    * [lo, hi] on `colName`, then apply the exact filter. Equivalent to
+    * `read.filter(col between (lo, hi))` but bounded by the candidate
+    * file set — the per-file analogue of partition pruning, for columns
+    * the table is NOT partitioned by. */
+  def readWhereBetween(colName: String, lo: Any, hi: Any): DataFrame = {
+    val (files, schema, _) = snapshot(None)
+    val (cand, _) = candidateFiles(colName, lo, hi)
+    val df =
+      if (cand.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else
+        spark.read.schema(schema)
+          .option("basePath", dataDir.toString)
+          .parquet(cand.map(fe => new Path(dataDir, fe.path).toString): _*)
+    val pruned = aliasName.fold(df)(df.alias)
+    pruned.filter(col(colName).between(lit(lo), lit(hi)))
   }
 
   // -------------------------------------------------------------- merge --

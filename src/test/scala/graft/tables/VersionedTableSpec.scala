@@ -145,4 +145,28 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.read.filter($"is_current" === true).count() == 1)
     assert(t.read.filter($"is_current" === false).count() == 1)
   }
+
+  test("footer stats enable file-level data skipping on unpartitioned columns") {
+    val path = tmpDir() + "/t9"
+    // range-partitioned write → disjoint id ranges per file, so stats
+    // pruning has something to skip
+    val df = spark.range(0, 10000)
+      .repartitionByRange(8, $"id")
+      .selectExpr("id", "cast(id % 7 AS double) AS v")
+    val t = VersionedTable.create(spark, df, path)
+    val (cand, total) = t.candidateFiles("id", 100, 200)
+    assert(total >= 8, s"expected >=8 files, got $total")
+    assert(cand.size < total,
+      s"stats should prune files: kept ${cand.size} of $total")
+    // pruned read ≡ full filter
+    val pruned = t.readWhereBetween("id", 100, 200)
+    assert(pruned.count() == 101)
+    assert(pruned.agg(org.apache.spark.sql.functions.min("id"),
+      org.apache.spark.sql.functions.max("id")).collect()(0).toSeq == Seq(100L, 200L))
+    // stats survive the log round-trip (fresh handle)
+    val t2 = VersionedTable.forPath(spark, path)
+    assert(t2.candidateFiles("id", 9999, 10001)._1.size < total)
+    // a column with no stats falls back to keeping every file
+    assert(t2.candidateFiles("no_such_col", 0, 1)._1.size == total)
+  }
 }
