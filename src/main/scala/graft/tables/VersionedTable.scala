@@ -384,6 +384,35 @@ class VersionedTable private (val spark: SparkSession,
     // windows/joins upstream — persist it so the lineage runs once.
     val src = source.persist(StorageLevel.MEMORY_AND_DISK)
 
+    // --- fast path: insert-only merge rewrites NOTHING ------------------
+    // With no matched-update clause (e.g. the header job's Phase B),
+    // matched target rows are untouched by definition — the merge reduces
+    // to appending the source rows that match no target row: one
+    // left-anti join + write of new files. No touched-file collect, no
+    // full-outer rewrite of files whose rows would only be copied.
+    // (At 10M rows this halves the merge phase; Delta special-cases
+    // insert-only merges the same way.)
+    if (matchedUpdate.isEmpty && notMatchedInsert.isDefined) {
+      val (insCondOpt, insVals) = notMatchedInsert.get
+      val target = read.alias(targetAlias)
+      val unmatched = src.join(target, expr(condition), "left_anti")
+      val toInsert = insCondOpt.fold(unmatched)(c => unmatched.filter(expr(c)))
+      val rows = toInsert.select(dataCols.map { f =>
+        insVals.get(f.name).map(expr).getOrElse(lit(null))
+          .cast(f.dataType).as(f.name)
+      }: _*)
+      val added = writeFiles(rows, partCols)
+      src.unpersist(false)
+      commit(LogEntry(currentVersion + 1, now(), "MERGE",
+        tableSchema.json, partCols, added, Seq.empty,
+        Map(
+          "numTargetFilesAdded" -> added.size.toString,
+          "numTargetFilesRemoved" -> "0",
+          "numTargetFilesUntouched" -> files.size.toString,
+          "insertOnly" -> "true")))
+      return
+    }
+
     // --- 1. prune: which existing files contain rows matched by source? --
     // Inner join on the merge condition; only file names are collected
     // (bounded by file count, never by row count). Catalyst/AQE picks the
