@@ -94,8 +94,11 @@ object DataContract {
     * @return all violated rules with offending-row counts (empty = clean) */
   def check(df: DataFrame, contract: Seq[ContractField],
             checkKeys: Boolean = true): Seq[ContractViolation] = {
+    // coalesce: over an empty frame sum() is NULL and getLong would NPE —
+    // an empty batch (a plausible empty CSV drop) must report clean
     val ruleCols = contract.flatMap(f => rules(f).map { case (rule, cond) =>
-      (f.name, rule, sum(when(cond, 1L).otherwise(0L)).as(s"${f.name}__$rule"))
+      (f.name, rule,
+        coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as(s"${f.name}__$rule"))
     })
     val row = df.agg(ruleCols.head._3, ruleCols.tail.map(_._3): _*).collect()(0)
     val ruleViolations = ruleCols.zipWithIndex.collect {

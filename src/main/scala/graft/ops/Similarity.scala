@@ -72,9 +72,12 @@ object Similarity {
                      seed: Long = 7L): DataFrame = {
     val bucketsCol = GraftColumnBridge.column(
       RandProjBuckets(GraftColumnBridge.expression(col(vecCol)), tables, bits, seed))
-    val base = emb.select(col(idCol), col(vecCol))
-      .withColumn("__buckets", bucketsCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted: both sides of the bucket self-join reuse the signatures;
+    // registered with Caches so the caller can release after materializing
+    val base = Caches.registered(
+      emb.select(col(idCol), col(vecCol))
+        .withColumn("__buckets", bucketsCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val buckets = base.select(col(idCol), explode(col("__buckets")).as("__b"))
     val candidates = buckets.alias("l")
       .join(buckets.alias("r"),

@@ -79,14 +79,15 @@ object TextDedup {
     require(numHashes % bandRows == 0, "numHashes must be divisible by bandRows")
     val numBands = numHashes / bandRows
     // persisted: consumed by both sides of the candidate self-join and by
-    // the verification joins — avoids recomputing the 128-hash signatures
-    val base = df
+    // the verification joins — avoids recomputing the 128-hash signatures.
+    // Registered with Caches so the caller can release after materializing.
+    val base = Caches.registered(df
       .select(col(idCol), hashedShingles(textCol, shingleSize).as("__grams"))
       .filter(size(col("__grams")) > 0)
       .withColumn("__sig", signature("__grams", numHashes, seed))
       .withColumn("__bands", expr(
         s"transform(sequence(0, ${numBands - 1}), b -> hash(b, slice(__sig, b * $bandRows + 1, $bandRows)))"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     val bands = base.select(col(idCol), explode(col("__bands")).as("__band"))
     val candidates = bands.alias("l")
@@ -162,11 +163,11 @@ object TextDedup {
                    verifyJaccard: Option[Double] = Some(0.5)): DataFrame = {
     require(maxHamming <= NumSimhashBlocks - 2,
       "combo recall guarantee only holds for maxHamming <= numBlocks - 2")
-    val base = df
+    val base = Caches.registered(df
       .select(col(idCol), hashedShingles(textCol, shingleSize).as("__grams"))
       .filter(size(col("__grams")) > 0)
       .withColumn("__sig", simhashSig("__grams"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     // the join carries only (id, sig, bucket) — three longs per row
     val buckets = base.select(col(idCol), col("__sig"),

@@ -251,9 +251,22 @@ class VersionedTable private (val spark: SparkSession,
   private def writeFiles(df: DataFrame, partCols: Seq[String]): Seq[FileEntry] = {
     val f = fs
     val stage = new Path(rootPath, s".stage-${UUID.randomUUID()}")
-    val writer = df.write.mode("overwrite")
-    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
-      .parquet(stage.toString)
+    // Table files are written as TIMESTAMP_MICROS, never the INT96
+    // default: INT96 is deprecated and parquet suppresses its min/max
+    // footer stats, which would silently disable file-level data skipping
+    // on every timestamp column. Scoped to table writes only (set/restore
+    // around the write) so query-result dumps keep the session's default.
+    val TsConf = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(TsConf)
+    spark.conf.set(TsConf, "TIMESTAMP_MICROS")
+    try {
+      val writer = df.write.mode("overwrite")
+      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+        .parquet(stage.toString)
+    } finally prevTs match {
+      case Some(v) => spark.conf.set(TsConf, v)
+      case None => spark.conf.unset(TsConf)
+    }
     val added = scala.collection.mutable.ArrayBuffer[FileEntry]()
     def walk(dir: Path, rel: String): Unit =
       f.listStatus(dir).foreach { st =>
@@ -286,17 +299,30 @@ class VersionedTable private (val spark: SparkSession,
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         val acc = scala.collection.mutable.Map[String, FileColStats]()
+        // columns with any row group whose rows are NOT fully accounted
+        // for (min/max present, or provably all-NULL) must carry NO stats
+        // entry at all — e.g. INT96 timestamps, where parquet suppresses
+        // min/max but still reports numNulls=0: a naive reading would
+        // classify the file as all-NULL and wrongly skip it
+        val untracked = scala.collection.mutable.Set[String]()
         for (block <- reader.getFooter.getBlocks.asScala;
              c <- block.getColumns.asScala if c.getPath.size == 1) {
           val name = c.getPath.toDotString
           val st = c.getStatistics
-          if (st != null) {
+          val covered = st != null && !st.isEmpty &&
+            (st.hasNonNullValue ||
+              (st.isNumNullsSet && st.getNumNulls == block.getRowCount))
+          if (!covered) untracked += name
+          else {
             val has = st.hasNonNullValue
+            // getNumNulls is -1 when the null count wasn't recorded —
+            // clamp so a garbage negative never reaches the commit log
+            val nulls = math.max(0L, st.getNumNulls)
             val cur = acc.get(name)
             val next = cur match {
               case None =>
                 FileColStats(if (has) st.minAsString else "",
-                  if (has) st.maxAsString else "", st.getNumNulls, has)
+                  if (has) st.maxAsString else "", nulls, has)
               case Some(p) =>
                 // merge across row groups: widen min/max, add nulls
                 val mn = (p.hasMinMax, has) match {
@@ -309,17 +335,22 @@ class VersionedTable private (val spark: SparkSession,
                   case (true, false) => p.max
                   case (false, _) => if (has) st.maxAsString else ""
                 }
-                FileColStats(mn, mx, p.nullCount + st.getNumNulls, p.hasMinMax || has)
+                FileColStats(mn, mx, p.nullCount + nulls, p.hasMinMax || has)
             }
             acc(name) = next
           }
         }
-        if (acc.isEmpty) None else Some(acc.toMap)
+        val ok = acc.toMap -- untracked
+        if (ok.isEmpty) None else Some(ok)
       } finally reader.close()
     } catch { case _: Throwable => None }
 
   /** "a ≤ b" under numeric comparison when both sides parse as numbers,
-    * lexical otherwise — matches parquet's minAsString forms. */
+    * lexical otherwise — only for merging SAME-column parquet stat
+    * strings across row groups (same stringifier on both sides; ISO
+    * date/timestamp forms are fixed-width, so lexical order is value
+    * order there). NOT safe between a stat string and a caller bound —
+    * that comparison must be type-aware ([[cmpTyped]]). */
   private def ordered(a: String, b: String): Boolean =
     (toNum(a), toNum(b)) match {
       case (Some(x), Some(y)) => x <= y
@@ -328,17 +359,73 @@ class VersionedTable private (val spark: SparkSession,
   private def toNum(s: String): Option[BigDecimal] =
     try Some(BigDecimal(s)) catch { case _: Throwable => None }
 
+  /** Parquet's stat stringifier writes timestamps as ISO 'T' forms with
+    * micros and an optional zone suffix; normalize to epoch micros. */
+  private def tsMicros(raw: String): Long = {
+    var s = raw.trim
+    if (s.endsWith("Z")) s = s.dropRight(1)
+    // strip a numeric UTC offset like +05:00 / -0800 (never before index
+    // 10: the date part is exactly 10 chars and the time part has no +/-)
+    val cut = math.max(s.lastIndexOf('+'), s.lastIndexOf('-'))
+    if (cut > 10) s = s.substring(0, cut)
+    val t = java.sql.Timestamp.valueOf(s.replace('T', ' '))
+    math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L) % 1000000L
+  }
+  private def boundMicros(b: Any): Long = b match {
+    case t: Timestamp =>
+      math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L) % 1000000L
+    case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case other => tsMicros(other.toString)
+  }
+  private def boundDate(b: Any): java.time.LocalDate = b match {
+    case d: java.sql.Date => d.toLocalDate
+    case d: java.time.LocalDate => d
+    case other => java.time.LocalDate.parse(other.toString.trim.take(10))
+  }
+
+  /** Type-aware comparison of a parquet footer stat string against a
+    * caller-supplied bound, under the column's DECLARED table type.
+    * None ⇒ not comparable (unparseable form, unsupported type) — the
+    * caller must conservatively keep the file. Fixes the lexical-compare
+    * hazard where e.g. a timestamp stat "2023-01-27T10:00:00.000000"
+    * compared against the bound string "2023-01-27 10:00:00" ('T' > ' ')
+    * silently skipped files that contained matching rows. */
+  private def cmpTyped(statStr: String, bound: Any, dt: DataType): Option[Int] =
+    try {
+      import org.apache.spark.sql.types._
+      dt match {
+        case ByteType | ShortType | IntegerType | LongType |
+             FloatType | DoubleType | _: DecimalType =>
+          Some(BigDecimal(statStr.trim).compare(BigDecimal(bound.toString.trim)))
+        case StringType => Some(statStr.compareTo(bound.toString))
+        case DateType =>
+          Some(java.time.LocalDate.parse(statStr.trim).compareTo(boundDate(bound)))
+        case TimestampType | TimestampNTZType =>
+          Some(java.lang.Long.compare(tsMicros(statStr), boundMicros(bound)))
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Which live files can contain rows with `colName` ∈ [lo, hi]?
-    * Range-overlap test on the per-file footer stats; files without
-    * stats for the column are conservatively kept; all-null files are
-    * skipped (a range predicate never matches NULL).
+    * Range-overlap test on the per-file footer stats under the column's
+    * declared type; files without stats for the column — or whose stats
+    * don't compare cleanly against the bounds — are conservatively kept;
+    * all-null files are skipped (a range predicate never matches NULL).
     * @return (candidate files, total live files) */
   private[tables] def candidateFiles(colName: String, lo: Any, hi: Any): (Seq[FileEntry], Int) = {
-    val (files, _, _) = snapshot(None)
+    val (files, tableSchema, _) = snapshot(None)
+    val dt = tableSchema.fields.find(_.name == colName).map(_.dataType)
     val kept = files.filter { fe =>
       fe.stats.flatMap(_.get(colName)) match {
         case Some(s) if !s.hasMinMax => false // all NULL
-        case Some(s) => ordered(s.min, hi.toString) && ordered(lo.toString, s.max)
+        case Some(s) =>
+          dt match {
+            case None => true // column not in schema — never skip
+            case Some(t) =>
+              // overlap: min <= hi AND lo <= max; keep on any None
+              cmpTyped(s.min, hi, t).forall(_ <= 0) &&
+                cmpTyped(s.max, lo, t).forall(_ >= 0)
+          }
         case None => true
       }
     }
@@ -376,13 +463,23 @@ class VersionedTable private (val spark: SparkSession,
                                    condition: String,
                                    matchedUpdate: Option[(Option[String], Map[String, String])],
                                    notMatchedInsert: Option[(Option[String], Map[String, String])]): Unit = {
-    val (files, tableSchema, partCols) = snapshot(None)
-    val dataCols = tableSchema.fields.toSeq
-
     // The source is consumed twice (file-prune join, then the rewrite
     // join). A typical merge source is a freshly-transformed batch with
     // windows/joins upstream — persist it so the lineage runs once.
+    // try/finally: any failure (write, analysis, commit conflict) must
+    // still release the cached blocks, or they leak for the session.
     val src = source.persist(StorageLevel.MEMORY_AND_DISK)
+    try mergeBody(targetAlias, src, condition, matchedUpdate, notMatchedInsert)
+    finally src.unpersist(false)
+  }
+
+  private def mergeBody(targetAlias: String,
+                        src: DataFrame,
+                        condition: String,
+                        matchedUpdate: Option[(Option[String], Map[String, String])],
+                        notMatchedInsert: Option[(Option[String], Map[String, String])]): Unit = {
+    val (files, tableSchema, partCols) = snapshot(None)
+    val dataCols = tableSchema.fields.toSeq
 
     // --- fast path: insert-only merge rewrites NOTHING ------------------
     // With no matched-update clause (e.g. the header job's Phase B),
@@ -402,7 +499,6 @@ class VersionedTable private (val spark: SparkSession,
           .cast(f.dataType).as(f.name)
       }: _*)
       val added = writeFiles(rows, partCols)
-      src.unpersist(false)
       commit(LogEntry(currentVersion + 1, now(), "MERGE",
         tableSchema.json, partCols, added, Seq.empty,
         Map(
@@ -419,6 +515,7 @@ class VersionedTable private (val spark: SparkSession,
     // join strategy — the source side of a batch merge is typically small
     // enough to broadcast.
     val qualify = files.map(fe => new Path(dataDir, fe.path).toString -> fe.path).toMap
+    val knownRel = files.map(_.path).toSet
     val touchedRel: Set[String] =
       if (files.isEmpty) Set.empty
       else {
@@ -426,7 +523,7 @@ class VersionedTable private (val spark: SparkSession,
         t.join(src, expr(condition), "inner")
           .select(col(FileCol)).distinct()
           .collect().map(_.getString(0))
-          .map(p => relativize(p, qualify))
+          .map(p => relativize(p, qualify, knownRel))
           .toSet
       }
     val untouched = files.filterNot(fe => touchedRel.contains(fe.path))
@@ -453,6 +550,7 @@ class VersionedTable private (val spark: SparkSession,
     // the dominant phase at scale — BASELINE.md shows it super-linear).
     val joined = t.join(s, expr(condition), "full_outer")
     if (checkCardinality) joined.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
 
     val tPresent = col(TPresent) === lit(true)
     val sPresent = col(SPresent) === lit(true)
@@ -463,12 +561,9 @@ class VersionedTable private (val spark: SparkSession,
     if (checkCardinality) {
       val dupMatches = joined.filter(tPresent && sPresent)
         .groupBy(col(TidCol)).count().filter(col("count") > 1).limit(1).count()
-      if (dupMatches > 0) {
-        joined.unpersist()
-        src.unpersist()
+      if (dupMatches > 0)
         throw new IllegalStateException(
           "MERGE: multiple source rows matched the same target row")
-      }
     }
 
     val updCond: Column = matchedUpdate match {
@@ -499,8 +594,6 @@ class VersionedTable private (val spark: SparkSession,
     val added =
       if (touchedFiles.isEmpty && notMatchedInsert.isEmpty) Seq.empty
       else writeFiles(rewritten, partCols)
-    if (checkCardinality) joined.unpersist(false)
-    src.unpersist(false)
 
     commit(LogEntry(currentVersion + 1, now(), "MERGE",
       tableSchema.json, partCols,
@@ -509,6 +602,7 @@ class VersionedTable private (val spark: SparkSession,
         "numTargetFilesAdded" -> added.size.toString,
         "numTargetFilesRemoved" -> touchedFiles.size.toString,
         "numTargetFilesUntouched" -> untouched.size.toString)))
+    } finally { if (checkCardinality) joined.unpersist(false) }
   }
 
   // ------------------------------------------------------------- helpers --
@@ -523,12 +617,24 @@ class VersionedTable private (val spark: SparkSession,
 
   /** `_metadata.file_path` yields fully-qualified URIs; log entries store
     * paths relative to the data dir. Strip the qualified data-dir prefix —
-    * O(1) per path, no linear scan over the table's file list. */
-  private def relativize(qualified: String, map: Map[String, String]): String =
+    * O(1) per path, no linear scan over the table's file list. The result
+    * MUST resolve to a known live file: a silently non-matching relative
+    * path (e.g. percent-encoded partition values escaping differently)
+    * would classify a matched file as untouched and keep stale rows, so
+    * unknown results are an error, after trying a URL-decoded form. */
+  private def relativize(qualified: String, map: Map[String, String],
+                         known: Set[String]): String =
     map.getOrElse(qualified, {
       val prefix = fs.makeQualified(dataDir).toString + "/"
-      if (qualified.startsWith(prefix)) qualified.stripPrefix(prefix)
-      else throw new IllegalStateException(s"unknown file in scan: $qualified")
+      if (qualified.startsWith(prefix)) {
+        val rel = qualified.stripPrefix(prefix)
+        if (known.contains(rel)) rel
+        else {
+          val dec = URLDecoder.decode(rel, "UTF-8")
+          if (known.contains(dec)) dec
+          else throw new IllegalStateException(s"unknown file in scan: $qualified")
+        }
+      } else throw new IllegalStateException(s"unknown file in scan: $qualified")
     })
 }
 

@@ -169,4 +169,55 @@ class VersionedTableSpec extends AnyFunSuite {
     // a column with no stats falls back to keeping every file
     assert(t2.candidateFiles("no_such_col", 0, 1)._1.size == total)
   }
+
+  test("data skipping is type-aware: timestamp/date/decimal bounds never lose rows") {
+    val path = tmpDir() + "/t10"
+    // timestamps across 2023-01-01..2023-01-31, range-partitioned so files
+    // hold disjoint time ranges; parquet stringifies these stats in ISO
+    // 'T' form — a lexical compare against 'yyyy-MM-dd HH:mm:ss' bounds
+    // would wrongly skip every file ('T' > ' ')
+    val df = spark.range(0, 744) // hours in January
+      .selectExpr(
+        "id",
+        "timestamp'2023-01-01 00:00:00' + make_interval(0,0,0,0,cast(id AS int),0,0) AS ts",
+        "date_add(date'2023-01-01', cast(id / 24 AS int)) AS d",
+        "cast(id AS decimal(18,2)) / 100 AS amt")
+      .repartitionByRange(8, $"id")
+    val t = VersionedTable.create(spark, df, path)
+
+    // timestamp bounds as string, java.sql.Timestamp, and Instant
+    val lo = "2023-01-10 00:00:00"
+    val hi = "2023-01-12 23:00:00"
+    val expected = t.read.filter($"ts".between(lo, hi)).count()
+    assert(expected == 72)
+    assert(t.readWhereBetween("ts", lo, hi).count() == expected)
+    assert(t.readWhereBetween("ts",
+      java.sql.Timestamp.valueOf(lo), java.sql.Timestamp.valueOf(hi)).count() == expected)
+
+    // date bounds
+    val dExpected = t.read.filter($"d".between("2023-01-10", "2023-01-12")).count()
+    assert(t.readWhereBetween("d", "2023-01-10", "2023-01-12").count() == dExpected)
+    assert(t.readWhereBetween("d",
+      java.sql.Date.valueOf("2023-01-10"), java.sql.Date.valueOf("2023-01-12")).count() == dExpected)
+
+    // decimal bounds
+    val aExpected = t.read.filter($"amt".between(1.0, 2.0)).count()
+    assert(t.readWhereBetween("amt", "1.00", "2.00").count() == aExpected)
+
+    // and skipping still actually prunes on the typed column when stats
+    // are usable (conservative keep-all is correct but notes the miss)
+    val (cand, total) = t.candidateFiles("ts", lo, hi)
+    assert(cand.size <= total)
+  }
+
+  test("data contract check over an empty frame reports clean (no NPE)") {
+    import graft.ops.DataContract
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(
+        DataContract.HeaderContract.map(f =>
+          org.apache.spark.sql.types.StructField(f.name,
+            org.apache.spark.sql.types.StringType))))
+    assert(DataContract.check(empty, DataContract.HeaderContract).isEmpty)
+  }
 }
