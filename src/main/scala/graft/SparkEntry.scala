@@ -22,6 +22,27 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
+  /** Fixture CSV writer for the self-contained SCD2 pipeline queries
+    * (q24/q25): pipe-separated with a header line, the reference's drop
+    * format. */
+  private def writePipeCsv(path: String, header: Seq[String],
+                           rows: Seq[Seq[String]]): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p,
+      (header.mkString("|") +: rows.map(_.mkString("|"))).mkString("\n"))
+  }
+
+  private val ItemsCsvHeader = Seq("contratto_cod", "numero_annuncio",
+    "list_total", "contracted_price", "total_discount", "data_attivazione",
+    "data_fine_prestazione", "product_code", "quantity",
+    "causale_annullamento", "data_annullamento", "status_item", "creazione_dta")
+
+  private val HeaderCsvHeader = Seq("contratto_cod", "codice_ordine_sap",
+    "tipo_contratto", "codice_opec", "data_firma", "net_amount",
+    "causale_annullamento", "data_annullamento", "codice_agente",
+    "status_quote", "creazione_dta", "event_time")
+
   private[graft] def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
     // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 only reads as a
@@ -332,6 +353,83 @@ object SparkEntry {
         .orderBy("doc_id_1", "doc_id_2")
     }),
 
+    // OP-A end-to-end: the items date-grained SCD2 pipeline run over two
+    // fixture batches (the reference scenario of test/items_etl_test.py:84-117
+    // — price change on Y06119362/10 — widened with the dedup-drop-all and
+    // non-null-safe-<> quirks). The oracle REPLAYS the merge in SQL from
+    // the same rows, so the flagship pipeline itself is oracle-verified.
+    "q24_items_scd2" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val root = Files.createTempDirectory("graft-q24").toString
+      def item(cod: String, ann: String, price: String, discount: String,
+               fine: String): Seq[String] =
+        Seq(cod, ann, "1000.00", price, discount, "2023-01-01", fine,
+          "PROD1", "1", "", "", "L", "2023-01-01")
+      val b1 = Seq(
+        item("Y06119362", "10", "400.00", "0.00", "2023-12-31"),
+        item("Y06119362", "20", "200.00", "0.00", "2023-12-31"),
+        item("Y00000001", "10", "100.00", "10.00", "2023-12-31"),
+        item("YNULLP001", "10", "", "0.00", "2023-12-31"), // NULL price
+        item("YDUPKEY01", "10", "50.00", "0.00", "2023-12-31"),
+        item("YDUPKEY01", "10", "50.00", "0.00", "2023-12-31")) // dup pair → both dropped
+      val b2 = Seq(
+        item("Y06119362", "10", "500.00", "0.00", "2023-12-31"), // price change
+        item("Y06119362", "20", "200.00", "0.00", "2023-12-31"), // unchanged → no-op
+        item("YNULLP001", "10", "123.00", "0.00", "2023-12-31"), // NULL <> x quirk → no-op
+        item("Y99999999", "10", "700.00", "5.00", "2023-12-31"), // brand new
+        item("YDUP2XXXX", "30", "60.00", "0.00", "2023-12-31"),
+        item("YDUP2XXXX", "30", "60.00", "0.00", "2023-12-31")) // dup pair → both dropped
+      writePipeCsv(s"$root/crm/items_20230123.txt", ItemsCsvHeader, b1)
+      writePipeCsv(s"$root/crm/items_20230125.txt", ItemsCsvHeader, b2)
+      val tablePath = s"$root/landing/items"
+      graft.jobs.ItemsEtlJob.run(s, s"$root/crm/items_20230123.txt", tablePath)
+      graft.jobs.ItemsEtlJob.run(s, s"$root/crm/items_20230125.txt", tablePath)
+      VersionedTable.forPath(s, tablePath).read
+        .select(col("contratto_cod"), col("numero_annuncio"),
+          round(col("contracted_price").cast("double"), 2).as("price"),
+          date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"))
+        .orderBy("contratto_cod", "numero_annuncio", "valid_from")
+    }),
+
+    // OP-B end-to-end: the header timestamp-grained SCD2 pipeline over two
+    // fixture batches (the test/run_all_test.py T2/T3 shape: intra-batch
+    // lead-chain, close at first change, validation discards). The oracle
+    // replays validation + intra-batch versioning + the two-phase merge
+    // with window functions over the same rows.
+    "q25_header_scd2" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val root = Files.createTempDirectory("graft-q25").toString
+      def hrow(cod: String, status: String, et: String): Seq[String] =
+        Seq(cod, "3000000001", "365", "OPEC0001", "2023-01-01", "1500.00",
+          "", "", "10001", status, "2023-01-01", et)
+      val b1 = Seq(
+        hrow("K0000001", "A", "2023-01-25 10:00:00"),
+        hrow("K0000002", "A", "2023-01-25 10:00:00"),
+        hrow("K0000002", "B", "2023-01-25 12:00:00"), // intra-batch chain
+        hrow("K0000003", "A", "2023-01-25 09:00:00"),
+        hrow("K0000003", "A", "2023-01-25 09:00:00"), // identical dup → keep one
+        hrow("", "A", "2023-01-25 11:00:00"),         // NULL key → discarded
+        hrow("K0000005", "A", "2023-01-20 10:00:00")) // date mismatch → discarded
+      val b2 = Seq(
+        hrow("K0000001", "B", "2023-01-26 09:00:00"), // change → close + open
+        hrow("K0000002", "C", "2023-01-26 08:00:00"), // change → close + open
+        hrow("K0000004", "A", "2023-01-26 11:00:00")) // new key
+      writePipeCsv(s"$root/crm/header_20230125.csv", HeaderCsvHeader, b1)
+      writePipeCsv(s"$root/crm/header_20230126.csv", HeaderCsvHeader, b2)
+      val tablePath = s"$root/landing/header"
+      Seq("header_20230125.csv", "header_20230126.csv").foreach { f =>
+        graft.jobs.HeaderEtlJob.run(s, s"$root/crm/$f", tablePath,
+          s"$root/discarded", s"$root/metrics")
+      }
+      VersionedTable.forPath(s, tablePath).read
+        .select(col("contratto_cod"), col("status_quote"),
+          date_format(col("valid_from_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("is_current"))
+        .orderBy("contratto_cod", "valid_from")
+    }),
+
     // Semi-structured: JSON field extraction from the events props column
     // — a training-pipeline staple (metadata filtering).
     "q21_json_extract" -> ((s, dir) => {
@@ -540,6 +638,99 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
         |ORDER BY vec_id_1, vec_id_2""".stripMargin,
+
+    // Replays the items SCD2 merge from the same fixture rows: per-batch
+    // drop-all-duplicates dedup, change detection with the reference's
+    // non-null-safe <>, close-at-new-valid_from, insert of changed + new.
+    "q24_items_scd2" ->
+      """WITH b1r(contratto_cod, numero_annuncio, contracted_price, total_discount, data_fine) AS (VALUES
+        |  ('Y06119362','10', 400.00, 0.00, DATE '2023-12-31'),
+        |  ('Y06119362','20', 200.00, 0.00, DATE '2023-12-31'),
+        |  ('Y00000001','10', 100.00, 10.00, DATE '2023-12-31'),
+        |  ('YNULLP001','10', NULL, 0.00, DATE '2023-12-31'),
+        |  ('YDUPKEY01','10', 50.00, 0.00, DATE '2023-12-31'),
+        |  ('YDUPKEY01','10', 50.00, 0.00, DATE '2023-12-31')),
+        |b2r(contratto_cod, numero_annuncio, contracted_price, total_discount, data_fine) AS (VALUES
+        |  ('Y06119362','10', 500.00, 0.00, DATE '2023-12-31'),
+        |  ('Y06119362','20', 200.00, 0.00, DATE '2023-12-31'),
+        |  ('YNULLP001','10', 123.00, 0.00, DATE '2023-12-31'),
+        |  ('Y99999999','10', 700.00, 5.00, DATE '2023-12-31'),
+        |  ('YDUP2XXXX','30', 60.00, 0.00, DATE '2023-12-31'),
+        |  ('YDUP2XXXX','30', 60.00, 0.00, DATE '2023-12-31')),
+        |b1 AS (SELECT * FROM b1r QUALIFY count(*) OVER (PARTITION BY contratto_cod, numero_annuncio) = 1),
+        |b2 AS (SELECT * FROM b2r QUALIFY count(*) OVER (PARTITION BY contratto_cod, numero_annuncio) = 1),
+        |chg AS (
+        |  SELECT b1.contratto_cod, b1.numero_annuncio
+        |  FROM b1 JOIN b2 USING (contratto_cod, numero_annuncio)
+        |  WHERE b2.contracted_price <> b1.contracted_price
+        |     OR b2.total_discount <> b1.total_discount
+        |     OR b2.data_fine <> b1.data_fine)
+        |SELECT b1.contratto_cod, b1.numero_annuncio,
+        |  round(CAST(b1.contracted_price AS DOUBLE), 2) AS price,
+        |  '2023-01-23' AS valid_from,
+        |  CASE WHEN EXISTS (SELECT 1 FROM chg c
+        |                    WHERE c.contratto_cod = b1.contratto_cod
+        |                      AND c.numero_annuncio = b1.numero_annuncio)
+        |       THEN '2023-01-25' ELSE '9999-12-31' END AS valid_to
+        |FROM b1
+        |UNION ALL
+        |SELECT b2.contratto_cod, b2.numero_annuncio,
+        |  round(CAST(b2.contracted_price AS DOUBLE), 2) AS price,
+        |  '2023-01-25' AS valid_from, '9999-12-31' AS valid_to
+        |FROM b2
+        |WHERE EXISTS (SELECT 1 FROM chg c
+        |              WHERE c.contratto_cod = b2.contratto_cod
+        |                AND c.numero_annuncio = b2.numero_annuncio)
+        |   OR NOT EXISTS (SELECT 1 FROM b1
+        |                  WHERE b1.contratto_cod = b2.contratto_cod
+        |                    AND b1.numero_annuncio = b2.numero_annuncio)
+        |ORDER BY contratto_cod, numero_annuncio, valid_from""".stripMargin,
+
+    // Replays the header SCD2 pipeline: validation (null-key, batch-date,
+    // duplicate) filters, intra-batch lead-chain versioning per batch,
+    // Phase-A close of the open row at the first null-safe-differing
+    // event, Phase-B insert of all batch-2 version rows.
+    "q25_header_scd2" ->
+      """WITH b1r(contratto_cod, codice_agente, status_quote, event_time) AS (VALUES
+        |  ('K0000001', '10001', 'A', TIMESTAMP '2023-01-25 10:00:00'),
+        |  ('K0000002', '10001', 'A', TIMESTAMP '2023-01-25 10:00:00'),
+        |  ('K0000002', '10001', 'B', TIMESTAMP '2023-01-25 12:00:00'),
+        |  ('K0000003', '10001', 'A', TIMESTAMP '2023-01-25 09:00:00'),
+        |  ('K0000003', '10001', 'A', TIMESTAMP '2023-01-25 09:00:00'),
+        |  (NULL,       '10001', 'A', TIMESTAMP '2023-01-25 11:00:00'),
+        |  ('K0000005', '10001', 'A', TIMESTAMP '2023-01-20 10:00:00')),
+        |b2r(contratto_cod, codice_agente, status_quote, event_time) AS (VALUES
+        |  ('K0000001', '10001', 'B', TIMESTAMP '2023-01-26 09:00:00'),
+        |  ('K0000002', '10001', 'C', TIMESTAMP '2023-01-26 08:00:00'),
+        |  ('K0000004', '10001', 'A', TIMESTAMP '2023-01-26 11:00:00')),
+        |v1 AS (SELECT DISTINCT contratto_cod, codice_agente, status_quote, event_time
+        |       FROM b1r WHERE contratto_cod IS NOT NULL AND event_time IS NOT NULL
+        |         AND CAST(event_time AS DATE) = DATE '2023-01-25'),
+        |v2 AS (SELECT DISTINCT contratto_cod, codice_agente, status_quote, event_time
+        |       FROM b2r WHERE contratto_cod IS NOT NULL AND event_time IS NOT NULL
+        |         AND CAST(event_time AS DATE) = DATE '2023-01-26'),
+        |ver1 AS (SELECT *, lead(event_time) OVER (PARTITION BY contratto_cod ORDER BY event_time) AS next_ts FROM v1),
+        |ver2 AS (SELECT *, lead(event_time) OVER (PARTITION BY contratto_cod ORDER BY event_time) AS next_ts FROM v2),
+        |chg AS (
+        |  SELECT o.contratto_cod, min(v.event_time) AS first_change_ts
+        |  FROM ver1 o JOIN v2 v USING (contratto_cod)
+        |  WHERE o.next_ts IS NULL
+        |    AND (v.status_quote IS DISTINCT FROM o.status_quote
+        |         OR v.codice_agente IS DISTINCT FROM o.codice_agente)
+        |  GROUP BY o.contratto_cod),
+        |hist AS (
+        |  SELECT v.contratto_cod, v.status_quote, v.event_time AS valid_from_ts,
+        |         coalesce(v.next_ts, c.first_change_ts) AS valid_to_ts
+        |  FROM ver1 v LEFT JOIN chg c
+        |    ON v.contratto_cod = c.contratto_cod AND v.next_ts IS NULL
+        |  UNION ALL
+        |  SELECT contratto_cod, status_quote, event_time, next_ts FROM ver2)
+        |SELECT contratto_cod, status_quote,
+        |  strftime(valid_from_ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  coalesce(strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00') AS valid_to,
+        |  valid_to_ts IS NULL AS is_current
+        |FROM hist
+        |ORDER BY contratto_cod, valid_from""".stripMargin,
 
     "q23_ngram_jaccard" ->
       """WITH toks AS (
