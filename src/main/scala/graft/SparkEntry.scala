@@ -430,6 +430,28 @@ object SparkEntry {
         .orderBy("contratto_cod", "valid_from")
     }),
 
+    // LLM-pipeline: the LSH-bucketed embedding near-dup SCALE path
+    // (cosinePairsLsh), oracle-verified on data with planted near-dup
+    // pairs — the testdata's own vectors top out at cosine ≈0.6, so the
+    // query stages jittered copies (v + 0.1·rot(v), cosine ≈0.995) of the
+    // first 50 vectors. The oracle computes ALL pairs ≥ 0.9 exactly; a
+    // hash match therefore proves the bucketed path's recall AND
+    // precision at threshold 0.9 (q22 keeps the exact path as baseline).
+    "q26_embed_neardup_lsh" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val base = tbl(s, dir, "embeddings").filter(col("vec_id") < 200)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      val jit = base.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          expr("transform(v, (x, i) -> x + 0.1 * element_at(v, 1 + ((i + 1) % size(v))))").as("v"))
+      val staged = base.unionByName(jit)
+      graft.ops.Similarity.cosinePairsLsh(staged, "vec_id", "v", threshold = 0.9)
+        .select(col("vec_id_1"), col("vec_id_2"),
+          round(col("cosine"), 4).as("cosine_sim"))
+        .orderBy("vec_id_1", "vec_id_2")
+    }),
+
     // Semi-structured: JSON field extraction from the events props column
     // — a training-pipeline staple (metadata filtering).
     "q21_json_extract" -> ((s, dir) => {
@@ -637,6 +659,25 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.v, b.v), 4) AS cosine_sim
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+        |ORDER BY vec_id_1, vec_id_2""".stripMargin,
+
+    // All-pairs exact computation over the SAME staged construction (base
+    // ∪ jittered copies) — the ground truth the LSH-bucketed engine path
+    // must reproduce at threshold 0.9.
+    "q26_embed_neardup_lsh" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id < 200),
+        |jit AS (
+        |  SELECT vec_id + 10000 AS vec_id,
+        |         list_transform(generate_series(1, len(v)),
+        |                        i -> v[i] + 0.1 * v[1 + (i % len(v))]) AS v
+        |  FROM base WHERE vec_id < 50),
+        |st AS (SELECT * FROM base UNION ALL SELECT * FROM jit)
+        |SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cosine_sim
+        |FROM st a JOIN st b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.9
         |ORDER BY vec_id_1, vec_id_2""".stripMargin,
 
     // Replays the items SCD2 merge from the same fixture rows: per-batch

@@ -272,6 +272,66 @@ object RandProjBuckets {
   }
 }
 
+/** RAW `planes`-bit random-hyperplane signature of an embedding column,
+  * packed into one long (bit b = sign of dot(vec, plane_b)) — the
+  * single-table building block behind [[RandProjBuckets]], exposed
+  * unhashed so callers can Hamming-multiprobe neighboring buckets
+  * (flip bits of the query signature). Shares the same seeded plane
+  * cache. */
+case class RandProjSig(child: Expression, planes: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) |
+         ArrayType(org.apache.spark.sql.types.DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_randproj_sig requires array<float|double>, got ${other.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_randproj_sig"
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    RandProjSig.compute(input.asInstanceOf[ArrayData], isFloat, planes, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.RandProjSig.compute($c, $isFloat, $planes, ${seed}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): RandProjSig =
+    copy(child = newChild)
+}
+
+object RandProjSig {
+  /** Static so generated code can call it. */
+  def compute(arr: ArrayData, isFloat: Boolean, planes: Int, seed: Long): Long = {
+    val dim = arr.numElements()
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    val ps = RandProjBuckets.planes(dim, planes, seed)
+    var sig = 0L
+    var b = 0
+    while (b < planes) {
+      val plane = ps(b)
+      var dot = 0.0
+      i = 0
+      while (i < dim) { dot += v(i) * plane(i); i += 1 }
+      sig = (sig << 1) | (if (dot >= 0) 1L else 0L)
+      b += 1
+    }
+    sig
+  }
+}
+
 /** Index of the nearest (by cosine) centroid for an embedding column —
   * the IVF assignment step. The centroid matrix rides in the expression
   * (serialized with the plan; K × dim doubles, driver-bounded). */

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.expressions.{CosineSim, NearestCentroid, RandProjBuckets}
+import graft.expressions.{CosineSim, NearestCentroid, RandProjBuckets, RandProjSig}
 import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
 import org.apache.spark.sql.functions._
 
@@ -149,20 +149,12 @@ object Similarity {
       .select(col(idCol), col("cosine"))
   }
 
-  /** Signature SQL: `planes` sign-bits of dot(vec, r_j), with pseudo-random
-    * plane components derived from xxhash64(seed, j, i) — deterministic,
-    * no driver-side plane materialization. */
-  private def signatureSql(vecCol: String, dim: Int, planes: Int): String =
-    s"transform(sequence(0, ${planes - 1}), j -> CASE WHEN " +
-      s"aggregate(sequence(0, ${dim - 1}), cast(0.0 AS double), (acc, i) -> " +
-      s"acc + cast(element_at($vecCol, i + 1) AS double) * " +
-      s"((pmod(xxhash64('graft-plane', j, i), 2001) - 1000) / 1000.0)) >= 0 THEN 1 ELSE 0 END)"
-
-  private def packBitsSql(bitsCol: String): String =
-    s"aggregate($bitsCol, 0, (acc, b) -> acc * 2 + b)"
-
   /** Approximate top-k via random-hyperplane LSH: vectors are bucketed by
-    * a `planes`-bit signature; only buckets within Hamming distance
+    * a `planes`-bit signature (the native codegen'd
+    * [[graft.expressions.RandProjSig]] expression — a JVM loop over the
+    * cached seeded planes; the interpreted `aggregate`/`transform` SQL
+    * formulation it replaces ran dim×planes lambda steps per row, an
+    * order of magnitude slower); only buckets within Hamming distance
     * `probeHamming` of the query signature are scanned, then ranked by
     * exact cosine. Bounded driver state: one collected query signature.
     *
@@ -173,11 +165,12 @@ object Similarity {
     * as the corpus grows to keep expected candidates ≈ constant). */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int,
-              dim: Int = 64, planes: Int = 10, probeHamming: Int = 2): DataFrame = {
+              planes: Int = 10, probeHamming: Int = 2,
+              seed: Long = 7L): DataFrame = {
     require(planes <= 24, "signature must fit an int bucket")
-    val bucketed = emb
-      .withColumn("__sig", expr(signatureSql(vecCol, dim, planes)))
-      .withColumn("__bucket", expr(packBitsSql("__sig")))
+    val bucketed = emb.withColumn("__bucket",
+      GraftColumnBridge.column(RandProjSig(
+        GraftColumnBridge.expression(col(vecCol)), planes, seed)).cast("int"))
 
     // one tiny collect: the query row's signature bucket
     val qRow = bucketed.filter(col(idCol) === queryId)
