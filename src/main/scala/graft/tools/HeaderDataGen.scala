@@ -21,11 +21,12 @@ import org.apache.spark.sql.functions._
   * ~1/24 of rows discarded (BASELINE.md, 416,960 of 10M).
   *
   * Scale note: everything is a seeded `spark.range` pipeline — fully
-  * distributed, `repartition(partitions)` controls output parallelism. The
-  * one non-scalable construct is the zip join's un-partitioned
-  * `row_number() OVER (ORDER BY rand())` (single-partition sort), kept for
-  * parity with what the baseline actually measured; at >10M rows swap in a
-  * salted id zip. Generator tooling only — never on the engine hot path.
+  * distributed, `repartition(partitions)` controls output parallelism.
+  * The zip join's id is a salted per-bucket `row_number` permutation
+  * ([[permRid]]) — the partitioned, deterministic equivalent of the
+  * reference's un-partitioned `row_number() OVER (ORDER BY rand())`
+  * (W4), whose single-partition global sort was the generator's
+  * bottleneck at the 10M bench size.
   */
 object HeaderDataGen {
 
@@ -45,7 +46,13 @@ object HeaderDataGen {
   /** One seeded batch of `nRows` header rows for `eventDate`
     * (reference: make_header_df_from_range, :40-94). */
   def makeHeaderDf(spark: SparkSession, nRows: Long, eventDate: LocalDate,
-                   partitions: Int, seed: Long): DataFrame = {
+                   partitions: Int, seed: Long): DataFrame =
+    makeHeaderDfWithId(spark, nRows, eventDate, partitions, seed)
+      .select(OutCols.map(col): _*)
+
+  /** Same, keeping the generator's range `id` for the batch2 zip. */
+  private def makeHeaderDfWithId(spark: SparkSession, nRows: Long, eventDate: LocalDate,
+                                 partitions: Int, seed: Long): DataFrame = {
     val base = eventDate.format(DateTimeFormatter.ISO_LOCAL_DATE)
     spark.range(0, nRows).repartition(partitions)
       .withColumn("contratto_cod",
@@ -70,7 +77,37 @@ object HeaderDataGen {
         lpad(floor(rand(seed + 5) * 60).cast("string"), 2, "0"), lit(":"),
         lpad(floor(rand(seed + 6) * 60).cast("string"), 2, "0"),
         lit(".000+01:00")))
-      .select(OutCols.map(col): _*)
+      .select((Seq("id") ++ OutCols).map(col): _*)
+  }
+
+  /** Buckets of the salted permutation zip. */
+  private val SaltBuckets = 64
+
+  /** Deterministic pseudo-random permutation rank `__rid` ∈ 1..n — the
+    * scalable replacement for the reference's un-partitioned
+    * `row_number() OVER (ORDER BY rand())` zip id (W4), which sorts the
+    * whole frame on ONE partition (at the 10M bench size that global sort
+    * was the generator's bottleneck and sprayed `WindowExec: No Partition
+    * Defined` warnings). Here: salt rows into [[SaltBuckets]] groups by a
+    * seeded hash of the range id, row_number within each bucket ordered
+    * by a second seeded hash, then offset by the cumulative bucket sizes
+    * (one tiny collect of ≤ SaltBuckets counts). Fully seeded →
+    * deterministic; per-bucket windows → no single-partition sort. */
+  private def permRid(df: DataFrame, seed: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val salted = df.withColumn("__salt",
+      pmod(hash(col("id"), lit(seed)), lit(SaltBuckets)).cast("int"))
+    val counts = salted.groupBy("__salt").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until SaltBuckets)
+      .scanLeft(0L)((acc, b) => acc + counts.getOrElse(b, 0L))
+    val offExpr = element_at(
+      map((0 until SaltBuckets).flatMap(b => Seq(lit(b), lit(offsets(b)))): _*),
+      col("__salt"))
+    val w = Window.partitionBy("__salt")
+      .orderBy(xxhash64(col("id"), lit(seed + 1)), col("id"))
+    salted.withColumn("__rid", row_number().over(w).cast("long") + offExpr)
+      .drop("__salt")
   }
 
   /** Write the initial batch as a pipe-CSV drop dir `header_<date>.csv`.
@@ -99,15 +136,21 @@ object HeaderDataGen {
         concat(lit("N"), expr("substring(contratto_cod, 2, 8)")))
 
     // updates: random existing key per row (duplicate picks possible, as in
-    // the reference — they become intra-batch version rows downstream)
-    val updates = spark.range(0, updateCount).repartition(partitions)
-      .withColumn("idx", floor(rand(seed + 20) * existingCount).cast("int"))
-      .withColumn("contratto_cod", concat(lit("C"), lpad(col("idx").cast("string"), 8, "0")))
-      .select("contratto_cod")
-      .withColumn("__rid", expr("row_number() OVER (ORDER BY rand())"))
-    val helper = makeHeaderDf(spark, updateCount, date, partitions, seed + 21)
-      .drop("contratto_cod")
-      .withColumn("__rid", expr("row_number() OVER (ORDER BY rand())"))
+    // the reference — they become intra-batch version rows downstream),
+    // zipped to freshly generated attributes via the salted permutation
+    // rid (different seeds per side → a pseudo-random pairing, like the
+    // reference's rand-ordered zip but partitioned and deterministic)
+    val updates = permRid(
+      spark.range(0, updateCount).repartition(partitions)
+        .withColumn("idx", floor(rand(seed + 20) * existingCount).cast("int"))
+        .withColumn("contratto_cod",
+          concat(lit("C"), lpad(col("idx").cast("string"), 8, "0")))
+        .select("id", "contratto_cod"),
+      seed + 30).select("contratto_cod", "__rid")
+    val helper = permRid(
+      makeHeaderDfWithId(spark, updateCount, date, partitions, seed + 21)
+        .drop("contratto_cod"),
+      seed + 31).drop("id")
     val updatesFinal = updates.join(helper, Seq("__rid"), "left").drop("__rid")
 
     val path = s"$outDir/header_$batchDate.csv"

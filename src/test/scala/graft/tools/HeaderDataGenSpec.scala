@@ -47,6 +47,12 @@ class HeaderDataGenSpec extends AnyFunSuite {
     assert(maxIdx < N)
     // zip join attached full attributes to every update row
     assert(df.filter(col("event_time").isNull || col("status_quote").isNull).count() === 0)
+    // the salted permutation zip is fully seeded → regenerating batch2
+    // yields identical content (the old rand-ordered zip was not)
+    val p2 = HeaderDataGen.writeBatch2(spark, N, "20230228", s"$root/crm2", 4,
+      seed = 43, existingCount = N, pctNew = 50.0)
+    val df2 = spark.read.option("header", "true").option("sep", "|").csv(p2)
+    assert(df.exceptAll(df2).isEmpty && df2.exceptAll(df).isEmpty)
   }
 
   test("end-to-end volume-scaling workload: batch2 MERGE batch invariants") {
