@@ -406,30 +406,30 @@ class VersionedTable private (val spark: SparkSession,
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Can `fe` contain rows with `colName` ∈ [lo, hi]? Conservative:
+    * missing/unparseable stats keep the file; all-null files are skipped
+    * (a range predicate never matches NULL). */
+  private def fileOverlaps(fe: FileEntry, colName: String, lo: Any, hi: Any,
+                           dt: Option[DataType]): Boolean =
+    fe.stats.flatMap(_.get(colName)) match {
+      case Some(s) if !s.hasMinMax => false // all NULL
+      case Some(s) =>
+        dt match {
+          case None => true // column not in schema — never skip
+          case Some(t) =>
+            // overlap: min <= hi AND lo <= max; keep on any None
+            cmpTyped(s.min, hi, t).forall(_ <= 0) &&
+              cmpTyped(s.max, lo, t).forall(_ >= 0)
+        }
+      case None => true
+    }
+
   /** Which live files can contain rows with `colName` ∈ [lo, hi]?
-    * Range-overlap test on the per-file footer stats under the column's
-    * declared type; files without stats for the column — or whose stats
-    * don't compare cleanly against the bounds — are conservatively kept;
-    * all-null files are skipped (a range predicate never matches NULL).
     * @return (candidate files, total live files) */
   private[tables] def candidateFiles(colName: String, lo: Any, hi: Any): (Seq[FileEntry], Int) = {
     val (files, tableSchema, _) = snapshot(None)
     val dt = tableSchema.fields.find(_.name == colName).map(_.dataType)
-    val kept = files.filter { fe =>
-      fe.stats.flatMap(_.get(colName)) match {
-        case Some(s) if !s.hasMinMax => false // all NULL
-        case Some(s) =>
-          dt match {
-            case None => true // column not in schema — never skip
-            case Some(t) =>
-              // overlap: min <= hi AND lo <= max; keep on any None
-              cmpTyped(s.min, hi, t).forall(_ <= 0) &&
-                cmpTyped(s.max, lo, t).forall(_ >= 0)
-          }
-        case None => true
-      }
-    }
-    (kept, files.size)
+    (files.filter(fe => fileOverlaps(fe, colName, lo, hi, dt)), files.size)
   }
 
   /** Data-skipping read: scan only files whose footer stats overlap
@@ -473,6 +473,43 @@ class VersionedTable private (val spark: SparkSession,
     finally src.unpersist(false)
   }
 
+  /** Simple conjunctive equi-predicates `targetAlias.col = <srcExpr>`
+    * (either side) extracted from a merge condition, for stats-based
+    * target pruning. Empty when the condition's shape is anything but a
+    * plain top-level conjunction of `=` comparisons — pruning is an
+    * optimization and must never guess. */
+  private def equiPairs(condition: String, targetAlias: String): Seq[(String, String)] = {
+    if (condition.contains("(") ||
+      condition.toLowerCase.matches(".*\\bor\\b.*")) return Seq.empty
+    val tPrefix = targetAlias + "."
+    condition.split("(?i)\\bAND\\b").toSeq.flatMap { c =>
+      if (c.exists("<>!".contains(_))) None
+      else c.split("=") match {
+        case Array(l0, r0) =>
+          val l = l0.trim; val r = r0.trim
+          def tcol(s: String): Option[String] =
+            if (s.startsWith(tPrefix) && s.drop(tPrefix.length).matches("\\w+"))
+              Some(s.drop(tPrefix.length))
+            else None
+          (tcol(l), tcol(r)) match {
+            case (Some(c1), None) if !r.contains(tPrefix) => Some(c1 -> r)
+            case (None, Some(c2)) if !l.contains(tPrefix) => Some(c2 -> l)
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+  }
+
+  /** Read a specific live-file subset with the table schema. */
+  private def readFileEntries(entries: Seq[FileEntry], tableSchema: StructType): DataFrame =
+    if (entries.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
+    else
+      spark.read.schema(tableSchema)
+        .option("basePath", dataDir.toString)
+        .parquet(entries.map(fe => new Path(dataDir, fe.path).toString): _*)
+
   private def mergeBody(targetAlias: String,
                         src: DataFrame,
                         condition: String,
@@ -480,6 +517,37 @@ class VersionedTable private (val spark: SparkSession,
                         notMatchedInsert: Option[(Option[String], Map[String, String])]): Unit = {
     val (files, tableSchema, partCols) = snapshot(None)
     val dataCols = tableSchema.fields.toSeq
+
+    // --- stats pruning: bound the target side by the source's key range --
+    // For each conjunctive equi-key, one agg over the (persisted) source
+    // computes its min/max; files whose footer stats don't overlap EVERY
+    // key range cannot contain matched rows — they are skipped by both
+    // the insert-only anti-join and the touched-file probe. At scale this
+    // turns a full-table merge probe into a scan of the key-overlapping
+    // files only (the same role Delta's file stats play in MERGE).
+    // Conservative on every failure path: unknown shapes prune nothing.
+    val matchCandidates: Seq[FileEntry] =
+      try {
+        val pairs = equiPairs(condition, targetAlias)
+        if (pairs.isEmpty || files.isEmpty) files
+        else {
+          val aggs = pairs.zipWithIndex.flatMap { case ((_, sexpr), i) =>
+            Seq(min(expr(sexpr)).as(s"__graft_lo$i"),
+              max(expr(sexpr)).as(s"__graft_hi$i"))
+          }
+          val row = src.agg(aggs.head, aggs.tail: _*).collect()(0)
+          pairs.zipWithIndex.foldLeft(files) { case (cand, ((tcol, _), i)) =>
+            val lo = row.get(i * 2)
+            val hi = row.get(i * 2 + 1)
+            if (lo == null || hi == null) cand
+            else {
+              val dt = tableSchema.fields.find(_.name == tcol).map(_.dataType)
+              cand.filter(fe => fileOverlaps(fe, tcol, lo, hi, dt))
+            }
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => files }
+    val statsSkipped = files.size - matchCandidates.size
 
     // --- fast path: insert-only merge rewrites NOTHING ------------------
     // With no matched-update clause (e.g. the header job's Phase B),
@@ -491,7 +559,9 @@ class VersionedTable private (val spark: SparkSession,
     // insert-only merges the same way.)
     if (matchedUpdate.isEmpty && notMatchedInsert.isDefined) {
       val (insCondOpt, insVals) = notMatchedInsert.get
-      val target = read.alias(targetAlias)
+      // anti-join only against the stats-candidate files: rows in skipped
+      // files cannot equal any source key, so they cannot absorb inserts
+      val target = readFileEntries(matchCandidates, tableSchema).alias(targetAlias)
       val unmatched = src.join(target, expr(condition), "left_anti")
       val toInsert = insCondOpt.fold(unmatched)(c => unmatched.filter(expr(c)))
       val rows = toInsert.select(dataCols.map { f =>
@@ -505,6 +575,7 @@ class VersionedTable private (val spark: SparkSession,
           "numTargetFilesAdded" -> added.size.toString,
           "numTargetFilesRemoved" -> "0",
           "numTargetFilesUntouched" -> files.size.toString,
+          "numTargetFilesSkippedByStats" -> statsSkipped.toString,
           "insertOnly" -> "true")))
       return
     }
@@ -517,9 +588,12 @@ class VersionedTable private (val spark: SparkSession,
     val qualify = files.map(fe => new Path(dataDir, fe.path).toString -> fe.path).toMap
     val knownRel = files.map(_.path).toSet
     val touchedRel: Set[String] =
-      if (files.isEmpty) Set.empty
+      if (matchCandidates.isEmpty) Set.empty
       else {
-        val t = read.withColumn(FileCol, col("_metadata.file_path")).alias(targetAlias)
+        // probe scans only the stats-candidate files — skipped files
+        // cannot contain matched rows and are untouched by construction
+        val t = readFileEntries(matchCandidates, tableSchema)
+          .withColumn(FileCol, col("_metadata.file_path")).alias(targetAlias)
         t.join(src, expr(condition), "inner")
           .select(col(FileCol)).distinct()
           .collect().map(_.getString(0))
@@ -530,13 +604,7 @@ class VersionedTable private (val spark: SparkSession,
     val touchedFiles = files.filter(fe => touchedRel.contains(fe.path))
 
     // --- 2. rewrite touched files + insert unmatched source rows --------
-    val touchedDF =
-      if (touchedFiles.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
-      else
-        spark.read.schema(tableSchema)
-          .option("basePath", dataDir.toString)
-          .parquet(touchedFiles.map(fe => new Path(dataDir, fe.path).toString): _*)
+    val touchedDF = readFileEntries(touchedFiles, tableSchema)
 
     val t = touchedDF
       .withColumn(TidCol, monotonically_increasing_id())
@@ -601,7 +669,8 @@ class VersionedTable private (val spark: SparkSession,
       Map(
         "numTargetFilesAdded" -> added.size.toString,
         "numTargetFilesRemoved" -> touchedFiles.size.toString,
-        "numTargetFilesUntouched" -> untouched.size.toString)))
+        "numTargetFilesUntouched" -> untouched.size.toString,
+        "numTargetFilesSkippedByStats" -> statsSkipped.toString)))
     } finally { if (checkCardinality) joined.unpersist(false) }
   }
 

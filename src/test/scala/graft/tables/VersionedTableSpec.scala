@@ -210,6 +210,47 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(cand.size <= total)
   }
 
+  test("merge prunes target files by source key-range stats") {
+    val path = tmpDir() + "/t11"
+    // 8 files with disjoint id ranges (range partitioning) — the merge
+    // source's keys fall inside ONE file's range, so stats must keep the
+    // probe/anti-join away from the other 7
+    val df = spark.range(0, 8000)
+      .repartitionByRange(8, $"id")
+      .selectExpr("id", "cast(id AS string) AS v")
+    val t = VersionedTable.create(spark, df, path)
+    val total = t.history(1).select("operationMetrics")
+      .as[Map[String, String]].head()("numFiles").toInt
+    assert(total >= 8)
+
+    // update merge: keys 1000..1019
+    t.alias("e")
+      .merge(spark.range(1000, 1020).selectExpr("id AS k", "'upd' AS nv").alias("s"),
+        "e.id = s.k")
+      .whenMatchedUpdate(set = Map("v" -> "s.nv"))
+      .execute()
+    val m1 = t.history(1).select("operationMetrics").as[Map[String, String]].head()
+    assert(m1("numTargetFilesSkippedByStats").toInt >= total - 2,
+      s"expected most files stats-skipped, got $m1")
+    assert(m1("numTargetFilesRemoved").toInt <= 2)
+    assert(t.read.filter($"v" === "upd").count() == 20)
+    assert(t.read.count() == 8000)
+
+    // insert-only merge: half existing (in-range), half new keys
+    t.alias("e")
+      .merge(spark.range(1500, 1520).unionAll(spark.range(20000, 20010))
+        .selectExpr("id AS k", "'ins' AS nv").alias("s"), "e.id = s.k")
+      .whenNotMatchedInsert(values = Map("id" -> "s.k", "v" -> "s.nv"))
+      .execute()
+    val m2 = t.history(1).select("operationMetrics").as[Map[String, String]].head()
+    assert(m2("insertOnly") == "true")
+    // source range 1500..20009 spans beyond the table max; at least the
+    // low-range files must still be skipped
+    assert(m2("numTargetFilesSkippedByStats").toInt >= 1, s"got $m2")
+    assert(t.read.count() == 8010)
+    assert(t.read.filter($"v" === "ins").count() == 10)
+  }
+
   test("data contract check over an empty frame reports clean (no NPE)") {
     import graft.ops.DataContract
     val empty = spark.createDataFrame(
