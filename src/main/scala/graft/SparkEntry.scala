@@ -452,6 +452,32 @@ object SparkEntry {
         .orderBy("vec_id_1", "vec_id_2")
     }),
 
+    // Declarative data-contract evaluation (SURVEY §5 layer 1) over a
+    // fixture with planted violations of every rule family: not-null,
+    // varchar max length, date format, decimal parseability, composite-key
+    // uniqueness. The engine evaluates ALL field rules in ONE aggregation
+    // pass (the reference runs one count() job per rule); the oracle
+    // recomputes each rule's offending-row count independently.
+    "q27_data_contract" -> ((s, dir) => {
+      GraftSession.tune(s)
+      import s.implicits._
+      val c = graft.ops.DataContract
+      val rows: Seq[(String, String, String, String, String, String, String, String, String, String, String)] = Seq(
+        ("C00000001", "SAP1", "365", "OPEC01", "15/1/2023", "100.00", null, null, "10001", "Accepted", "15/1/2023"),
+        (null,        "SAP2", "365", "OPEC01", "15/1/2023", "100.00", null, null, "10001", "Pending",  "15/1/2023"),
+        ("TOOLONGCODE123", "SAP3", "365", "OPEC01", "15/1/2023", "100.00", null, null, "10001", "Rejected", "15/1/2023"),
+        ("C00000004", "SAP4", "365", "OPEC01", "2023-13-45", "100.00", null, null, "10001", "Accepted", "15/1/2023"),
+        ("C00000005", "SAP5", "365", "OPEC01", "15/1/2023", "abc",    null, null, "10001", "Accepted", "15/1/2023"),
+        ("C00000006", "SAP6", "365", "OPEC01", "15/1/2023", "100.00", null, null, "10001", null,       "15/1/2023"),
+        ("CDUP00001", "SAP7", "365", "OPEC01", "15/1/2023", "100.00", null, null, "10001", "Accepted", "15/1/2023"),
+        ("CDUP00001", "SAP8", "365", "OPEC01", "15/1/2023", "100.00", null, null, "10001", "Accepted", "15/1/2023"))
+      val df = rows.toDF(c.HeaderContract.map(_.name): _*)
+      val violations = c.check(df, c.HeaderContract)
+      violations.toDF()
+        .select(col("field"), col("rule"), col("badRows").as("bad_rows"))
+        .orderBy("field", "rule")
+    }),
+
     // Semi-structured: JSON field extraction from the events props column
     // — a training-pipeline staple (metadata filtering).
     "q21_json_extract" -> ((s, dir) => {
@@ -660,6 +686,49 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
         |ORDER BY vec_id_1, vec_id_2""".stripMargin,
+
+    // Independent recomputation of every contract rule's offending-row
+    // count over the same fixture rows; only violated rules survive.
+    "q27_data_contract" ->
+      """WITH r(contratto_cod, codice_ordine_sap, tipo_contratto, codice_opec, data_firma,
+        |       net_amount, causale_annullamento, data_annullamento, codice_agente,
+        |       status_quote, creazione_dta) AS (VALUES
+        |  ('C00000001','SAP1','365','OPEC01','15/1/2023','100.00',NULL,NULL,'10001','Accepted','15/1/2023'),
+        |  (NULL,       'SAP2','365','OPEC01','15/1/2023','100.00',NULL,NULL,'10001','Pending', '15/1/2023'),
+        |  ('TOOLONGCODE123','SAP3','365','OPEC01','15/1/2023','100.00',NULL,NULL,'10001','Rejected','15/1/2023'),
+        |  ('C00000004','SAP4','365','OPEC01','2023-13-45','100.00',NULL,NULL,'10001','Accepted','15/1/2023'),
+        |  ('C00000005','SAP5','365','OPEC01','15/1/2023','abc',   NULL,NULL,'10001','Accepted','15/1/2023'),
+        |  ('C00000006','SAP6','365','OPEC01','15/1/2023','100.00',NULL,NULL,'10001',NULL,      '15/1/2023'),
+        |  ('CDUP00001','SAP7','365','OPEC01','15/1/2023','100.00',NULL,NULL,'10001','Accepted','15/1/2023'),
+        |  ('CDUP00001','SAP8','365','OPEC01','15/1/2023','100.00',NULL,NULL,'10001','Accepted','15/1/2023')),
+        |counts(field, rule, bad_rows) AS (
+        |  SELECT 'contratto_cod','not_null', count(*) FILTER (contratto_cod IS NULL) FROM r
+        |  UNION ALL SELECT 'contratto_cod','max_length_9', count(*) FILTER (length(contratto_cod) > 9) FROM r
+        |  UNION ALL SELECT 'codice_ordine_sap','max_length_10', count(*) FILTER (length(codice_ordine_sap) > 10) FROM r
+        |  UNION ALL SELECT 'tipo_contratto','not_null', count(*) FILTER (tipo_contratto IS NULL) FROM r
+        |  UNION ALL SELECT 'tipo_contratto','max_length_6', count(*) FILTER (length(tipo_contratto) > 6) FROM r
+        |  UNION ALL SELECT 'codice_opec','not_null', count(*) FILTER (codice_opec IS NULL) FROM r
+        |  UNION ALL SELECT 'codice_opec','max_length_8', count(*) FILTER (length(codice_opec) > 8) FROM r
+        |  UNION ALL SELECT 'data_firma','date_format_d/M/yyyy',
+        |    count(*) FILTER (data_firma IS NOT NULL AND try_strptime(data_firma, '%d/%m/%Y') IS NULL) FROM r
+        |  UNION ALL SELECT 'net_amount','not_null', count(*) FILTER (net_amount IS NULL) FROM r
+        |  UNION ALL SELECT 'net_amount','decimal_18_2',
+        |    count(*) FILTER (net_amount IS NOT NULL AND try_cast(net_amount AS DECIMAL(18,2)) IS NULL) FROM r
+        |  UNION ALL SELECT 'causale_annullamento','max_length_50', count(*) FILTER (length(causale_annullamento) > 50) FROM r
+        |  UNION ALL SELECT 'data_annullamento','date_format_d/M/yyyy',
+        |    count(*) FILTER (data_annullamento IS NOT NULL AND try_strptime(data_annullamento, '%d/%m/%Y') IS NULL) FROM r
+        |  UNION ALL SELECT 'codice_agente','not_null', count(*) FILTER (codice_agente IS NULL) FROM r
+        |  UNION ALL SELECT 'codice_agente','max_length_10', count(*) FILTER (length(codice_agente) > 10) FROM r
+        |  UNION ALL SELECT 'status_quote','not_null', count(*) FILTER (status_quote IS NULL) FROM r
+        |  UNION ALL SELECT 'status_quote','max_length_50', count(*) FILTER (length(status_quote) > 50) FROM r
+        |  UNION ALL SELECT 'creazione_dta','not_null', count(*) FILTER (creazione_dta IS NULL) FROM r
+        |  UNION ALL SELECT 'creazione_dta','date_format_d/M/yyyy',
+        |    count(*) FILTER (creazione_dta IS NOT NULL AND try_strptime(creazione_dta, '%d/%m/%Y') IS NULL) FROM r
+        |  UNION ALL SELECT 'contratto_cod,status_quote','key_unique',
+        |    CAST(coalesce((SELECT sum(c) FROM (SELECT count(*) AS c FROM r
+        |              GROUP BY contratto_cod, status_quote HAVING count(*) > 1)), 0) AS BIGINT) FROM (VALUES (1)))
+        |SELECT field, rule, bad_rows FROM counts WHERE bad_rows > 0
+        |ORDER BY field, rule""".stripMargin,
 
     // All-pairs exact computation over the SAME staged construction (base
     // ∪ jittered copies) — the ground truth the LSH-bucketed engine path

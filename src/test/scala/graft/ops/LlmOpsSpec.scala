@@ -160,9 +160,35 @@ class LlmOpsSpec extends AnyFunSuite {
     val d = decoded.collect()
     assert(d.length == 50 && d.forall(_.ok) && d.forall(_.features.length == 4))
     val d0 = d.find(_.media_id == 0).get
+    assert(d0.codec == "stub", "text blobs have no JVM image reader")
     val d0again = Multimodal.decodeBatches(media, batchSize = 7)
       .collect().find(_.media_id == 0).get
     assert(d0.features.toSeq == d0again.features.toSeq,
       "decode must not depend on batch boundaries")
+  }
+
+  test("batch decode uses the real ImageIO codec for PNG blobs") {
+    import spark.implicits._
+    // render a real 16x16 PNG in memory: left half black, right white
+    def png(splitAt: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16)
+        img.setRGB(x, y, if (x < splitAt) 0x000000 else 0xFFFFFF)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val media = Seq((1L, png(8)), (2L, png(16)), (3L, "not an image".getBytes("UTF-8")))
+      .toDF("media_id", "blob")
+    val d = Multimodal.decodeBatches(media).collect().sortBy(_.media_id)
+    assert(d.forall(_.ok))
+    assert(d(0).codec == "imageio" && d(1).codec == "imageio")
+    assert(d(2).codec == "stub")
+    // half black / half white: mean ≈ 0.5, min 0, max 1
+    assert(math.abs(d(0).features(0) - 0.5f) < 0.01f, d(0).features.mkString(","))
+    assert(d(0).features(2) == 0.0f && d(0).features(3) == 1.0f)
+    // all black: mean 0, std 0
+    assert(d(1).features(0) == 0.0f && d(1).features(1) == 0.0f)
   }
 }
