@@ -26,6 +26,27 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.tune(spark)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+
+    // ---- warmup (untimed) ----------------------------------------------
+    // One throwaway query + one small end-to-end header batch absorb JIT,
+    // codegen compilation, and filesystem warmup, so the first RECORDED
+    // numbers are steady-state (round 2 recorded a 61.8 s first-run 100k
+    // that re-measured at 8.3 s warm — the warmup closes that gap).
+    try {
+      SparkEntry.queries("q1_agg")(spark, sfDir).count()
+      val w = Files.createTempDirectory("graft-bench-warmup").toString
+      HeaderDataGen.writeBatch1(spark, 50000, "20230127", s"$w/crm", cpus.toInt, seed = 7)
+      HeaderDataGen.writeBatch2(spark, 50000, "20230228", s"$w/crm", cpus.toInt,
+        seed = 8, existingCount = 50000, pctNew = 50.0)
+      HeaderEtlJob.run(spark, s"$w/crm/header_20230127.csv",
+        s"$w/table", s"$w/discarded", s"$w/metrics")
+      HeaderEtlJob.run(spark, s"$w/crm/header_20230228.csv",
+        s"$w/table", s"$w/discarded", s"$w/metrics")
+    } catch {
+      case e: Throwable =>
+        errors("warmup") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+    }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
@@ -35,12 +56,15 @@ object Bench {
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
             false
         }
+      graft.ops.Caches.releaseAll()
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
 
-    // ---- header-ETL volume scaling (BASELINE.md rows 1-4) --------------
+    // ---- header-ETL volume scaling (BASELINE.md rows 1,2,4) ------------
     // batch2 (50% new keys) against an n-row table is the measured batch.
-    val headerSizes = sys.env.getOrElse("SPARK_GRAFT_HEADER_SIZES", "100000,1000000")
+    // Default records the 100k/1M/10M baseline points; 5M opt-in via env.
+    val headerSizes = sys.env.getOrElse("SPARK_GRAFT_HEADER_SIZES",
+      "100000,1000000,10000000")
       .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong)
     var lastTablePath: Option[String] = None
     val headerRuns = headerSizes.flatMap { n =>

@@ -451,6 +451,70 @@ class VersionedTable private (val spark: SparkSession,
     pruned.filter(col(colName).between(lit(lo), lit(hi)))
   }
 
+  // -------------------------------------------------------- maintenance --
+
+  /** Bin-pack small files (OPTIMIZE): partitions accumulating many
+    * sub-`targetBytes` files — the natural debris of per-batch MERGEs —
+    * are rewritten into ~targetBytes files and committed as one
+    * remove+add version. Data is byte-identical; only layout changes.
+    * Essential at scale: a daily-merged 100 TB table otherwise degrades
+    * into millions of tiny scans.
+    * @return number of files compacted away (0 = nothing to do) */
+  def compact(targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val (files, tableSchema, partCols) = snapshot(None)
+    // only partitions with 2+ small files benefit
+    val byPartition = files.groupBy(_.partitionValues)
+    val toCompact = byPartition.values
+      .map(_.filter(_.sizeBytes < targetBytes))
+      .filter(_.size >= 2)
+      .flatten.toSeq
+    if (toCompact.isEmpty) return 0
+    val totalBytes = toCompact.map(_.sizeBytes).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = readFileEntries(toCompact, tableSchema)
+    val packed =
+      if (partCols.nonEmpty) df.repartition(nOut, partCols.map(col): _*)
+      else df.repartition(nOut)
+    val added = writeFiles(packed, partCols)
+    commit(LogEntry(currentVersion + 1, now(), "OPTIMIZE",
+      tableSchema.json, partCols, added, toCompact.map(_.path),
+      Map("numFilesRemoved" -> toCompact.size.toString,
+        "numFilesAdded" -> added.size.toString,
+        "bytesCompacted" -> totalBytes.toString)))
+    toCompact.size
+  }
+
+  /** Delete data files no longer referenced by any of the last
+    * `retainVersions` snapshots (VACUUM): merge/compaction leave removed
+    * files on disk for time travel; vacuum reclaims them. Time travel to
+    * versions older than the retained window stops working afterwards —
+    * the same contract as Delta's VACUUM retention.
+    * @return number of files deleted */
+  def vacuum(retainVersions: Int = 2): Int = {
+    require(retainVersions >= 1, "must retain at least the current version")
+    val (commits, _) = listLog()
+    if (commits.isEmpty) return 0
+    val retained = commits.map(_._1).takeRight(retainVersions)
+    val live: Set[String] = retained
+      .flatMap(v => snapshot(Some(v))._1.map(_.path)).toSet
+    val f = fs
+    if (!f.exists(dataDir)) return 0
+    var deleted = 0
+    def walk(dir: Path, rel: String): Unit =
+      f.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        val relPath = if (rel.isEmpty) name else s"$rel/$name"
+        if (st.isDirectory) {
+          walk(st.getPath, relPath)
+          if (f.listStatus(st.getPath).isEmpty) f.delete(st.getPath, false)
+        } else if (name.endsWith(".parquet") && !live.contains(relPath)) {
+          if (f.delete(st.getPath, false)) deleted += 1
+        }
+      }
+    walk(dataDir, "")
+    deleted
+  }
+
   // -------------------------------------------------------------- merge --
 
   /** Delta-style MERGE builder (reference API usage:

@@ -37,6 +37,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), "partial aggregation missing")
   }
 
+  test("q26: LSH candidate generation joins on bucket equality — never a cross product") {
+    val p = plan("q26_embed_neardup_lsh")
+    assert(!p.contains("CartesianProduct"),
+      "LSH pair path must bucket-join, not cross-join")
+    // the only nested-loop join allowed is none: candidates come from the
+    // exploded bucket equi-join, verification from id equi-joins
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "LSH pair path must not degrade to a nested-loop join")
+  }
+
+  test("q16: minhash bucket self-join is an equi-join") {
+    val p = plan("q16_minhash_lsh")
+    assert(!p.contains("CartesianProduct"),
+      "banded LSH must join on band keys, not cross-join")
+  }
+
   test("versioned table read prunes partitions under filters") {
     val root = Files.createTempDirectory("graft-prune-spec").toString
     val base = spark.range(0, 300).selectExpr("id", "cast(id % 3 + 2021 as int) as y")

@@ -251,6 +251,32 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.read.filter($"v" === "ins").count() == 10)
   }
 
+  test("compact bin-packs small files; vacuum reclaims unreferenced ones") {
+    val path = tmpDir() + "/t12"
+    val t = VersionedTable.create(spark,
+      spark.range(0, 100).selectExpr("id", "cast(id AS string) AS v"), path)
+    // 5 small appends → small-file debris, as per-batch merges produce
+    (1 to 5).foreach { i =>
+      t.append(spark.range(i * 1000, i * 1000 + 100)
+        .selectExpr("id", "cast(id AS string) AS v"))
+    }
+    val before = t.read.count()
+    val filesBefore = t.entries.flatMap(_.add).map(_.path).distinct.size
+    val compacted = t.compact()
+    assert(compacted >= 2, s"expected small files compacted, got $compacted")
+    assert(t.read.count() == before, "compaction must not change data")
+    assert(t.history(1).select("operation").as[String].head() == "OPTIMIZE")
+    assert(t.read.inputFiles.length < filesBefore)
+
+    // removed files still on disk → old version readable; vacuum deletes
+    val oldVersion = 1L
+    assert(t.readVersion(oldVersion).count() == 200)
+    val deleted = t.vacuum(retainVersions = 1)
+    assert(deleted > 0, "vacuum must delete the compacted-away files")
+    assert(t.read.count() == before, "current read survives vacuum")
+    intercept[Exception] { t.readVersion(oldVersion).count() }
+  }
+
   test("data contract check over an empty frame reports clean (no NPE)") {
     import graft.ops.DataContract
     val empty = spark.createDataFrame(
