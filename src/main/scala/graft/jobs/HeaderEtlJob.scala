@@ -112,16 +112,24 @@ object HeaderEtlJob {
     // ---- MERGE (reference: src/header_etl.py:157-294) ------------------
     val tMerge0 = System.nanoTime()
     val stagedCount = dfTransformed.count()
-    val table = twoPhaseMerge(spark, writePath, dfTransformed, batchId)
+    val (table, mInserted, mClosed) =
+      twoPhaseMerge(spark, writePath, dfTransformed, batchId)
 
-    // post-merge accounting in ONE scan (reference runs two full-table
-    // count() jobs at src/header_etl.py:284-294)
-    val counts = table.read.agg(
-      sum(when(col("batch_id") === batchId, 1).otherwise(0)).as("inserted"),
-      sum(when(col("closed_by_batch") === batchId, 1).otherwise(0)).as("closed")
-    ).collect()(0)
-    val insertedCount = Option(counts.getAs[Long]("inserted")).getOrElse(0L)
-    val closedCount = Option(counts.getAs[Long]("closed")).getOrElse(0L)
+    // post-merge accounting from the MERGE OPERATION METRICS (the same
+    // numbers the reference derives by re-scanning the whole table twice
+    // at src/header_etl.py:284-294 — a per-batch full scan that would be
+    // the accounting bottleneck at 100 TB). Falls back to the one-scan
+    // aggregate only if a metric wasn't measured (-1).
+    val (insertedCount, closedCount) =
+      if (mInserted >= 0 && mClosed >= 0) (mInserted, mClosed)
+      else {
+        val counts = table.read.agg(
+          sum(when(col("batch_id") === batchId, 1).otherwise(0)).as("inserted"),
+          sum(when(col("closed_by_batch") === batchId, 1).otherwise(0)).as("closed")
+        ).collect()(0)
+        (Option(counts.getAs[Long]("inserted")).getOrElse(0L),
+          Option(counts.getAs[Long]("closed")).getOrElse(0L))
+      }
     val durMerge = secondsSince(tMerge0)
 
     dfTransformed.unpersist(false)
@@ -182,19 +190,31 @@ object HeaderEtlJob {
         expr("coalesce(to_date(creazione_dta_raw, 'M/d/yyyy'), to_date(creazione_dta_raw, 'yyyy-MM-dd'))"))
   }
 
+  /** One operationMetrics value from the table's latest commit. */
+  private def lastMetric(table: VersionedTable, key: String): Long =
+    table.history(1).select("operationMetrics")
+      .collect().headOption
+      .flatMap(_.getAs[Map[String, String]](0).get(key))
+      .map(_.toLong).getOrElse(-1L)
+
   /** The two-phase SCD2 merge (init if absent, Phase A close-on-change
     * once per key, Phase B idempotent insert — reference:
     * src/header_etl.py:157-280). Shared by the batch job and
-    * [[graft.streaming.StreamingScd2Ingest]]. @return the table handle */
+    * [[graft.streaming.StreamingScd2Ingest]].
+    * @return (table, rows inserted this batch, rows closed this batch) —
+    *         both from merge operation metrics, -1 if unmeasured */
   private[graft] def twoPhaseMerge(spark: SparkSession, writePath: String,
                                    dfTransformed: DataFrame,
-                                   batchId: String): VersionedTable = {
-    if (!VersionedTable.isTable(spark, writePath)) {
+                                   batchId: String): (VersionedTable, Long, Long) = {
+    val inited = !VersionedTable.isTable(spark, writePath)
+    if (inited) {
       // init write — the current batch is then ALSO merged against itself,
       // harmless by Phase-B idempotence (reference: src/header_etl.py:157-166)
       VersionedTable.create(spark, dfTransformed, writePath, Schemas.PartitionColumns)
     }
     val table = VersionedTable.forPath(spark, writePath)
+    // rows written by the init carry this batch_id → they count as inserted
+    val initRows = if (inited) lastMetric(table, "numOutputRows") else 0L
 
     // -- Phase A: close open rows only on real change, once per key ------
     // (reference: src/header_etl.py:168-215)
@@ -232,6 +252,7 @@ object HeaderEtlJob {
           "is_current" -> "false",
           "closed_by_batch" -> s"'$batchId'"))
       .execute()
+    val closed = lastMetric(table, "numTargetRowsUpdated")
 
     // -- Phase B: idempotent insert of all version rows ------------------
     // (reference: src/header_etl.py:219-280)
@@ -242,7 +263,11 @@ object HeaderEtlJob {
       .whenNotMatchedInsert(values =
         StagedColumns.map(c => c -> s"staged.$c").toMap)
       .execute()
-    table
+    val insertedB = lastMetric(table, "numTargetRowsInserted")
+
+    val inserted =
+      if (initRows < 0 || insertedB < 0) -1L else initRows + insertedB
+    (table, inserted, closed)
   }
 
   /** Run-metrics CSV sink, one dir per batch, append mode with header

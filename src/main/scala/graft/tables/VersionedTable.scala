@@ -20,11 +20,14 @@ import org.json4s.jackson.Serialization
 case class FileColStats(min: String, max: String,
                         nullCount: Long, hasMinMax: Boolean)
 
-/** One data file of a table version. `path` is relative to `<root>/data`. */
+/** One data file of a table version. `path` is relative to `<root>/data`.
+  * `rows` comes free from the parquet footer at commit time (-1 on
+  * legacy entries written before it was recorded). */
 case class FileEntry(path: String,
                      partitionValues: Map[String, String],
                      sizeBytes: Long,
-                     stats: Option[Map[String, FileColStats]] = None)
+                     stats: Option[Map[String, FileColStats]] = None,
+                     rows: Long = -1L)
 
 /** One commit in the version log — Delta-shaped (add/remove actions +
   * commitInfo fields), modeled on the commit files observed in the
@@ -278,8 +281,9 @@ class VersionedTable private (val spark: SparkSession,
           f.mkdirs(dest.getParent)
           if (!f.rename(st.getPath, dest))
             throw new IllegalStateException(s"failed to move $relPath into $dataDir")
+          val (stats, rowCount) = footerInfo(dest)
           added += FileEntry(relPath, partitionValuesOf(relPath), st.getLen,
-            footerStats(dest))
+            stats, rowCount)
         }
       }
     walk(stage, "")
@@ -287,17 +291,18 @@ class VersionedTable private (val spark: SparkSession,
     added.toSeq
   }
 
-  /** Column min/max/null stats from the parquet footer of one written
-    * file — metadata-only, no data read. Only top-level primitive leaves
-    * are recorded; failures degrade to "no stats" (skipping is an
-    * optimization, never required for correctness). */
-  private def footerStats(file: Path): Option[Map[String, FileColStats]] =
+  /** Column min/max/null stats AND row count from the parquet footer of
+    * one written file — metadata-only, no data read. Only top-level
+    * primitive leaves are recorded; failures degrade to "no stats"
+    * (skipping is an optimization, never required for correctness). */
+  private def footerInfo(file: Path): (Option[Map[String, FileColStats]], Long) =
     try {
       import scala.jdk.CollectionConverters._
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(file, spark.sparkContext.hadoopConfiguration)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
+        var rowCount = 0L
         val acc = scala.collection.mutable.Map[String, FileColStats]()
         // columns with any row group whose rows are NOT fully accounted
         // for (min/max present, or provably all-NULL) must carry NO stats
@@ -305,6 +310,7 @@ class VersionedTable private (val spark: SparkSession,
         // min/max but still reports numNulls=0: a naive reading would
         // classify the file as all-NULL and wrongly skip it
         val untracked = scala.collection.mutable.Set[String]()
+        reader.getFooter.getBlocks.asScala.foreach(b => rowCount += b.getRowCount)
         for (block <- reader.getFooter.getBlocks.asScala;
              c <- block.getColumns.asScala if c.getPath.size == 1) {
           val name = c.getPath.toDotString
@@ -341,9 +347,9 @@ class VersionedTable private (val spark: SparkSession,
           }
         }
         val ok = acc.toMap -- untracked
-        if (ok.isEmpty) None else Some(ok)
+        (if (ok.isEmpty) None else Some(ok), rowCount)
       } finally reader.close()
-    } catch { case _: Throwable => None }
+    } catch { case _: Throwable => (None, -1L) }
 
   /** "a ≤ b" under numeric comparison when both sides parse as numbers,
     * lexical otherwise — only for merging SAME-column parquet stat
@@ -633,6 +639,10 @@ class VersionedTable private (val spark: SparkSession,
           .cast(f.dataType).as(f.name)
       }: _*)
       val added = writeFiles(rows, partCols)
+      // inserted rows come free from the written files' footer counts —
+      // callers never need a post-merge table scan for accounting
+      val inserted =
+        if (added.forall(_.rows >= 0)) added.map(_.rows).sum else -1L
       commit(LogEntry(currentVersion + 1, now(), "MERGE",
         tableSchema.json, partCols, added, Seq.empty,
         Map(
@@ -640,6 +650,8 @@ class VersionedTable private (val spark: SparkSession,
           "numTargetFilesRemoved" -> "0",
           "numTargetFilesUntouched" -> files.size.toString,
           "numTargetFilesSkippedByStats" -> statsSkipped.toString,
+          "numTargetRowsUpdated" -> "0",
+          "numTargetRowsInserted" -> inserted.toString,
           "insertOnly" -> "true")))
       return
     }
@@ -711,6 +723,21 @@ class VersionedTable private (val spark: SparkSession,
     }
     val insVals = notMatchedInsert.map(_._2).getOrElse(Map.empty)
 
+    // Row-level merge metrics from the SAME persisted join (the numbers
+    // Delta reports as numTargetRowsUpdated/Inserted) — so callers can
+    // account for a merge without re-scanning the table afterwards.
+    // Only computed when the join is persisted; -1 = not measured.
+    // NB TPresent is NULL (not false) on source-only full-outer rows.
+    val (rowsUpdated, rowsInserted) =
+      if (checkCardinality) {
+        val r = joined.agg(
+          sum(when(tPresent && sPresent && updCond, 1L).otherwise(0L)).as("u"),
+          sum(when(sPresent && insCond && !coalesce(col(TPresent), lit(false)), 1L)
+            .otherwise(0L)).as("i")).collect()(0)
+        (if (r.isNullAt(0)) 0L else r.getLong(0),
+          if (r.isNullAt(1)) 0L else r.getLong(1))
+      } else (-1L, -1L)
+
     val kept = joined.filter(tPresent || (sPresent && insCond))
     val outCols = dataCols.map { f =>
       val tCol = col(s"$targetAlias.${f.name}")
@@ -734,7 +761,9 @@ class VersionedTable private (val spark: SparkSession,
         "numTargetFilesAdded" -> added.size.toString,
         "numTargetFilesRemoved" -> touchedFiles.size.toString,
         "numTargetFilesUntouched" -> untouched.size.toString,
-        "numTargetFilesSkippedByStats" -> statsSkipped.toString)))
+        "numTargetFilesSkippedByStats" -> statsSkipped.toString,
+        "numTargetRowsUpdated" -> rowsUpdated.toString,
+        "numTargetRowsInserted" -> rowsInserted.toString)))
     } finally { if (checkCardinality) joined.unpersist(false) }
   }
 
@@ -802,9 +831,12 @@ object VersionedTable {
     require(!isTable(spark, path), s"$path is already a graft table")
     val t = new VersionedTable(spark, path, None)
     val added = t.writeFiles(df, partitionBy)
+    val rows =
+      if (added.forall(_.rows >= 0)) added.map(_.rows).sum else -1L
     t.commit(LogEntry(0L, now(), "CREATE TABLE AS SELECT",
       df.schema.json, partitionBy, added, Seq.empty,
-      Map("numFiles" -> added.size.toString)))
+      Map("numFiles" -> added.size.toString,
+        "numOutputRows" -> rows.toString)))
     t
   }
 

@@ -233,20 +233,25 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(m1("numTargetFilesSkippedByStats").toInt >= total - 2,
       s"expected most files stats-skipped, got $m1")
     assert(m1("numTargetFilesRemoved").toInt <= 2)
+    assert(m1("numTargetRowsUpdated").toLong == 20, s"got $m1")
     assert(t.read.filter($"v" === "upd").count() == 20)
     assert(t.read.count() == 8000)
 
-    // insert-only merge: half existing (in-range), half new keys
+    // insert-only merge: half existing (in-range), half new keys.
+    // Source lo = 5500 — well above the first files' ranges even under
+    // repartitionByRange boundary-sampling noise, so the low-range files
+    // MUST be stats-skipped.
     t.alias("e")
-      .merge(spark.range(1500, 1520).unionAll(spark.range(20000, 20010))
+      .merge(spark.range(5500, 5520).unionAll(spark.range(20000, 20010))
         .selectExpr("id AS k", "'ins' AS nv").alias("s"), "e.id = s.k")
       .whenNotMatchedInsert(values = Map("id" -> "s.k", "v" -> "s.nv"))
       .execute()
     val m2 = t.history(1).select("operationMetrics").as[Map[String, String]].head()
     assert(m2("insertOnly") == "true")
-    // source range 1500..20009 spans beyond the table max; at least the
-    // low-range files must still be skipped
-    assert(m2("numTargetFilesSkippedByStats").toInt >= 1, s"got $m2")
+    assert(m2("numTargetRowsInserted").toLong == 10, s"got $m2")
+    // source range 5500..20009 spans beyond the table max; the files
+    // below 5500 must still be skipped
+    assert(m2("numTargetFilesSkippedByStats").toInt >= 2, s"got $m2")
     assert(t.read.count() == 8010)
     assert(t.read.filter($"v" === "ins").count() == 10)
   }
