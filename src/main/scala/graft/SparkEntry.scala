@@ -478,6 +478,19 @@ object SparkEntry {
         .orderBy("field", "rule")
     }),
 
+    // LLM-pipeline: duplicate-CLUSTER resolution — near-dup pairs only
+    // become a dedup decision once grouped into connected components with
+    // a canonical doc per cluster. Engine: MinHash-LSH pairs → min-label
+    // propagation (bounded by cluster diameter, equi-joins only). Oracle:
+    // DuckDB recursive CTE computing the transitive closure over the
+    // exact all-pairs Jaccard graph.
+    "q28_dedup_clusters" -> ((s, dir) => {
+      GraftSession.tune(s)
+      graft.ops.TextDedup
+        .dedupClusters(tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Semi-structured: JSON field extraction from the events props column
     // — a training-pipeline staple (metadata filtering).
     "q21_json_extract" -> ((s, dir) => {
@@ -686,6 +699,32 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
         |ORDER BY vec_id_1, vec_id_2""".stripMargin,
+
+    // Transitive closure over the exact all-pairs Jaccard graph, min
+    // reachable id as the cluster label — must equal the engine's
+    // LSH-pairs + label-propagation result.
+    "q28_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents
+        |), grams AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs
+        |  FROM toks WHERE len(ws) >= 3
+        |), p0 AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
+        |        / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.5
+        |), edges AS (
+        |  SELECT a, b FROM p0 UNION ALL SELECT b, a FROM p0
+        |), reach(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id
+        |)
+        |SELECT id AS doc_id, min(lbl) AS cluster_id,
+        |  (id = min(lbl)) AS is_canonical
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // Independent recomputation of every contract rule's offending-row
     // count over the same fixture rows; only violated rules survive.

@@ -195,6 +195,62 @@ object TextDedup {
       col("hamming"))
   }
 
+  /** Connected components over an undirected pair/edge frame via
+    * min-label propagation: every vertex converges to the SMALLEST id
+    * reachable from it, which becomes the component (cluster) label.
+    *
+    * Scale: each iteration is one equi-join + one hash aggregate over
+    * (edges + vertices) — no all-pairs work; iterations are bounded by
+    * the component diameter (near-dup clusters are shallow — a handful
+    * of rounds). Frames are persisted per round and released as soon as
+    * the next round materializes, so lineage stays flat. The convergence
+    * probe is a `limit(1).count()` existence check, not a full count.
+    * @return (id, cluster) — cluster = min reachable id */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+      .union(edges.select(col(dstCol).as("__a"), col(srcCol).as("__b")))
+    var labels = sym.select(col("__a").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = labels.isEmpty
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = sym.join(labels, sym("__b") === labels("id"))
+        .select(col("__a").as("id"), col("cluster"))
+        .union(labels)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = prop.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.cluster") =!= col("o.cluster"))
+        .limit(1).count()
+      labels.unpersist(false)
+      labels = prop
+      converged = changed == 0
+      i += 1
+    }
+    Caches.registered(labels)
+  }
+
+  /** Duplicate-cluster assignment for a document frame: near-dup pairs
+    * (MinHash-LSH, exact-verified) → connected components → every doc
+    * labeled with its cluster's canonical (minimum) id; docs in no pair
+    * form singleton clusters. `is_canonical` marks the one row per
+    * cluster a dedup pipeline would keep.
+    * @return (idCol, cluster_id, is_canonical) */
+  def dedupClusters(df: DataFrame, idCol: String, textCol: String,
+                    shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val pairs = minHashLshPairs(df, idCol, textCol,
+      shingleSize = shingleSize, threshold = threshold)
+    val cc = connectedComponents(pairs, s"${idCol}_1", s"${idCol}_2")
+    df.select(col(idCol))
+      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster"), col(idCol)).as("cluster_id"))
+      .withColumn("is_canonical", col(idCol) === col("cluster_id"))
+  }
+
   /** EXACT n-gram Jaccard pairs via an inverted-index join: explode
     * shingle hashes, self-join on the shingle, count shared shingles per
     * pair, jaccard = |∩| / (n1 + n2 − |∩|). Only pairs sharing at least

@@ -33,6 +33,39 @@ class LlmOpsSpec extends AnyFunSuite {
       s"simhash missed ${exactPairs -- sim}, extra ${sim -- exactPairs}")
   }
 
+  test("connected components resolve multi-hop chains to the minimum label") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4 — needs label propagation, not one
+    // hop), a triangle 10-11-12, and an isolated edge 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("a", "b")
+    val cc = TextDedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(cc(_) == 1L), s"chain broken: $cc")
+    assert(Seq(10L, 11L, 12L).forall(cc(_) == 10L))
+    assert(cc(20L) == 20L && cc(21L) == 20L)
+    graft.ops.Caches.releaseAll()
+  }
+
+  test("dedup clusters: every doc labeled, canonical = min id per near-dup component") {
+    val clusters = TextDedup.dedupClusters(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(clusters.length == docs.count())
+    val byCluster = clusters.groupBy(_._2)
+    // canonical is the min id of its cluster, exactly one per cluster
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid)
+      assert(members.count(_._3) == 1)
+    }
+    // every exact near-dup pair ends up in the same cluster
+    val label = clusters.map(c => c._1 -> c._2).toMap
+    exactPairs.foreach { case (a, b) =>
+      assert(label(a) == label(b), s"pair ($a,$b) split across clusters")
+    }
+    graft.ops.Caches.releaseAll()
+  }
+
   test("embedding near-dup: LSH pair path finds planted pairs, verified exact") {
     // synthetic corpus: 200 random 64-dim vectors + 10 jittered copies
     // (cosine ≈ 0.99 to their originals) — the planted near-dup pairs
