@@ -491,6 +491,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // LLM-pipeline: deterministic stratified sampling — reproducible
+    // corpus composition by length bucket (favoring short docs here).
+    // The uniform variate is the injectable arithmetic hash so the
+    // oracle reproduces the EXACT subset, row for row; production uses
+    // the default seeded xxhash64 variate (same operator, spec-covered).
+    "q29_stratified_sample" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val docs = tbl(s, dir, "documents")
+        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+        .withColumn("stratum",
+          when(col("n_tokens") < 50, "short")
+            .when(col("n_tokens") < 200, "medium")
+            .otherwise("long"))
+      graft.ops.Sampling.stratifiedSample(docs, "doc_id", "stratum",
+        rates = Map("short" -> 0.8, "medium" -> 0.5, "long" -> 0.2),
+        uniform = Some(pmod(col("doc_id") * 48271 + 11, lit(10007)).cast("double") / 10007.0))
+        .select(col("doc_id"), col("stratum"))
+        .orderBy("doc_id")
+    }),
+
     // Semi-structured: JSON field extraction from the events props column
     // — a training-pipeline staple (metadata filtering).
     "q21_json_extract" -> ((s, dir) => {
@@ -699,6 +719,19 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
         |ORDER BY vec_id_1, vec_id_2""".stripMargin,
+
+    // Same arithmetic-hash subset, computed independently.
+    "q29_stratified_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) < 50 THEN 'short'
+        |         WHEN len(regexp_split_to_array(trim(text), '\s+')) < 200 THEN 'medium'
+        |         ELSE 'long' END AS stratum
+        |  FROM documents)
+        |SELECT doc_id, stratum FROM d
+        |WHERE ((doc_id * 48271 + 11) % 10007)::DOUBLE / 10007
+        |      < CASE stratum WHEN 'short' THEN 0.8 WHEN 'medium' THEN 0.5 ELSE 0.2 END
+        |ORDER BY doc_id""".stripMargin,
 
     // Transitive closure over the exact all-pairs Jaccard graph, min
     // reachable id as the cluster label — must equal the engine's

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus-composition operators (SURVEY.md §7.6 family):
+  * reproducible stratified sampling and temperature-based mixture
+  * weighting — the standard knobs for assembling a training corpus from
+  * heterogeneous strata (languages, length buckets, sources).
+  *
+  * Sampling decisions are pure per-row expressions (keep a row iff a
+  * uniform hash of its id falls under the stratum's rate): no shuffle,
+  * no state, and the SAME subset on every run and at any parallelism —
+  * the property that makes corpus builds auditable. The uniform variate
+  * is injectable for engines that must reproduce the subset externally.
+  */
+object Sampling {
+
+  /** Uniform [0,1) variate from the row id — xxhash64-based, seeded. */
+  def uniformHash(idCol: String, seed: Long): Column =
+    pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L)).cast("double") / 1000000.0
+
+  /** Keep each row with its stratum's probability, deterministically.
+    * @param rates       stratum value → keep rate in [0,1]
+    * @param defaultRate rate for strata absent from `rates`
+    * @param uniform     optional replacement for the hash variate (e.g.
+    *                    an arithmetic hash an external system can
+    *                    reproduce); defaults to [[uniformHash]] */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 0.0,
+                       seed: Long = 42L,
+                       uniform: Option[Column] = None): DataFrame = {
+    require(rates.values.forall(r => r >= 0 && r <= 1), "rates must be in [0,1]")
+    val u = uniform.getOrElse(uniformHash(idCol, seed))
+    val rateCol = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(col(stratumCol) === k, lit(r)).otherwise(acc)
+    }
+    df.filter(u < rateCol)
+  }
+
+  /** Per-stratum keep rates implementing temperature sampling: stratum
+    * probabilities p_i are flattened to q_i ∝ p_i^(1/T) (T > 1 upsamples
+    * rare strata — the multilingual-corpus mixing rule), then scaled so
+    * the expected kept total is `targetRows`, capped at 1 per stratum.
+    * One small aggregate (stratum cardinality rows) reaches the driver. */
+  def temperatureRates(df: DataFrame, stratumCol: String,
+                       temperature: Double, targetRows: Long): Map[String, Double] = {
+    require(temperature > 0, "temperature must be positive")
+    val counts = df.groupBy(stratumCol).count().collect()
+      .map(r => Option(r.get(0)).map(_.toString).getOrElse("") -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    if (total == 0) return Map.empty
+    val weights = counts.map { case (k, c) =>
+      k -> math.pow(c / total, 1.0 / temperature)
+    }
+    val wSum = weights.values.sum
+    // expected kept rows = Σ c_i · rate_i = targetRows when uncapped
+    counts.map { case (k, c) =>
+      k -> math.min(1.0, targetRows * (weights(k) / wSum) / c)
+    }
+  }
+
+  /** Temperature-mixed sample: [[temperatureRates]] + [[stratifiedSample]]. */
+  def temperatureMix(df: DataFrame, idCol: String, stratumCol: String,
+                     temperature: Double, targetRows: Long,
+                     seed: Long = 42L): DataFrame =
+    stratifiedSample(df, idCol, stratumCol,
+      temperatureRates(df, stratumCol, temperature, targetRows), seed = seed)
+}

@@ -33,6 +33,39 @@ class LlmOpsSpec extends AnyFunSuite {
       s"simhash missed ${exactPairs -- sim}, extra ${sim -- exactPairs}")
   }
 
+  test("stratified sampling is deterministic, rate-accurate, and temperature upsamples rare strata") {
+    import spark.implicits._
+    val n = 20000
+    val df = spark.range(0, n)
+      // skewed strata: 90% common, 9% mid, 1% rare
+      .withColumn("stratum",
+        when(col("id") % 100 < 90, "common")
+          .when(col("id") % 100 < 99, "mid")
+          .otherwise("rare"))
+    val rates = Map("common" -> 0.1, "mid" -> 0.5, "rare" -> 1.0)
+    val s1 = Sampling.stratifiedSample(df, "id", "stratum", rates)
+    val got = s1.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rate accuracy within sampling noise
+    assert(math.abs(got("common") - 0.1 * 0.9 * n) < 0.9 * n * 0.02, got.toString)
+    assert(math.abs(got("mid") - 0.5 * 0.09 * n) < 300, got.toString)
+    assert(got("rare") == n / 100, "rate 1.0 must keep every rare row")
+    // deterministic: same seed → identical subset
+    val again = Sampling.stratifiedSample(df, "id", "stratum", rates)
+    assert(s1.exceptAll(again).isEmpty && again.exceptAll(s1).isEmpty)
+
+    // temperature flattening: T=1 preserves proportions; higher T gives
+    // the rare stratum a strictly higher keep rate than the common one
+    val r1 = Sampling.temperatureRates(df, "stratum", temperature = 1.0, targetRows = 2000)
+    val r3 = Sampling.temperatureRates(df, "stratum", temperature = 3.0, targetRows = 2000)
+    assert(math.abs(r1("common") - r1("rare")) < 1e-9,
+      s"T=1 keeps uniform per-row rates: $r1")
+    assert(r3("rare") > r3("common"), s"T=3 must upsample rare strata: $r3")
+    val mixed = Sampling.temperatureMix(df, "id", "stratum", 3.0, targetRows = 2000)
+    val mTotal = mixed.count()
+    assert(math.abs(mTotal - 2000) < 300, s"expected ~2000 rows, got $mTotal")
+  }
+
   test("connected components resolve multi-hop chains to the minimum label") {
     import spark.implicits._
     // chain 1-2-3-4-5 (diameter 4 — needs label propagation, not one
