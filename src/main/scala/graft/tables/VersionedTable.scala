@@ -465,28 +465,40 @@ class VersionedTable private (val spark: SparkSession,
     * remove+add version. Data is byte-identical; only layout changes.
     * Essential at scale: a daily-merged 100 TB table otherwise degrades
     * into millions of tiny scans.
+    *
+    * With `clusterBy`, rewritten data is range-partitioned and sorted on
+    * those columns (the practical core of Delta's OPTIMIZE ZORDER):
+    * each output file then covers a TIGHT min/max range, which is what
+    * makes footer-stats skipping ([[readWhereBetween]]) and merge-target
+    * pruning bite on non-partition columns.
     * @return number of files compacted away (0 = nothing to do) */
-  def compact(targetBytes: Long = 128L * 1024 * 1024): Int = {
+  def compact(targetBytes: Long = 128L * 1024 * 1024,
+              clusterBy: Seq[String] = Seq.empty): Int = {
     val (files, tableSchema, partCols) = snapshot(None)
-    // only partitions with 2+ small files benefit
+    // only partitions with 2+ small files benefit — unless clustering was
+    // requested, which re-sorts every small file even alone in its partition
     val byPartition = files.groupBy(_.partitionValues)
     val toCompact = byPartition.values
       .map(_.filter(_.sizeBytes < targetBytes))
-      .filter(_.size >= 2)
+      .filter(fs => fs.size >= 2 || (clusterBy.nonEmpty && fs.nonEmpty))
       .flatten.toSeq
     if (toCompact.isEmpty) return 0
     val totalBytes = toCompact.map(_.sizeBytes).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val df = readFileEntries(toCompact, tableSchema)
     val packed =
-      if (partCols.nonEmpty) df.repartition(nOut, partCols.map(col): _*)
+      if (clusterBy.nonEmpty)
+        df.repartitionByRange(nOut, (partCols ++ clusterBy).map(col): _*)
+          .sortWithinPartitions((partCols ++ clusterBy).map(col): _*)
+      else if (partCols.nonEmpty) df.repartition(nOut, partCols.map(col): _*)
       else df.repartition(nOut)
     val added = writeFiles(packed, partCols)
     commit(LogEntry(currentVersion + 1, now(), "OPTIMIZE",
       tableSchema.json, partCols, added, toCompact.map(_.path),
       Map("numFilesRemoved" -> toCompact.size.toString,
         "numFilesAdded" -> added.size.toString,
-        "bytesCompacted" -> totalBytes.toString)))
+        "bytesCompacted" -> totalBytes.toString,
+        "clusterBy" -> clusterBy.mkString(","))))
     toCompact.size
   }
 

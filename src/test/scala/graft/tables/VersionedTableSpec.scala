@@ -282,6 +282,32 @@ class VersionedTableSpec extends AnyFunSuite {
     intercept[Exception] { t.readVersion(oldVersion).count() }
   }
 
+  test("clustered compaction tightens per-file ranges so stats skipping bites") {
+    val path = tmpDir() + "/t14"
+    // 6 appends each spanning the FULL id range → every file overlaps
+    // every range predicate, stats skipping can't prune anything
+    val t = VersionedTable.create(spark,
+      spark.range(0, 1000)
+        .selectExpr("id * 7919 % 6000 AS id", "cast(id AS string) AS v"), path)
+    (1 to 5).foreach { i =>
+      t.append(spark.range(0, 1000)
+        .selectExpr(s"id * 7919 % 6000 AS id", "cast(id AS string) AS v"))
+    }
+    val (candBefore, totalBefore) = t.candidateFiles("id", 100, 150)
+    assert(candBefore.size == totalBefore, "full-range files can't be pruned")
+
+    val compacted = t.compact(targetBytes = 8 * 1024, clusterBy = Seq("id"))
+    assert(compacted > 0)
+    val (candAfter, totalAfter) = t.candidateFiles("id", 100, 150)
+    assert(totalAfter > 1, s"compaction should leave several files, got $totalAfter")
+    assert(candAfter.size < totalAfter,
+      s"clustered files must prune: ${candAfter.size} of $totalAfter")
+    // data unchanged
+    assert(t.read.count() == 6000)
+    assert(t.readWhereBetween("id", 100, 150).count() ==
+      t.read.filter($"id".between(100, 150)).count())
+  }
+
   test("data contract check over an empty frame reports clean (no NPE)") {
     import graft.ops.DataContract
     val empty = spark.createDataFrame(
