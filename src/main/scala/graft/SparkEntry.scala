@@ -511,6 +511,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // LLM-pipeline: sequence packing — docs concatenated in id order per
+    // shard and split into ~1000-token bins (exclusive-cumsum / budget).
+    // Shard-parallel by construction: one window shuffle on the shard
+    // key, never a global sort.
+    "q30_sequence_pack" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val docs = tbl(s, dir, "documents")
+        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      graft.ops.Packing
+        .sequencePack(docs, "doc_id", "n_tokens", budget = 1000,
+          shard = pmod(col("doc_id"), lit(8)))
+        .select(col("doc_id"), col("shard"), col("bin_id"))
+        .orderBy("doc_id")
+    }),
+
     // Semi-structured: JSON field extraction from the events props column
     // — a training-pipeline staple (metadata filtering).
     "q21_json_extract" -> ((s, dir) => {
@@ -732,6 +747,17 @@ object SparkEntry {
         |WHERE ((doc_id * 48271 + 11) % 10007)::DOUBLE / 10007
         |      < CASE stratum WHEN 'short' THEN 0.8 WHEN 'medium' THEN 0.5 ELSE 0.2 END
         |ORDER BY doc_id""".stripMargin,
+
+    // Same per-shard exclusive cumulative sum, computed independently.
+    "q30_sequence_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n
+        |  FROM documents)
+        |SELECT doc_id, shard,
+        |  CAST(floor(coalesce(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 1000.0) AS BIGINT) AS bin_id
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // Transitive closure over the exact all-pairs Jaccard graph, min
     // reachable id as the cluster label — must equal the engine's

@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training batches (SURVEY.md §7.6 family):
+  * documents are concatenated in a deterministic order and split into
+  * bins of ~`budget` tokens — the standard preprocessing step that turns
+  * a ragged corpus into fixed-budget training sequences.
+  *
+  * Semantics: within a shard, docs are taken in `idCol` order and doc i
+  * lands in bin `floor(exclusive_cumsum(tokens) / budget)` — i.e. a new
+  * bin starts once the running total crosses the budget (a bin may
+  * overflow by at most one document, the usual split-at-boundary rule).
+  *
+  * Scale: packing is per-SHARD (one window shuffle on the shard key,
+  * cumulative sums inside each shard) — never a global single-partition
+  * sort. Shard count scales with the cluster; each training worker
+  * consumes its shard's bins independently.
+  */
+object Packing {
+
+  /** Assign each row a (shard, bin_id).
+    * @param shard  shard expression (e.g. `pmod(col("doc_id"), 64)`) —
+    *               packing runs independently per shard value
+    * @param budget target tokens per bin */
+  def sequencePack(df: DataFrame, idCol: String, tokensCol: String,
+                   budget: Long, shard: Column): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col("__shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__shard", shard)
+      .withColumn("__cum", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .withColumn("bin_id", floor(col("__cum") / budget).cast("long"))
+      .withColumn("shard", col("__shard"))
+      .drop("__shard", "__cum")
+  }
+
+  /** Per-bin summary (docs and token total per (shard, bin)). */
+  def binStats(packed: DataFrame, tokensCol: String): DataFrame =
+    packed.groupBy("shard", "bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum(tokensCol).as("total_tokens"))
+}

@@ -66,6 +66,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(math.abs(mTotal - 2000) < 300, s"expected ~2000 rows, got $mTotal")
   }
 
+  test("sequence packing fills bins to the budget, overflowing by at most one doc") {
+    val df = spark.range(0, 500)
+      .withColumn("toks", (col("id") % 37 + 10).cast("long"))
+    val packed = Packing.sequencePack(df, "id", "toks", budget = 100,
+      shard = pmod(col("id"), lit(4)))
+    assert(packed.count() == 500)
+    // (shard, bin_id, n_docs, total_tokens) per bin
+    val stats = Packing.binStats(packed, "toks").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val maxTok = 46L // toks ranges 10..46
+    stats.groupBy(_._1).foreach { case (shard, bins) =>
+      // bins are contiguous from 0 within each shard
+      assert(bins.map(_._2).sorted.toSeq == (0L until bins.length),
+        s"shard $shard: non-contiguous bins ${bins.map(_._2).sorted.toSeq}")
+      // split-at-boundary: a bin overflows by at most its last doc...
+      assert(bins.forall(_._4 <= 100 + maxTok),
+        s"shard $shard: bin overflow beyond one doc")
+      // ...and every non-final bin actually reached the boundary
+      val lastBin = bins.map(_._2).max
+      assert(bins.filter(_._2 < lastBin).forall(_._4 >= 100 - maxTok),
+        s"shard $shard: underfilled non-final bin")
+    }
+  }
+
   test("connected components resolve multi-hop chains to the minimum label") {
     import spark.implicits._
     // chain 1-2-3-4-5 (diameter 4 — needs label propagation, not one
