@@ -526,6 +526,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // LLM-pipeline: PII scrubbing — URLs / emails / long digit runs
+    // replaced with typed placeholders. PII is planted deterministically
+    // (derived from doc_id) so the redaction provably fires on every
+    // row; the oracle reproduces the exact scrubbed text.
+    "q31_redaction" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val planted = tbl(s, dir, "documents")
+        .withColumn("dirty", concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com"),
+          lit(" or call 5551"), col("doc_id"), lit("23456"),
+          lit(" see https://ex.org/d/"), col("doc_id")))
+      planted
+        .withColumn("clean", graft.ops.TextAnalysis.redact("dirty"))
+        .select(col("doc_id"), col("clean"),
+          (length(col("dirty")) - length(col("clean"))).as("chars_removed"))
+        .filter(col("clean").contains("<EMAIL>") &&
+          col("clean").contains("<NUM>") && col("clean").contains("<URL>"))
+        .orderBy("doc_id")
+    }),
+
     // Semi-structured: JSON field extraction from the events props column
     // — a training-pipeline staple (metadata filtering).
     "q21_json_extract" -> ((s, dir) => {
@@ -746,6 +766,27 @@ object SparkEntry {
         |SELECT doc_id, stratum FROM d
         |WHERE ((doc_id * 48271 + 11) % 10007)::DOUBLE / 10007
         |      < CASE stratum WHEN 'short' THEN 0.8 WHEN 'medium' THEN 0.5 ELSE 0.2 END
+        |ORDER BY doc_id""".stripMargin,
+
+    // Same scrub chain (RE2-compatible patterns, 'g' = replace all) over
+    // the same planted text.
+    "q31_redaction" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id::VARCHAR || '@example.com'
+        |         || ' or call 5551' || doc_id::VARCHAR || '23456'
+        |         || ' see https://ex.org/d/' || doc_id::VARCHAR AS dirty
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, dirty,
+        |    regexp_replace(regexp_replace(regexp_replace(dirty,
+        |      'https?://[^\s]+', '<URL>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{6,}', '<NUM>', 'g') AS clean
+        |  FROM d)
+        |SELECT doc_id, clean, length(dirty) - length(clean) AS chars_removed
+        |FROM c
+        |WHERE clean LIKE '%<EMAIL>%' AND clean LIKE '%<NUM>%' AND clean LIKE '%<URL>%'
         |ORDER BY doc_id""".stripMargin,
 
     // Same per-shard exclusive cumulative sum, computed independently.

@@ -97,6 +97,24 @@ object TextAnalysis {
     expr(s"aggregate(split(lower(trim($textCol)), '\\\\s+'), 7L, " +
       "(acc, t) -> pmod(acc * 31 + xxhash64(t), 2305843009213693951L))")
 
+  /** PII scrubbing patterns — deliberately written in the regex subset
+    * that Java and RE2 interpret identically, so external systems can
+    * reproduce the scrub byte-for-byte. Order matters: URLs first (they
+    * may embed @ and digits), then emails, then long digit runs. */
+  val UrlPattern = "https?://[^\\s]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumberPattern = "[0-9]{6,}"
+
+  /** Redact URLs / emails / long digit runs with typed placeholders —
+    * the standard pre-training scrub pass. Pure per-row codegen'd
+    * regexp_replace chain: no shuffle, no UDF. */
+  def redact(textCol: String): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(col(textCol), UrlPattern, "<URL>"),
+        EmailPattern, "<EMAIL>"),
+      LongNumberPattern, "<NUM>")
+
   /** Convenience: attach all text-analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("lang_guess", languageId(textCol))
