@@ -208,8 +208,13 @@ object TextDedup {
     * @return (id, cluster) — cluster = min reachable id */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
-      .union(edges.select(col(dstCol).as("__a"), col(srcCol).as("__b")))
+    // persisted: every propagation round joins against the edge list —
+    // without this the edge-producing plan (often a whole LSH candidate
+    // pipeline) re-runs once per round
+    val sym = Caches.registered(
+      edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+        .union(edges.select(col(dstCol).as("__a"), col(srcCol).as("__b")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var labels = sym.select(col("__a").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

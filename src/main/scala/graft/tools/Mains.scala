@@ -107,3 +107,25 @@ object PartitioningTest {
     spark.stop()
   }
 }
+
+/** `runMain graft.tools.TableMaintenanceMain <table_path> [targetMB]
+  * [retainVersions] [clusterCol ...]` — OPTIMIZE (small-file
+  * bin-packing, optionally clustered) followed by VACUUM. The
+  * maintenance pass a daily-merged table needs to stay scan-healthy. */
+object TableMaintenanceMain {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty,
+      "usage: TableMaintenanceMain <table_path> [targetMB] [retainVersions] [clusterCol ...]")
+    val path = args(0)
+    val targetMB = if (args.length > 1) args(1).toLong else 128L
+    val retain = if (args.length > 2) args(2).toInt else 2
+    val clusterBy = args.drop(3).toSeq
+    val spark = GraftSession.local("graft-table-maintenance")
+    val t = VersionedTable.forPath(spark, path)
+    val compacted = t.compact(targetMB * 1024 * 1024, clusterBy)
+    val deleted = t.vacuum(retain)
+    println(s"compacted_files=$compacted vacuumed_files=$deleted " +
+      s"version=${t.currentVersion}")
+    spark.stop()
+  }
+}
