@@ -237,7 +237,7 @@ class VersionedTable private (val spark: SparkSession,
         require(missing.isEmpty, s"append schema is missing columns $missing")
         cur
       }
-    val aligned = df.select(newSchema.fieldNames.map { n =>
+    val aligned = df.select(newSchema.fieldNames.toSeq.map { n =>
       if (df.schema.fieldNames.contains(n))
         col(n).cast(newSchema(n).dataType).as(n)
       else lit(null).cast(newSchema(n).dataType).as(n)
@@ -314,7 +314,7 @@ class VersionedTable private (val spark: SparkSession,
         for (block <- reader.getFooter.getBlocks.asScala;
              c <- block.getColumns.asScala if c.getPath.size == 1) {
           val name = c.getPath.toDotString
-          val st = c.getStatistics
+          val st: org.apache.parquet.column.statistics.Statistics[_] = c.getStatistics
           val covered = st != null && !st.isEmpty &&
             (st.hasNonNullValue ||
               (st.isNumNullsSet && st.getNumNulls == block.getRowCount))
