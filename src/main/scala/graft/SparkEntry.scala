@@ -546,6 +546,44 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Structured Streaming surface, oracle-verified: the SAME two-phase
+    // SCD2 merge driven through readStream/foreachBatch instead of the
+    // batch job — two sequential AvailableNow drains (one per drop file,
+    // deterministic; no reliance on intra-run file ordering). Streaming
+    // ingest has no batch-date validation (no filename date), so the
+    // fixture/oracle carry only the null-key and duplicate cases.
+    "q32_streaming_scd2" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val root = Files.createTempDirectory("graft-q32").toString
+      val in = s"$root/in"
+      def hrow(cod: String, status: String, et: String): Seq[String] =
+        Seq(cod, "3000000001", "365", "OPEC0001", "2023-01-01", "1500.00",
+          "", "", "10001", status, "2023-01-01", et)
+      val b1 = Seq(
+        hrow("K0000001", "A", "2023-01-25 10:00:00"),
+        hrow("K0000002", "A", "2023-01-25 10:00:00"),
+        hrow("K0000002", "B", "2023-01-25 12:00:00"),
+        hrow("K0000003", "A", "2023-01-25 09:00:00"),
+        hrow("K0000003", "A", "2023-01-25 09:00:00"), // identical dup → keep one
+        hrow("", "A", "2023-01-25 11:00:00"))         // NULL key → dropped
+      val b2 = Seq(
+        hrow("K0000001", "B", "2023-01-26 09:00:00"),
+        hrow("K0000002", "C", "2023-01-26 08:00:00"),
+        hrow("K0000004", "A", "2023-01-26 11:00:00"))
+      writePipeCsv(s"$in/header_b1.csv", HeaderCsvHeader, b1)
+      graft.streaming.StreamingScd2Ingest
+        .start(s, in, s"$root/table", s"$root/ckpt").awaitTermination()
+      writePipeCsv(s"$in/header_b2.csv", HeaderCsvHeader, b2)
+      graft.streaming.StreamingScd2Ingest
+        .start(s, in, s"$root/table", s"$root/ckpt").awaitTermination()
+      VersionedTable.forPath(s, s"$root/table").read
+        .select(col("contratto_cod"), col("status_quote"),
+          date_format(col("valid_from_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("is_current"))
+        .orderBy("contratto_cod", "valid_from")
+    }),
+
     // Semi-structured: JSON field extraction from the events props column
     // — a training-pipeline staple (metadata filtering).
     "q21_json_extract" -> ((s, dir) => {
@@ -767,6 +805,47 @@ object SparkEntry {
         |WHERE ((doc_id * 48271 + 11) % 10007)::DOUBLE / 10007
         |      < CASE stratum WHEN 'short' THEN 0.8 WHEN 'medium' THEN 0.5 ELSE 0.2 END
         |ORDER BY doc_id""".stripMargin,
+
+    // Same replay as the batch header pipeline, minus the batch-date
+    // filter (streaming ingest has no batch date).
+    "q32_streaming_scd2" ->
+      """WITH b1r(contratto_cod, codice_agente, status_quote, event_time) AS (VALUES
+        |  ('K0000001', '10001', 'A', TIMESTAMP '2023-01-25 10:00:00'),
+        |  ('K0000002', '10001', 'A', TIMESTAMP '2023-01-25 10:00:00'),
+        |  ('K0000002', '10001', 'B', TIMESTAMP '2023-01-25 12:00:00'),
+        |  ('K0000003', '10001', 'A', TIMESTAMP '2023-01-25 09:00:00'),
+        |  ('K0000003', '10001', 'A', TIMESTAMP '2023-01-25 09:00:00'),
+        |  (NULL,       '10001', 'A', TIMESTAMP '2023-01-25 11:00:00')),
+        |b2r(contratto_cod, codice_agente, status_quote, event_time) AS (VALUES
+        |  ('K0000001', '10001', 'B', TIMESTAMP '2023-01-26 09:00:00'),
+        |  ('K0000002', '10001', 'C', TIMESTAMP '2023-01-26 08:00:00'),
+        |  ('K0000004', '10001', 'A', TIMESTAMP '2023-01-26 11:00:00')),
+        |v1 AS (SELECT DISTINCT contratto_cod, codice_agente, status_quote, event_time
+        |       FROM b1r WHERE contratto_cod IS NOT NULL AND event_time IS NOT NULL),
+        |v2 AS (SELECT DISTINCT contratto_cod, codice_agente, status_quote, event_time
+        |       FROM b2r WHERE contratto_cod IS NOT NULL AND event_time IS NOT NULL),
+        |ver1 AS (SELECT *, lead(event_time) OVER (PARTITION BY contratto_cod ORDER BY event_time) AS next_ts FROM v1),
+        |ver2 AS (SELECT *, lead(event_time) OVER (PARTITION BY contratto_cod ORDER BY event_time) AS next_ts FROM v2),
+        |chg AS (
+        |  SELECT o.contratto_cod, min(v.event_time) AS first_change_ts
+        |  FROM ver1 o JOIN v2 v USING (contratto_cod)
+        |  WHERE o.next_ts IS NULL
+        |    AND (v.status_quote IS DISTINCT FROM o.status_quote
+        |         OR v.codice_agente IS DISTINCT FROM o.codice_agente)
+        |  GROUP BY o.contratto_cod),
+        |hist AS (
+        |  SELECT v.contratto_cod, v.status_quote, v.event_time AS valid_from_ts,
+        |         coalesce(v.next_ts, c.first_change_ts) AS valid_to_ts
+        |  FROM ver1 v LEFT JOIN chg c
+        |    ON v.contratto_cod = c.contratto_cod AND v.next_ts IS NULL
+        |  UNION ALL
+        |  SELECT contratto_cod, status_quote, event_time, next_ts FROM ver2)
+        |SELECT contratto_cod, status_quote,
+        |  strftime(valid_from_ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  coalesce(strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00') AS valid_to,
+        |  valid_to_ts IS NULL AS is_current
+        |FROM hist
+        |ORDER BY contratto_cod, valid_from""".stripMargin,
 
     // Same scrub chain (RE2-compatible patterns, 'g' = replace all) over
     // the same planted text.
