@@ -208,6 +208,43 @@ class VersionedTable private (val spark: SparkSession,
     aliasName.fold(df)(df.alias)
   }
 
+  /** Incremental change read: the rows ADDED between `fromVersion`
+    * (exclusive) and `toVersion` (inclusive) — how a downstream consumer
+    * (a training-data refresh, an index builder) picks up "what's new
+    * since I last looked" without rescanning the table.
+    *
+    * Exact row-level semantics hold for append-style commits — CREATE /
+    * WRITE / insert-only MERGE (the volume path of the SCD2 pipelines'
+    * Phase B) — whose added files contain precisely the new rows.
+    * OPTIMIZE commits are skipped (layout-only, no logical change). A
+    * rewriting MERGE's added files mix updated, inserted AND copied rows;
+    * such commits throw unless `includeRewrites = true`, which returns
+    * the added files with that documented coarseness.
+    * @param fromVersion last version the consumer has seen (exclusive) */
+  def readChanges(fromVersion: Long,
+                  toVersion: Option[Long] = None,
+                  includeRewrites: Boolean = false): DataFrame = {
+    val to = toVersion.getOrElse(currentVersion)
+    require(to >= fromVersion, s"toVersion $to < fromVersion $fromVersion")
+    val range = entries.filter(e => e.version > fromVersion && e.version <= to)
+    val changeFiles = range.flatMap { e =>
+      e.operation match {
+        case "OPTIMIZE" => Seq.empty // bin-packing: no logical change
+        case "MERGE" if e.remove.nonEmpty &&
+          !e.operationMetrics.get("insertOnly").contains("true") =>
+          if (includeRewrites) e.add
+          else throw new IllegalArgumentException(
+            s"version ${e.version} is a rewriting MERGE: its added files mix " +
+              "updated/copied/inserted rows; pass includeRewrites=true to read " +
+              "them coarsely, or consume from operation metrics instead")
+        case _ => e.add
+      }
+    }
+    // schema of the target version (mergeSchema may have widened it)
+    val (_, schema, _) = snapshot(Some(to))
+    readFileEntries(changeFiles, schema)
+  }
+
   /** Commit history, newest first (reference: DeltaTable.history —
     * schema_evolution_step1.py:129-136). */
   def history(limit: Int = Int.MaxValue): DataFrame = {

@@ -308,6 +308,38 @@ class VersionedTableSpec extends AnyFunSuite {
       t.read.filter($"id".between(100, 150)).count())
   }
 
+  test("readChanges returns exactly the rows added since a version") {
+    val path = tmpDir() + "/t15"
+    val t = VersionedTable.create(spark,
+      spark.range(0, 100).selectExpr("id", "cast(id AS string) AS v"), path)
+    val v0 = t.currentVersion
+    t.append(spark.range(100, 150).selectExpr("id", "cast(id AS string) AS v"))
+    // insert-only merge (Phase-B shape): 25 new rows, 50 matched no-ops
+    t.alias("e")
+      .merge(spark.range(100, 175).selectExpr("id AS k", "cast(id AS string) AS nv")
+        .alias("s"), "e.id = s.k")
+      .whenNotMatchedInsert(values = Map("id" -> "s.k", "v" -> "s.nv"))
+      .execute()
+    val changes = t.readChanges(v0)
+    assert(changes.count() == 75)
+    assert(changes.agg(min("id"), max("id")).collect()(0).toSeq == Seq(100L, 174L))
+
+    // OPTIMIZE adds files but no logical change
+    val vBefore = t.currentVersion
+    t.compact(targetBytes = 1024 * 1024)
+    assert(t.currentVersion > vBefore, "compaction should have committed")
+    assert(t.readChanges(vBefore).count() == 0)
+
+    // a rewriting merge cannot be read row-level: throws unless opted in
+    t.alias("e")
+      .merge(spark.range(0, 10).selectExpr("id AS k", "'x' AS nv").alias("s"),
+        "e.id = s.k")
+      .whenMatchedUpdate(set = Map("v" -> "s.nv"))
+      .execute()
+    intercept[IllegalArgumentException] { t.readChanges(vBefore).count() }
+    assert(t.readChanges(vBefore, includeRewrites = true).count() > 0)
+  }
+
   test("data contract check over an empty frame reports clean (no NPE)") {
     import graft.ops.DataContract
     val empty = spark.createDataFrame(
