@@ -599,7 +599,7 @@ class VersionedTable private (val spark: SparkSession,
     * optimization and must never guess. */
   private def equiPairs(condition: String, targetAlias: String): Seq[(String, String)] = {
     if (condition.contains("(") ||
-      condition.toLowerCase.matches(".*\\bor\\b.*")) return Seq.empty
+      "(?is)\\bor\\b".r.findFirstIn(condition).isDefined) return Seq.empty
     val tPrefix = targetAlias + "."
     condition.split("(?i)\\bAND\\b").toSeq.flatMap { c =>
       if (c.exists("<>!".contains(_))) None
