@@ -584,6 +584,19 @@ object SparkEntry {
         .orderBy("contratto_cod", "valid_from")
     }),
 
+    // LLM-pipeline: IVF top-k verified at its EXACT operating point —
+    // probing all cells must reproduce brute force, which checks the
+    // whole IVF machinery (centroid sampling, native NearestCentroid
+    // assignment, cell probe, exact-cosine ranking) against the oracle.
+    // The approximate regime (nProbe < nCentroids) is spec-covered.
+    "q33_ivf_topk" -> ((s, dir) => {
+      GraftSession.tune(s)
+      graft.ops.Similarity
+        .ivfTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          queryId = 0, k = 10, nCentroids = 16, nProbe = 16)
+        .select(col("vec_id"), round(col("cosine"), 4).as("cosine_sim"))
+    }),
+
     // Semi-structured: JSON field extraction from the events props column
     // — a training-pipeline staple (metadata filtering).
     "q21_json_extract" -> ((s, dir) => {
@@ -693,6 +706,17 @@ object SparkEntry {
         |FROM documents GROUP BY text ORDER BY canonical_doc_id""".stripMargin,
 
     "q14_topk_cosine" ->
+      """SELECT vec_id, round(list_cosine_similarity(
+        |    embedding::DOUBLE[],
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS cosine_sim
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY list_cosine_similarity(
+        |    embedding::DOUBLE[],
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+        |LIMIT 10""".stripMargin,
+
+    // brute-force ground truth — IVF probing every cell must match it
+    "q33_ivf_topk" ->
       """SELECT vec_id, round(list_cosine_similarity(
         |    embedding::DOUBLE[],
         |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS cosine_sim
