@@ -597,6 +597,18 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cosine"), 4).as("cosine_sim"))
     }),
 
+    // LLM-pipeline: hyperplane-LSH top-k at ITS exact operating point —
+    // probing every bucket (probeHamming = planes) must reproduce brute
+    // force, verifying the native signature, bucketing and multiprobe
+    // machinery; q19 keeps the approximate regime (rows-only, justified).
+    "q34_lsh_topk_exact" -> ((s, dir) => {
+      GraftSession.tune(s)
+      graft.ops.Similarity
+        .lshTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          queryId = 0, k = 10, planes = 10, probeHamming = 10)
+        .select(col("vec_id"), round(col("cosine"), 4).as("cosine_sim"))
+    }),
+
     // Semi-structured: JSON field extraction from the events props column
     // — a training-pipeline staple (metadata filtering).
     "q21_json_extract" -> ((s, dir) => {
@@ -706,6 +718,17 @@ object SparkEntry {
         |FROM documents GROUP BY text ORDER BY canonical_doc_id""".stripMargin,
 
     "q14_topk_cosine" ->
+      """SELECT vec_id, round(list_cosine_similarity(
+        |    embedding::DOUBLE[],
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS cosine_sim
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY list_cosine_similarity(
+        |    embedding::DOUBLE[],
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+        |LIMIT 10""".stripMargin,
+
+    // brute-force ground truth — LSH probing every bucket must match it
+    "q34_lsh_topk_exact" ->
       """SELECT vec_id, round(list_cosine_similarity(
         |    embedding::DOUBLE[],
         |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS cosine_sim

@@ -179,12 +179,11 @@ object Similarity {
     val qBucket = qRow(0).getInt(0)
 
     // probe set: all buckets within Hamming <= probeHamming of the query's
+    // (probeHamming = planes probes every bucket — the exact limit)
     val probes: Seq[Int] = {
       val bits = (0 until planes).toSeq
-      val flips = Seq(Seq.empty[Int]) ++
-        (if (probeHamming >= 1) bits.map(Seq(_)) else Nil) ++
-        (if (probeHamming >= 2) bits.combinations(2).toSeq else Nil) ++
-        (if (probeHamming >= 3) bits.combinations(3).toSeq else Nil)
+      val flips = (0 to math.min(probeHamming, planes))
+        .flatMap(h => bits.combinations(h))
       flips.map(_.foldLeft(qBucket)((b, i) => b ^ (1 << i))).distinct
     }
 
