@@ -609,6 +609,24 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cosine"), 4).as("cosine_sim"))
     }),
 
+    // LLM-pipeline: per-group top-k curation — the best 3 documents per
+    // detected language by quality score (rank() over a deterministic
+    // order; one window shuffle on the group key). The selection shape
+    // behind per-source / per-language quality filtering.
+    "q35_top_quality_per_lang" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val scored = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.languageId("text").as("lang_guess"),
+          graft.ops.TextAnalysis.qualityScore("text").as("quality"))
+      val w = Window.partitionBy("lang_guess")
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      scored.withColumn("rnk", rank().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("lang_guess"), col("rnk"), col("doc_id"), col("quality"))
+        .orderBy("lang_guess", "rnk", "doc_id")
+    }),
+
     // Semi-structured: JSON field extraction from the events props column
     // — a training-pipeline staple (metadata filtering).
     "q21_json_extract" -> ((s, dir) => {
@@ -820,6 +838,44 @@ object SparkEntry {
         |      + 0.3 * (len(dt)::DOUBLE / len(wt)), 4) AS quality,
         |  md5(array_to_string(regexp_split_to_array(lower(trim(text)), '\s+'), ' ')) AS fingerprint
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // same lang-ID + quality formulas as q18, ranked per language
+    "q35_top_quality_per_lang" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS dt,
+        |    regexp_split_to_array(trim(text), '\s+') AS wt
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, text, dt, wt,
+        |    len(list_intersect(dt, ['the','a','of','and','to','in','is','on','for','with'])) AS s_en,
+        |    len(list_intersect(dt, ['el','la','de','que','y','en','un','por','con','para'])) AS s_es,
+        |    len(list_intersect(dt, ['der','die','das','und','ist','mit','von','ein','fur','auf'])) AS s_de,
+        |    len(list_intersect(dt, ['le','la','de','et','un','pour','dans','que','sur','pas'])) AS s_fr
+        |  FROM t
+        |), scored AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN regexp_matches(text, '[\x{4E00}-\x{9FFF}]') THEN 'zh'
+        |      WHEN regexp_matches(text, '[\x{0400}-\x{04FF}]') THEN 'ru'
+        |      WHEN regexp_matches(text, '[\x{0600}-\x{06FF}]') THEN 'ar'
+        |      WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+        |      WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |      WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |      WHEN s_de >= s_fr THEN 'de'
+        |      ELSE 'fr'
+        |    END AS lang_guess,
+        |    round(0.4 * least(len(wt)::DOUBLE / 100.0, 1.0)
+        |        + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text))
+        |        + 0.3 * (len(dt)::DOUBLE / len(wt)), 4) AS quality
+        |  FROM s
+        |)
+        |SELECT lang_guess, rnk, doc_id, quality FROM (
+        |  SELECT *, rank() OVER (PARTITION BY lang_guess
+        |                         ORDER BY quality DESC, doc_id ASC) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 3
+        |ORDER BY lang_guess, rnk, doc_id""".stripMargin,
 
     "q20_blob_stats" ->
       """SELECT doc_id, octet_length(encode(text)) AS blob_len,
