@@ -627,6 +627,24 @@ object SparkEntry {
         .orderBy("lang_guess", "rnk", "doc_id")
     }),
 
+    // S9 schema evolution, oracle-verified: init a table, mergeSchema-
+    // append rows carrying a NEW column, read the widened table — old
+    // rows surface NULL for the added column (the reference's
+    // schema_evolution_step1 experiment as a checkable query).
+    "q36_schema_evolution" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val path = Files.createTempDirectory("graft-q36").toString + "/t"
+      val ev = tbl(s, dir, "events")
+      val base = ev.filter(col("user_id") < 10)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      val t = VersionedTable.create(s, base, path)
+      val widened = ev.filter(col("user_id") >= 10 && col("user_id") < 20)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .withColumn("extra", col("user_id") * 2)
+      t.append(widened, mergeSchema = true)
+      t.read.orderBy("user_id")
+    }),
+
     // Semi-structured: JSON field extraction from the events props column
     // — a training-pipeline staple (metadata filtering).
     "q21_json_extract" -> ((s, dir) => {
@@ -730,6 +748,15 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM events WHERE user_id < 30
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the widened table: pre-evolution rows carry NULL for the new column
+    "q36_schema_evolution" ->
+      """SELECT user_id, count(*) AS n, CAST(NULL AS BIGINT) AS extra
+        |FROM events WHERE user_id < 10 GROUP BY user_id
+        |UNION ALL
+        |SELECT user_id, count(*) AS n, user_id * 2 AS extra
+        |FROM events WHERE user_id >= 10 AND user_id < 20 GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     "q13_exact_dedup" ->
       """SELECT min(doc_id) AS canonical_doc_id, count(*) AS n_copies
