@@ -645,6 +645,28 @@ object SparkEntry {
       t.read.orderBy("user_id")
     }),
 
+    // Incremental consumption, oracle-verified: build a table (create +
+    // append + insert-only merge), then readChanges(sinceVersion) must
+    // return exactly the rows the later commits added — matched merge
+    // rows are NOT changes. How a downstream consumer picks up "what's
+    // new" without rescanning the table.
+    "q37_read_changes" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val path = Files.createTempDirectory("graft-q37").toString + "/t"
+      val ev = tbl(s, dir, "events")
+      def agg(lo: Int, hi: Int) = ev
+        .filter(col("user_id") >= lo && col("user_id") < hi)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      val t = VersionedTable.create(s, agg(0, 10), path) // v0
+      t.append(agg(10, 15))                              // v1: adds 10-14
+      t.alias("e")                                        // v2: inserts 15-19 only
+        .merge(agg(12, 20).withColumnRenamed("user_id", "u")
+          .withColumnRenamed("n", "nn").alias("src"), "e.user_id = src.u")
+        .whenNotMatchedInsert(values = Map("user_id" -> "src.u", "n" -> "src.nn"))
+        .execute()
+      t.readChanges(fromVersion = 0).orderBy("user_id")
+    }),
+
     // Semi-structured: JSON field extraction from the events props column
     // — a training-pipeline staple (metadata filtering).
     "q21_json_extract" -> ((s, dir) => {
@@ -747,6 +769,13 @@ object SparkEntry {
     "q12_time_travel" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM events WHERE user_id < 30
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // exactly the rows added after v0: the append (10-14) plus the
+    // insert-only merge's unmatched keys (15-19)
+    "q37_read_changes" ->
+      """SELECT user_id, count(*) AS n FROM events
+        |WHERE user_id >= 10 AND user_id < 20
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // the widened table: pre-evolution rows carry NULL for the new column
