@@ -667,6 +667,37 @@ object SparkEntry {
       t.readChanges(fromVersion = 0).orderBy("user_id")
     }),
 
+    // JSONL source/sink round-trip — raw web corpora arrive as JSON
+    // lines; write the documents out as JSONL, read them back with an
+    // explicit schema, and aggregate. A hash match proves the round
+    // trip is lossless (the oracle computes from the original table).
+    "q38_jsonl_roundtrip" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val out = Files.createTempDirectory("graft-q38").toString + "/docs"
+      tbl(s, dir, "documents")
+        .select("doc_id", "text", "n_chars")
+        .write.mode("overwrite").json(out)
+      s.read
+        .schema("doc_id BIGINT, text STRING, n_chars BIGINT")
+        .json(out)
+        .select(col("doc_id"), length(col("text")).as("text_len"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // ORC source/sink round-trip — the other columnar format Spark
+    // ships; same lossless-round-trip proof over an aggregation.
+    "q39_orc_roundtrip" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val out = Files.createTempDirectory("graft-q39").toString + "/ev"
+      tbl(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .orderBy("event_type")
+    }),
+
     // Semi-structured: JSON field extraction from the events props column
     // — a training-pipeline staple (metadata filtering).
     "q21_json_extract" -> ((s, dir) => {
@@ -770,6 +801,16 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM events WHERE user_id < 30
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // computed straight from the source table — the engine's JSONL
+    // round trip must be lossless to match
+    "q38_jsonl_roundtrip" ->
+      """SELECT doc_id, length(text) AS text_len, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q39_orc_roundtrip" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // exactly the rows added after v0: the append (10-14) plus the
     // insert-only merge's unmatched keys (15-19)
