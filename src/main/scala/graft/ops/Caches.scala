@@ -19,6 +19,7 @@ import scala.util.control.NonFatal
   */
 object Caches {
   private val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+  private val releases = scala.collection.mutable.ArrayBuffer[() => Unit]()
 
   /** Register an already-persisted frame for later release; returns it. */
   private[graft] def registered(df: DataFrame): DataFrame = synchronized {
@@ -26,11 +27,22 @@ object Caches {
     df
   }
 
-  /** Unpersist every registered frame (non-blocking) and clear. Safe to
-    * call at any point: releasing a cache a still-lazy plan depends on
-    * only costs recomputation, never correctness. */
+  /** Register a custom release action — used for storage `unpersist`
+    * can't reach, e.g. `localCheckpoint` blocks (released through
+    * `GraftColumnBridge.unpersistCheckpoint`). */
+  private[graft] def registeredRelease(f: () => Unit): Unit = synchronized {
+    releases += f
+  }
+
+  /** Unpersist every registered frame (non-blocking), run registered
+    * release actions, and clear. For plain persisted frames this is safe
+    * at any point (release only costs recomputation); frames backed by a
+    * local checkpoint (e.g. [[TextDedup.connectedComponents]] output)
+    * cannot be recomputed after release, so materialize results first. */
   def releaseAll(): Unit = synchronized {
     frames.foreach { f => try f.unpersist(false) catch { case NonFatal(_) => } }
     frames.clear()
+    releases.foreach { f => try f() catch { case NonFatal(_) => } }
+    releases.clear()
   }
 }

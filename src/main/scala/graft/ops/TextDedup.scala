@@ -195,47 +195,91 @@ object TextDedup {
       col("hamming"))
   }
 
-  /** Connected components over an undirected pair/edge frame via
-    * min-label propagation: every vertex converges to the SMALLEST id
-    * reachable from it, which becomes the component (cluster) label.
+  /** Connected components over an undirected pair/edge frame: every
+    * vertex converges to the SMALLEST id reachable from it, which becomes
+    * the component (cluster) label.
     *
-    * Scale: each iteration is one equi-join + one hash aggregate over
-    * (edges + vertices) — no all-pairs work; iterations are bounded by
-    * the component diameter (near-dup clusters are shallow — a handful
-    * of rounds). Frames are persisted per round and released as soon as
-    * the next round materializes, so lineage stays flat. The convergence
-    * probe is a `limit(1).count()` existence check, not a full count.
+    * Algorithm: each round does (1) min-label propagation over edges,
+    * then (2) a POINTER JUMP — `label := label(label)` — on the freshly
+    * propagated labels. The jump doubles the distance a label has
+    * travelled, so the reach after round k is ~2^(k+1), i.e. convergence
+    * in **O(log diameter)** rounds instead of the O(diameter) of plain
+    * propagation (a 100-vertex chain resolves in 7 rounds, not 100).
+    * Correctness invariant: a vertex's label is always the id of some
+    * node reachable from it and only ever decreases, so the fixed point
+    * (labels constant along every edge) is exactly min-reachable-id.
+    *
+    * Scale: each round is two equi-joins + one hash aggregate over
+    * (edges + vertices) — no all-pairs work, and O(log d) sequential
+    * rounds even for chain-shaped duplicate graphs. Each round's labels
+    * are `localCheckpoint`ed: without lineage truncation the logical plan
+    * DOUBLES twice per round (labels feeds the propagation union twice,
+    * the propagation feeds the jump join twice → O(4^rounds) plan nodes)
+    * and Catalyst re-optimization, not the data, becomes the bottleneck.
+    * The convergence probe is the count action that materializes the
+    * round's checkpoint (a count over a carried `__changed` flag), so no
+    * round pays a separate recomputation job; the previous round's
+    * checkpoint blocks are released as soon as the next materializes.
+    * The RESULT is checkpoint-backed: materialize it before calling
+    * [[Caches.releaseAll]] (release truncates recomputability).
     * @return (id, cluster) — cluster = min reachable id */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25): DataFrame =
+    connectedComponentsWithRounds(edges, srcCol, dstCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of rounds executed (the
+    * last round is the one that observes no change). Exposed so specs
+    * can assert the O(log diameter) bound. */
+  def connectedComponentsWithRounds(edges: DataFrame, srcCol: String,
+                                    dstCol: String, maxIter: Int = 25): (DataFrame, Int) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // persisted: every propagation round joins against the edge list —
     // without this the edge-producing plan (often a whole LSH candidate
     // pipeline) re-runs once per round
     val sym = Caches.registered(
       edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
         .union(edges.select(col(dstCol).as("__a"), col(srcCol).as("__b")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(lvl))
+    val idType = sym.schema("__a").dataType
+    // eager checkpoint: round plans start from a flat LogicalRDD scan
     var labels = sym.select(col("__a").as("id")).distinct()
       .withColumn("cluster", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var converged = labels.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
-      val prop = sym.join(labels, sym("__b") === labels("id"))
-        .select(col("__a").as("id"), col("cluster"))
-        .union(labels)
-        .groupBy("id").agg(min("cluster").as("cluster"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = prop.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.cluster") =!= col("o.cluster"))
-        .limit(1).count()
-      labels.unpersist(false)
-      labels = prop
+      // (1) propagate: new label = min over self + neighbours' labels.
+      // The previous label rides along as `__old` (NULL on edge rows;
+      // min() ignores NULLs and each id has exactly one labels row, so
+      // min(__old) IS the previous label — no extra join to recover it).
+      val prop = labels.select(col("id"), col("cluster"), col("cluster").as("__old"))
+        .union(sym.join(labels, sym("__b") === labels("id"))
+          .select(col("__a").as("id"), col("cluster"),
+            lit(null).cast(idType).as("__old")))
+        .groupBy("id").agg(min("cluster").as("cluster"), min("__old").as("__old"))
+        .persist(lvl)
+      // (2) pointer jump: label := label(label). The label is always a
+      // vertex id, so the lookup join is total; left+coalesce guards the
+      // degenerate empty side.
+      val jump = prop.select(col("id").as("__jid"), col("cluster").as("__jcl"))
+      // lazy checkpoint: the convergence count below is the action that
+      // computes the round AND persists its blocks — one pass, and the
+      // next round's plan starts from the flat checkpoint scan.
+      val next = prop.join(jump, prop("cluster") === jump("__jid"), "left")
+        .select(prop("id"),
+          coalesce(col("__jcl"), prop("cluster")).as("cluster"),
+          (coalesce(col("__jcl"), prop("cluster")) =!= col("__old")).as("__changed"))
+        .localCheckpoint(false)
+      val changed = next.agg(count(when(col("__changed"), lit(1)))).first().getLong(0)
+      prop.unpersist(false)
+      GraftColumnBridge.unpersistCheckpoint(labels)
+      labels = next
       converged = changed == 0
       i += 1
     }
-    Caches.registered(labels)
+    val result = labels
+    Caches.registeredRelease(() => GraftColumnBridge.unpersistCheckpoint(result))
+    (labels.select("id", "cluster"), i)
   }
 
   /** Duplicate-cluster assignment for a document frame: near-dup pairs

@@ -105,6 +105,21 @@ class LlmOpsSpec extends AnyFunSuite {
     graft.ops.Caches.releaseAll()
   }
 
+  test("connected components: pointer jumping resolves a 100-chain in O(log d) rounds") {
+    import spark.implicits._
+    // worst-case shape for plain propagation: a single chain 1-2-…-100
+    // (diameter 99). Pointer doubling must stay within ⌈log2(d)⌉ + 1
+    // rounds (the +1 is the round that observes convergence).
+    val n = 100
+    val edges = (1L until n.toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val (cc, rounds) = TextDedup.connectedComponentsWithRounds(edges, "a", "b")
+    val labels = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == n && labels.values.forall(_ == 1L), "chain not fully merged")
+    val bound = (math.log(n - 1) / math.log(2)).ceil.toInt + 1
+    assert(rounds <= bound, s"took $rounds rounds, O(log d) bound is $bound")
+    graft.ops.Caches.releaseAll()
+  }
+
   test("dedup clusters: every doc labeled, canonical = min id per near-dup component") {
     val clusters = TextDedup.dedupClusters(docs, "doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
