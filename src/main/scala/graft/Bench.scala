@@ -47,7 +47,10 @@ object Bench {
         errors("warmup") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // iteration aid: SPARK_GRAFT_SKIP_QUERIES=1 times only the ETL scenarios
+    val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
+    val results = (if (skipQueries) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
+                   else SparkEntry.queries).toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -62,9 +65,10 @@ object Bench {
 
     // ---- header-ETL volume scaling (BASELINE.md rows 1,2,4) ------------
     // batch2 (50% new keys) against an n-row table is the measured batch.
-    // Default records the 100k/1M/10M baseline points; 5M opt-in via env.
+    // Default records all four published baseline points (100k/1M/5M/10M —
+    // reference: metrics/volume_scaling/volume_scaling_metrics_all.csv:2-5).
     val headerSizes = sys.env.getOrElse("SPARK_GRAFT_HEADER_SIZES",
-      "100000,1000000,10000000")
+      "100000,1000000,5000000,10000000")
       .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong)
     var lastTablePath: Option[String] = None
     val headerRuns = headerSizes.flatMap { n =>

@@ -648,7 +648,8 @@ class VersionedTable private (val spark: SparkSession,
     val matchCandidates: Seq[FileEntry] =
       try {
         val pairs = equiPairs(condition, targetAlias)
-        if (pairs.isEmpty || files.isEmpty) files
+        // ≤2 files: the min/max agg job costs more than scanning them
+        if (pairs.isEmpty || files.size <= 2) files
         else {
           val aggs = pairs.zipWithIndex.flatMap { case ((_, sexpr), i) =>
             Seq(min(expr(sexpr)).as(s"__graft_lo$i"),
@@ -705,11 +706,18 @@ class VersionedTable private (val spark: SparkSession,
       return
     }
 
-    // --- 1. prune: which existing files contain rows matched by source? --
-    // Inner join on the merge condition; only file names are collected
-    // (bounded by file count, never by row count). Catalyst/AQE picks the
-    // join strategy — the source side of a batch merge is typically small
-    // enough to broadcast.
+    // --- 1. prune + cardinality, ONE job: which existing files contain
+    // rows matched by source, and does any target row match >1 source
+    // rows? The probe joins the candidate files with the source on the
+    // merge condition; grouping by (file, _metadata.row_index) folds
+    // Delta's merge-cardinality check into the SAME job that collects
+    // touched file names (it used to be a separate pass over a persisted
+    // source×target join). The collect is bounded by file count, never by
+    // row count. Catalyst/AQE picks the join strategy — the source side
+    // of a batch merge is typically small enough to broadcast. Disable
+    // the check with spark.graft.merge.checkCardinality=false.
+    val checkCardinality =
+      spark.conf.get("spark.graft.merge.checkCardinality", "true") != "false"
     val qualify = files.map(fe => new Path(dataDir, fe.path).toString -> fe.path).toMap
     val knownRel = files.map(_.path).toSet
     val touchedRel: Set[String] =
@@ -718,12 +726,26 @@ class VersionedTable private (val spark: SparkSession,
         // probe scans only the stats-candidate files — skipped files
         // cannot contain matched rows and are untouched by construction
         val t = readFileEntries(matchCandidates, tableSchema)
-          .withColumn(FileCol, col("_metadata.file_path")).alias(targetAlias)
-        t.join(src, expr(condition), "inner")
-          .select(col(FileCol)).distinct()
-          .collect().map(_.getString(0))
-          .map(p => relativize(p, qualify, knownRel))
-          .toSet
+          .withColumn(FileCol, col("_metadata.file_path"))
+          .withColumn(RowIdxCol, col("_metadata.row_index"))
+          .alias(targetAlias)
+        val matched = t.join(src, expr(condition), "inner")
+        if (checkCardinality) {
+          val perFile = matched
+            .groupBy(col(FileCol), col(RowIdxCol))
+            .agg(count(lit(1)).as("__graft_m"))
+            .groupBy(col(FileCol))
+            .agg(max("__graft_m").as("__graft_maxm"))
+            .collect()
+          if (perFile.exists(_.getLong(1) > 1))
+            throw new IllegalStateException(
+              "MERGE: multiple source rows matched the same target row")
+          perFile.map(r => relativize(r.getString(0), qualify, knownRel)).toSet
+        } else
+          matched.select(col(FileCol)).distinct()
+            .collect().map(_.getString(0))
+            .map(p => relativize(p, qualify, knownRel))
+            .toSet
       }
     val untouched = files.filterNot(fe => touchedRel.contains(fe.path))
     val touchedFiles = files.filter(fe => touchedRel.contains(fe.path))
@@ -731,33 +753,12 @@ class VersionedTable private (val spark: SparkSession,
     // --- 2. rewrite touched files + insert unmatched source rows --------
     val touchedDF = readFileEntries(touchedFiles, tableSchema)
 
-    val t = touchedDF
-      .withColumn(TidCol, monotonically_increasing_id())
-      .withColumn(TPresent, lit(true))
-      .alias(targetAlias)
+    val t = touchedDF.withColumn(TPresent, lit(true)).alias(targetAlias)
     val s = src.withColumn(SPresent, lit(true))
-    val checkCardinality =
-      spark.conf.get("spark.graft.merge.checkCardinality", "true") != "false"
-    // Persisted so the cardinality check and the rewrite share one join
-    // computation instead of running source×target twice (the merge is
-    // the dominant phase at scale — BASELINE.md shows it super-linear).
     val joined = t.join(s, expr(condition), "full_outer")
-    if (checkCardinality) joined.persist(StorageLevel.MEMORY_AND_DISK)
-    try {
 
     val tPresent = col(TPresent) === lit(true)
     val sPresent = col(SPresent) === lit(true)
-
-    // Delta errors when one target row is matched by >1 source row. The
-    // check reuses the persisted join output; disable with
-    // spark.graft.merge.checkCardinality=false for trusted pipelines.
-    if (checkCardinality) {
-      val dupMatches = joined.filter(tPresent && sPresent)
-        .groupBy(col(TidCol)).count().filter(col("count") > 1).limit(1).count()
-      if (dupMatches > 0)
-        throw new IllegalStateException(
-          "MERGE: multiple source rows matched the same target row")
-    }
 
     val updCond: Column = matchedUpdate match {
       case Some((Some(c), _)) => expr(c)
@@ -772,22 +773,17 @@ class VersionedTable private (val spark: SparkSession,
     }
     val insVals = notMatchedInsert.map(_._2).getOrElse(Map.empty)
 
-    // Row-level merge metrics from the SAME persisted join (the numbers
-    // Delta reports as numTargetRowsUpdated/Inserted) — so callers can
-    // account for a merge without re-scanning the table afterwards.
-    // Only computed when the join is persisted; -1 = not measured.
+    // Row-level merge metrics (the numbers Delta reports as
+    // numTargetRowsUpdated/Inserted) ride the rewrite write as an
+    // Observation — no extra job, no persisted join; callers can account
+    // for a merge without re-scanning the table afterwards.
     // NB TPresent is NULL (not false) on source-only full-outer rows.
-    val (rowsUpdated, rowsInserted) =
-      if (checkCardinality) {
-        val r = joined.agg(
-          sum(when(tPresent && sPresent && updCond, 1L).otherwise(0L)).as("u"),
-          sum(when(sPresent && insCond && !coalesce(col(TPresent), lit(false)), 1L)
-            .otherwise(0L)).as("i")).collect()(0)
-        (if (r.isNullAt(0)) 0L else r.getLong(0),
-          if (r.isNullAt(1)) 0L else r.getLong(1))
-      } else (-1L, -1L)
-
+    val obs = org.apache.spark.sql.Observation()
     val kept = joined.filter(tPresent || (sPresent && insCond))
+      .observe(obs,
+        sum(when(tPresent && sPresent && updCond, 1L).otherwise(0L)).as("u"),
+        sum(when(sPresent && insCond && !coalesce(col(TPresent), lit(false)), 1L)
+          .otherwise(0L)).as("i"))
     val outCols = dataCols.map { f =>
       val tCol = col(s"$targetAlias.${f.name}")
       val upd = updSet.get(f.name).map(expr).getOrElse(tCol)
@@ -799,9 +795,16 @@ class VersionedTable private (val spark: SparkSession,
     }
     val rewritten = kept.select(outCols: _*)
 
-    val added =
-      if (touchedFiles.isEmpty && notMatchedInsert.isEmpty) Seq.empty
-      else writeFiles(rewritten, partCols)
+    val doWrite = touchedFiles.nonEmpty || notMatchedInsert.nonEmpty
+    val added = if (doWrite) writeFiles(rewritten, partCols) else Seq.empty
+    // obs.get blocks until its action ran — only consult it after a write
+    val (rowsUpdated, rowsInserted) =
+      if (doWrite) {
+        val o = obs.get
+        def cnt(k: String) = // sums are NULL when zero rows flowed
+          Option(o(k)).map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+        (cnt("u"), cnt("i"))
+      } else (0L, 0L)
 
     commit(LogEntry(currentVersion + 1, now(), "MERGE",
       tableSchema.json, partCols,
@@ -813,7 +816,6 @@ class VersionedTable private (val spark: SparkSession,
         "numTargetFilesSkippedByStats" -> statsSkipped.toString,
         "numTargetRowsUpdated" -> rowsUpdated.toString,
         "numTargetRowsInserted" -> rowsInserted.toString)))
-    } finally { if (checkCardinality) joined.unpersist(false) }
   }
 
   // ------------------------------------------------------------- helpers --
@@ -854,7 +856,7 @@ object VersionedTable {
   /** Commits between snapshot checkpoints (Delta uses 10 as well). */
   private val CheckpointInterval = 10L
   private val FileCol = "__graft_file"
-  private val TidCol = "__graft_tid"
+  private val RowIdxCol = "__graft_row_idx"
   private val TPresent = "__graft_t_present"
   private val SPresent = "__graft_s_present"
   private implicit val fmts: Formats = DefaultFormats
