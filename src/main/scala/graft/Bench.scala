@@ -108,6 +108,28 @@ object Bench {
             col("valid_from_month") === 2 && col("valid_from_day") === 28 &&
             col("is_current") === true).count()
         }
+        // partitioning-strategy sweep: the SAME query against the same
+        // data written FRESH under each layout (fresh for all three so
+        // file-population effects of the merge history don't bias one
+        // layout) — reference: infra/partitioning_runs.sh:39-47; its
+        // finding, that y/m/d wins and 2-valued is_current partitioning
+        // is no better than none, is partitioning_strategies.md:16-27
+        val sweep = Seq(
+          "ymd" -> Seq("valid_from_year", "valid_from_month", "valid_from_day"),
+          "is_current" -> Seq("is_current"),
+          "none" -> Seq.empty[String]).map { case (label, partCols) =>
+          val dir = Files.createTempDirectory(s"graft-bench-part-$label").toString
+          graft.tables.VersionedTable.create(spark, t.read, s"$dir/t", partCols)
+          val alt = graft.tables.VersionedTable.forPath(spark, s"$dir/t")
+          val (s, r) = timed {
+            alt.read.filter(col("valid_from_year") === 2023 &&
+              col("valid_from_month") === 2 && col("valid_from_day") === 28 &&
+              col("is_current") === true).count()
+          }
+          require(r == qRows, s"partitioning sweep '$label' row mismatch: $r != $qRows")
+          s""""$label":${math.rint(s * 1000) / 1000}"""
+        }
+        val sweepJson = s""""partitioning_sweep":{${sweep.mkString(",")}}"""
         // schema evolution: mergeSchema-append 100 rows with a new column,
         // then time-travel read prev + read current
         // (reference: schema_evolution_step1.py:139-178)
@@ -118,6 +140,7 @@ object Bench {
         val (rCurSec, curRows) = timed { t.read.count() }
         Seq(
           s""""partitioned_count":{"sec":${math.rint(qSec * 1000) / 1000},"rows":$qRows}""",
+          sweepJson,
           s""""schema_evolution":{"append_sec":${math.rint(wSec * 1000) / 1000},""" +
             s""""read_prev_sec":${math.rint(rPrevSec * 1000) / 1000},"prev_rows":$prevRows,""" +
             s""""read_cur_sec":${math.rint(rCurSec * 1000) / 1000},"cur_rows":$curRows}""")
@@ -127,6 +150,44 @@ object Bench {
           Nil
       }
     }
+
+    // ---- CPU-scaling sweep (the local analog of the reference's
+    // infra/scale_horizontal_runner.sh:140-160 6→1-worker sweep): the 1M
+    // batch2 workload at shrinking core counts, one fresh session each.
+    // Defaults off under SPARK_GRAFT_SKIP_QUERIES (iteration mode).
+    val sweepCpus = sys.env.getOrElse("SPARK_GRAFT_CPU_SWEEP",
+        if (skipQueries) "" else "32,16,8,4")
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt)
+    val cpuJson: Seq[String] =
+      if (sweepCpus.isEmpty) Nil
+      else try {
+        spark.stop()
+        val entries = sweepCpus.toSeq.map { c =>
+          val s2 = SparkSession.builder()
+            .master(s"local[$c]")
+            .config("spark.sql.shuffle.partitions", c.toString)
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+          s2.sparkContext.setLogLevel("WARN")
+          GraftSession.tune(s2)
+          val tmp = Files.createTempDirectory(s"graft-bench-cpu-$c").toString
+          HeaderDataGen.writeBatch1(s2, 1000000, "20230127", s"$tmp/crm", c, seed = 42)
+          HeaderDataGen.writeBatch2(s2, 1000000, "20230228", s"$tmp/crm", c,
+            seed = 43, existingCount = 1000000, pctNew = 50.0)
+          HeaderEtlJob.run(s2, s"$tmp/crm/header_20230127.csv",
+            s"$tmp/table", s"$tmp/discarded", s"$tmp/metrics")
+          val m = HeaderEtlJob.run(s2, s"$tmp/crm/header_20230228.csv",
+            s"$tmp/table", s"$tmp/discarded", s"$tmp/metrics")
+          s2.stop()
+          s""""$c":${math.rint(m.duration_s * 1000) / 1000}"""
+        }
+        Seq(s""""cpu_scaling_1m":{${entries.mkString(",")}}""")
+      } catch {
+        case e: Throwable =>
+          errors("cpu_sweep") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          Nil
+      }
 
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -143,7 +204,10 @@ object Bench {
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum +
       headerRuns.map(_._2.duration_s).sum
-    val extras = if (extraJson.isEmpty) "" else extraJson.mkString(",", ",", "")
+    val extras = {
+      val all = extraJson ++ cpuJson
+      if (all.isEmpty) "" else all.mkString(",", ",", "")
+    }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"header_etl_batch2":$headerJson$extras,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

@@ -105,13 +105,22 @@ object Similarity {
     * partition-pruned scan of ~nProbe/nCentroids of the data, and the
     * centroid set (K × dim doubles) is the only driver/broadcast state.
     * Raise nCentroids with corpus size to hold cell size constant. */
+  /** Anchor-selection frame: the K vectors with the lowest id-hash —
+    * deterministic without any stored state. Spark plans orderBy+limit(K)
+    * as TakeOrderedAndProject (a per-partition K-heap merged on the
+    * driver — one scan, K·partitions rows moved, NO global sort);
+    * PlanAuditSpec regression-guards that shape. */
+  private[graft] def ivfAnchorFrame(emb: DataFrame, idCol: String,
+                                    vecCol: String, nCentroids: Int): DataFrame =
+    emb.select(col(vecCol))
+      .orderBy(expr(s"xxhash64($idCol)"), col(idCol))
+      .limit(nCentroids)
+
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     // deterministic anchors: first K vectors in id-hash order
-    val anchors = emb.select(col(vecCol))
-      .orderBy(expr(s"xxhash64($idCol)"), col(idCol))
-      .limit(nCentroids).collect()
+    val anchors = ivfAnchorFrame(emb, idCol, vecCol, nCentroids).collect()
     val centroids: Seq[Seq[Double]] = anchors.map(
       _.getSeq[Any](0).map {
         case f: java.lang.Float => f.toDouble

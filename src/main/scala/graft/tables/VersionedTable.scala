@@ -594,14 +594,18 @@ class VersionedTable private (val spark: SparkSession,
 
   /** Simple conjunctive equi-predicates `targetAlias.col = <srcExpr>`
     * (either side) extracted from a merge condition, for stats-based
-    * target pruning. Empty when the condition's shape is anything but a
-    * plain top-level conjunction of `=` comparisons — pruning is an
-    * optimization and must never guess. */
-  private def equiPairs(condition: String, targetAlias: String): Seq[(String, String)] = {
+    * target pruning and the merge-cardinality fast path. Empty when the
+    * condition's shape is anything but a plain top-level conjunction of
+    * `=` comparisons — pruning is an optimization and must never guess.
+    * @return (pairs, pure) — `pure` is true iff EVERY conjunct parsed as
+    *         such an equi-predicate, i.e. the pairs fully characterize
+    *         the join condition */
+  private def equiPairs(condition: String, targetAlias: String): (Seq[(String, String)], Boolean) = {
     if (condition.contains("(") ||
-      "(?is)\\bor\\b".r.findFirstIn(condition).isDefined) return Seq.empty
+      "(?is)\\bor\\b".r.findFirstIn(condition).isDefined) return (Seq.empty, false)
     val tPrefix = targetAlias + "."
-    condition.split("(?i)\\bAND\\b").toSeq.flatMap { c =>
+    val conjuncts = condition.split("(?i)\\bAND\\b").toSeq
+    val parsed = conjuncts.map { c =>
       if (c.exists("<>!".contains(_))) None
       else c.split("=") match {
         case Array(l0, r0) =>
@@ -618,6 +622,7 @@ class VersionedTable private (val spark: SparkSession,
         case _ => None
       }
     }
+    (parsed.flatten, parsed.forall(_.isDefined) && parsed.nonEmpty)
   }
 
   /** Read a specific live-file subset with the table schema. */
@@ -637,26 +642,54 @@ class VersionedTable private (val spark: SparkSession,
     val (files, tableSchema, partCols) = snapshot(None)
     val dataCols = tableSchema.fields.toSeq
 
-    // --- stats pruning: bound the target side by the source's key range --
-    // For each conjunctive equi-key, one agg over the (persisted) source
-    // computes its min/max; files whose footer stats don't overlap EVERY
-    // key range cannot contain matched rows — they are skipped by both
-    // the insert-only anti-join and the touched-file probe. At scale this
-    // turns a full-table merge probe into a scan of the key-overlapping
-    // files only (the same role Delta's file stats play in MERGE).
-    // Conservative on every failure path: unknown shapes prune nothing.
+    // --- stats pruning + cardinality fast path: ONE source-side agg -----
+    // For each conjunctive equi-key, the agg computes its min/max — files
+    // whose footer stats don't overlap EVERY key range cannot contain
+    // matched rows and are skipped by both the insert-only anti-join and
+    // the touched-file probe (the same role Delta's file stats play in
+    // MERGE). When the condition is a PURE equi-conjunction, the same agg
+    // also checks whether the source keys are unique: if they are, no
+    // target row can possibly be matched by two source rows, so the
+    // per-target-row cardinality grouping in the probe is provably
+    // unnecessary (the common case — e.g. a deduped batch). Conservative
+    // on every failure path: unknown shapes prune nothing and keep the
+    // exact check.
+    val checkCardinality =
+      spark.conf.get("spark.graft.merge.checkCardinality", "true") != "false"
+    val (pairs, pureEqui) = equiPairs(condition, targetAlias)
+    // ≤2 files: the min/max agg costs more than scanning them
+    val wantStats = pairs.nonEmpty && files.size > 2
+    // dup check only matters on the rewrite path (insert-only merges
+    // return before the probe and never rewrite matched rows)
+    val wantDupCheck = checkCardinality && pureEqui && pairs.nonEmpty &&
+      matchedUpdate.isDefined
+    var srcKeysUnique = false
     val matchCandidates: Seq[FileEntry] =
       try {
-        val pairs = equiPairs(condition, targetAlias)
-        // ≤2 files: the min/max agg job costs more than scanning them
-        if (pairs.isEmpty || files.size <= 2) files
+        if (!wantStats && !wantDupCheck) files
         else {
-          val aggs = pairs.zipWithIndex.flatMap { case ((_, sexpr), i) =>
-            Seq(min(expr(sexpr)).as(s"__graft_lo$i"),
-              max(expr(sexpr)).as(s"__graft_hi$i"))
-          }
+          val statAggs = if (!wantStats) Seq.empty else
+            pairs.zipWithIndex.flatMap { case ((_, sexpr), i) =>
+              Seq(min(expr(sexpr)).as(s"__graft_lo$i"),
+                max(expr(sexpr)).as(s"__graft_hi$i"))
+            }
+          val keyExprs = pairs.map(p => expr(p._2))
+          val dupAggs = if (!wantDupCheck) Seq.empty else Seq(
+            sum(when(keyExprs.map(_.isNotNull).reduce(_ && _), 1L).otherwise(0L))
+              .as("__graft_nn"),
+            countDistinct(keyExprs.head, keyExprs.tail: _*).as("__graft_nd"))
+          val aggs = statAggs ++ dupAggs
           val row = src.agg(aggs.head, aggs.tail: _*).collect()(0)
-          pairs.zipWithIndex.foldLeft(files) { case (cand, ((tcol, _), i)) =>
+          if (wantDupCheck) {
+            // rows with a NULL key can never equi-match a target row;
+            // countDistinct skips them too, so compare against the
+            // non-null-key row count
+            val nn = if (row.isNullAt(statAggs.size)) 0L else row.getLong(statAggs.size)
+            val nd = row.getLong(statAggs.size + 1)
+            srcKeysUnique = nn == nd
+          }
+          if (!wantStats) files
+          else pairs.zipWithIndex.foldLeft(files) { case (cand, ((tcol, _), i)) =>
             val lo = row.get(i * 2)
             val hi = row.get(i * 2 + 1)
             if (lo == null || hi == null) cand
@@ -709,15 +742,16 @@ class VersionedTable private (val spark: SparkSession,
     // --- 1. prune + cardinality, ONE job: which existing files contain
     // rows matched by source, and does any target row match >1 source
     // rows? The probe joins the candidate files with the source on the
-    // merge condition; grouping by (file, _metadata.row_index) folds
-    // Delta's merge-cardinality check into the SAME job that collects
-    // touched file names (it used to be a separate pass over a persisted
-    // source×target join). The collect is bounded by file count, never by
-    // row count. Catalyst/AQE picks the join strategy — the source side
-    // of a batch merge is typically small enough to broadcast. Disable
-    // the check with spark.graft.merge.checkCardinality=false.
-    val checkCardinality =
-      spark.conf.get("spark.graft.merge.checkCardinality", "true") != "false"
+    // merge condition. When the source-key uniqueness fast path did NOT
+    // prove cardinality safe, grouping by (file, _metadata.row_index)
+    // folds Delta's merge-cardinality check into the SAME job that
+    // collects touched file names; on the fast path the probe stays a
+    // cheap distinct over file names (the per-row grouping would push
+    // every matched row through a wide hash aggregate for nothing). The
+    // collect is bounded by file count, never by row count. Catalyst/AQE
+    // picks the join strategy — the source side of a batch merge is
+    // typically small enough to broadcast.
+    val needExactCardinality = checkCardinality && !srcKeysUnique
     val qualify = files.map(fe => new Path(dataDir, fe.path).toString -> fe.path).toMap
     val knownRel = files.map(_.path).toSet
     val touchedRel: Set[String] =
@@ -730,7 +764,7 @@ class VersionedTable private (val spark: SparkSession,
           .withColumn(RowIdxCol, col("_metadata.row_index"))
           .alias(targetAlias)
         val matched = t.join(src, expr(condition), "inner")
-        if (checkCardinality) {
+        if (needExactCardinality) {
           val perFile = matched
             .groupBy(col(FileCol), col(RowIdxCol))
             .agg(count(lit(1)).as("__graft_m"))

@@ -53,6 +53,16 @@ class PlanAuditSpec extends AnyFunSuite {
       "banded LSH must join on band keys, not cross-join")
   }
 
+  test("IVF anchor selection is a per-partition top-K, not a global sort") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = graft.ops.Similarity.ivfAnchorFrame(emb, "vec_id", "embedding", 16)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"anchor pick must be TakeOrderedAndProject:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"anchor pick must not totally order the corpus:\n$p")
+  }
+
   test("versioned table read prunes partitions under filters") {
     val root = Files.createTempDirectory("graft-prune-spec").toString
     val base = spark.range(0, 300).selectExpr("id", "cast(id % 3 + 2021 as int) as y")
