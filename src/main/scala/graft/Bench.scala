@@ -73,6 +73,13 @@ object Bench {
     var lastTablePath: Option[String] = None
     val headerRuns = headerSizes.flatMap { n =>
       try {
+        // previous size's data is deleted before the next timed run — the
+        // accumulated temp tables otherwise evict the page cache and bleed
+        // into the larger sizes' measurements (the r3 10M spread)
+        lastTablePath.foreach { p =>
+          deleteRecursively(new java.io.File(p).getParentFile)
+        }
+        System.gc()
         val tmp = Files.createTempDirectory(s"graft-bench-header-$n").toString
         HeaderDataGen.writeBatch1(spark, n, "20230127", s"$tmp/crm", cpus.toInt, seed = 42)
         HeaderDataGen.writeBatch2(spark, n, "20230228", s"$tmp/crm", cpus.toInt,
@@ -86,6 +93,7 @@ object Bench {
       } catch {
         case e: Throwable =>
           errors(s"header_etl_$n") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          lastTablePath = None // previous size's dir was already deleted
           None
       }
     }
@@ -180,6 +188,7 @@ object Bench {
           val m = HeaderEtlJob.run(s2, s"$tmp/crm/header_20230228.csv",
             s"$tmp/table", s"$tmp/discarded", s"$tmp/metrics")
           s2.stop()
+          deleteRecursively(new java.io.File(tmp))
           s""""$c":${math.rint(m.duration_s * 1000) / 1000}"""
         }
         Seq(s""""cpu_scaling_1m":{${entries.mkString(",")}}""")
@@ -211,5 +220,10 @@ object Bench {
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"header_etl_batch2":$headerJson$extras,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
 }
