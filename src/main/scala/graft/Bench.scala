@@ -180,6 +180,11 @@ object Bench {
           s2.sparkContext.setLogLevel("WARN")
           GraftSession.tune(s2)
           val tmp = Files.createTempDirectory(s"graft-bench-cpu-$c").toString
+          // untimed warmup batch: each sweep point runs in a FRESH session
+          // whose first job otherwise absorbs codegen/session setup
+          HeaderDataGen.writeBatch1(s2, 50000, "20230127", s"$tmp/warm/crm", c, seed = 7)
+          HeaderEtlJob.run(s2, s"$tmp/warm/crm/header_20230127.csv",
+            s"$tmp/warm/table", s"$tmp/warm/discarded", s"$tmp/warm/metrics")
           HeaderDataGen.writeBatch1(s2, 1000000, "20230127", s"$tmp/crm", c, seed = 42)
           HeaderDataGen.writeBatch2(s2, 1000000, "20230228", s"$tmp/crm", c,
             seed = 43, existingCount = 1000000, pctNew = 50.0)

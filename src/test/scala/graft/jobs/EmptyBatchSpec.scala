@@ -39,6 +39,30 @@ class EmptyBatchSpec extends AnyFunSuite {
     assert(VersionedTable.forPath(spark, s"$root/table").read.count() == before)
   }
 
+  test("fully-discarded header batch: kept split absent, zero kept, table unchanged") {
+    val root = Files.createTempDirectory("graft-alldisc-h").toString
+    def row(cod: String, et: String): Seq[String] =
+      Seq(cod, "3000000001", "365", "OPEC0001", "2023-01-01", "1500.00",
+        "", "", "10001", "Accepted", "2023-01-01", et)
+    TestCsv.write(s"$root/crm/header_20230125.csv", headerCols,
+      Seq(row("E1", "2023-01-25 10:00:00")))
+    HeaderEtlJob.run(spark, s"$root/crm/header_20230125.csv",
+      s"$root/table", s"$root/discarded", s"$root/metrics")
+    val before = VersionedTable.forPath(spark, s"$root/table").read.count()
+
+    // every row's event date mismatches the file's batch date → the
+    // validation staging write produces NO kept partition at all
+    TestCsv.write(s"$root/crm/header_20230126.csv", headerCols,
+      Seq(row("E2", "2023-01-20 10:00:00"), row("", "2023-01-26 10:00:00")))
+    val m = HeaderEtlJob.run(spark, s"$root/crm/header_20230126.csv",
+      s"$root/table", s"$root/discarded", s"$root/metrics")
+    assert(m.dq_total == 2 && m.dq_kept == 0 && m.dq_discarded == 2)
+    assert(m.dq_batch_date_mismatch == 1 && m.dq_null_key == 1)
+    assert(m.staged_count == 0 && m.inserted_count == 0 && m.closed_count == 0)
+    assert(spark.read.parquet(s"$root/discarded/discarded_20230126").count() == 2)
+    assert(VersionedTable.forPath(spark, s"$root/table").read.count() == before)
+  }
+
   test("empty items batch: no-op merge, table unchanged") {
     val root = Files.createTempDirectory("graft-empty-i").toString
     def item(cod: String): Seq[String] =
