@@ -707,6 +707,25 @@ object SparkEntry {
         .groupBy(pmod(col("k"), lit(10)).as("k_mod"))
         .agg(count(lit(1)).as("n"), round(avg("value"), 2).as("avg_value"))
         .orderBy("k_mod")
+    }),
+
+    // Connected components on its WORST-CASE shape: consecutive-doc_id
+    // chain edges broken every 50 ids → segments of diameter ~49, where
+    // plain min-label propagation needs ~49 sequential rounds and the
+    // engine's pointer-jump propagation needs ~7. q28 verifies CC on the
+    // real (shallow) near-dup graph; this verifies the deep-chain regime
+    // against a DuckDB recursive-CTE closure over the SAME edges.
+    "q40_cc_chain" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val ids = tbl(s, dir, "documents").select(col("doc_id"))
+      val edges = ids
+        .filter(pmod(col("doc_id"), lit(50)) =!= 0) // break every 50 ids
+        .withColumn("doc_id_next", col("doc_id") + 1)
+        .join(ids.select(col("doc_id").as("doc_id_next")), Seq("doc_id_next"))
+      graft.ops.TextDedup
+        .connectedComponents(edges, "doc_id", "doc_id_next")
+        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+        .orderBy("doc_id")
     })
   )
 
@@ -811,6 +830,24 @@ object SparkEntry {
     "q39_orc_roundtrip" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Transitive closure over the same synthetic chain edges (consecutive
+    // doc_ids, segment break every 50), min reachable id per vertex —
+    // must equal the engine's pointer-jump label propagation exactly.
+    "q40_cc_chain" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT a.doc_id AS a, a.doc_id + 1 AS b
+        |  FROM documents a JOIN documents b2 ON b2.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 50 <> 0
+        |), edges AS (
+        |  SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0
+        |), reach(id, lbl) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id
+        |)
+        |SELECT id AS doc_id, min(lbl) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // exactly the rows added after v0: the append (10-14) plus the
     // insert-only merge's unmatched keys (15-19)
