@@ -6,13 +6,16 @@ import graft.jobs.HeaderEtlJob
 import graft.tools.HeaderDataGen
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR,
-  * then runs the header-ETL volume-scaling scenario (generate batch1 +
-  * batch2 at each size, init-load batch1, measure the batch2 MERGE batch
-  * with the extract/validation/transform/merge phase breakdown — the
-  * exact workload behind BASELINE.md's volume-scaling rows), and prints
-  * ONE JSON line. Failed queries are reported as errors with a negative
-  * time — never as a (fake, fast) wall time. */
+/** Benchmark main: runs the header-ETL volume-scaling scenario (generate
+  * batch1 + batch2 at each size, init-load batch1, measure the batch2
+  * MERGE batch with the extract/validation/transform/merge phase
+  * breakdown — the exact workload behind BASELINE.md's volume-scaling
+  * rows), the partitioning/schema-evolution scenarios, then times every
+  * SparkEntry query on SPARK_GRAFT_SF_DIR, then a CPU-scaling sweep —
+  * and prints ONE JSON line. The volume sweep runs FIRST (right after
+  * warmup) so the headline numbers aren't measured on a JVM aged by 40
+  * queries of cache/GC churn. Failed queries are reported as errors with
+  * a negative time — never as a (fake, fast) wall time. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -42,6 +45,7 @@ object Bench {
         s"$w/table", s"$w/discarded", s"$w/metrics")
       HeaderEtlJob.run(spark, s"$w/crm/header_20230228.csv",
         s"$w/table", s"$w/discarded", s"$w/metrics")
+      deleteRecursively(new java.io.File(w))
     } catch {
       case e: Throwable =>
         errors("warmup") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -49,21 +53,8 @@ object Bench {
 
     // iteration aid: SPARK_GRAFT_SKIP_QUERIES=1 times only the ETL scenarios
     val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
-    val results = (if (skipQueries) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
-                   else SparkEntry.queries).toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch {
-          case e: Throwable =>
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-            false
-        }
-      graft.ops.Caches.releaseAll()
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
 
-    // ---- header-ETL volume scaling (BASELINE.md rows 1,2,4) ------------
+    // ---- header-ETL volume scaling (BASELINE.md rows 1-4) --------------
     // batch2 (50% new keys) against an n-row table is the measured batch.
     // Default records all four published baseline points (100k/1M/5M/10M —
     // reference: metrics/volume_scaling/volume_scaling_metrics_all.csv:2-5).
@@ -135,6 +126,7 @@ object Bench {
               col("is_current") === true).count()
           }
           require(r == qRows, s"partitioning sweep '$label' row mismatch: $r != $qRows")
+          deleteRecursively(new java.io.File(dir))
           s""""$label":${math.rint(s * 1000) / 1000}"""
         }
         val sweepJson = s""""partitioning_sweep":{${sweep.mkString(",")}}"""
@@ -157,6 +149,24 @@ object Bench {
           errors("extra_scenarios") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           Nil
       }
+    }
+    // the largest size's table is only needed by the extras — reclaim it
+    // before the query section
+    lastTablePath.foreach(p => deleteRecursively(new java.io.File(p).getParentFile))
+
+    // ---- per-query timings ----------------------------------------------
+    val results = (if (skipQueries) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
+                   else SparkEntry.queries).toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            false
+        }
+      graft.ops.Caches.releaseAll()
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
 
     // ---- CPU-scaling sweep (the local analog of the reference's
