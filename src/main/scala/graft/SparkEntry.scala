@@ -726,6 +726,50 @@ object SparkEntry {
         .connectedComponents(edges, "doc_id", "doc_id_next")
         .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
         .orderBy("doc_id")
+    }),
+
+    // As-of (point-in-time) join: every click gets the latest signup at or
+    // before it, per user — the time-series primitive Spark lacks as a
+    // built-in. Union+window formulation (ONE key shuffle, no range join,
+    // no BroadcastNestedLoopJoin); oracle is DuckDB's native ASOF JOIN.
+    "q43_asof_join" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val ev = tbl(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("signup_ts"),
+          col("event_id").as("signup_id"))
+      graft.ops.AsofJoin
+        .asofJoin(clicks, signups, Seq("user_id"), "ts", "signup_ts",
+          Seq("signup_id", "signup_ts"))
+        .orderBy("event_id")
+    }),
+
+    // Interval join via time-bucketed equi-join: purchases in the hour
+    // after each signup, zero-count signups kept. The naive inequality
+    // join materializes every (signup, purchase) pair per hot user; the
+    // bucketed plan is an equi-join on (user, hour-bucket) with the exact
+    // range as residual (PlanAuditSpec forbids BNLJ on this path).
+    "q44_range_join" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val ev = tbl(s, dir, "events")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+          col("ts").as("s_ts"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("s_end"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      val pairs = graft.ops.RangeJoin.rangeJoin(
+        signups, purchases, Seq("s_user"), Seq("p_user"),
+        "s_ts", "s_end", "p_ts", bucketSeconds = 3600, inclusiveEnd = false)
+      signups.select(col("signup_id"), col("s_user").as("user_id"))
+        .join(pairs.groupBy("signup_id").agg(count(lit(1)).as("n_purchases")),
+          Seq("signup_id"), "left")
+        .select(col("signup_id"), col("user_id"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+        .orderBy("signup_id")
     })
   )
 
@@ -848,6 +892,28 @@ object SparkEntry {
         |)
         |SELECT id AS doc_id, min(lbl) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // DuckDB's native ASOF JOIN is the independent implementation of the
+    // same point-in-time semantics (inclusive on ts equality)
+    "q43_asof_join" ->
+      """SELECT c.event_id, c.user_id, c.ts, s.signup_id, s.signup_ts
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts AS signup_ts, event_id AS signup_id
+        |                FROM events WHERE event_type = 'signup') s
+        |ON c.user_id = s.user_id AND c.ts >= s.signup_ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    // plain inequality join — the bucketed equi-join plan must reproduce
+    // it exactly (half-open window [ts, ts+1h))
+    "q44_range_join" ->
+      """SELECT s.event_id AS signup_id, s.user_id,
+        |  count(p.event_id) AS n_purchases
+        |FROM events s LEFT JOIN events p
+        |  ON p.user_id = s.user_id AND p.event_type = 'purchase'
+        | AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 1 HOUR
+        |WHERE s.event_type = 'signup'
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     // exactly the rows added after v0: the append (10-14) plus the
     // insert-only merge's unmatched keys (15-19)

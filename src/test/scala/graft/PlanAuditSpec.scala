@@ -63,6 +63,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"anchor pick must not totally order the corpus:\n$p")
   }
 
+  test("q43: as-of join is one window pass — no range join, no nested loop") {
+    val p = plan("q43_asof_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "as-of join must not plan as a nested-loop/cross join")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      "as-of join must execute as a window pass")
+  }
+
+  test("q44: range join plans as an equi-join on (key, bucket), never BNLJ") {
+    val p = plan("q44_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "bucketed range join must stay an equi-join")
+  }
+
   test("versioned table read prunes partitions under filters") {
     val root = Files.createTempDirectory("graft-prune-spec").toString
     val base = spark.range(0, 300).selectExpr("id", "cast(id % 3 + 2021 as int) as y")
