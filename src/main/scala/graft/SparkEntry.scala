@@ -770,6 +770,38 @@ object SparkEntry {
         .select(col("signup_id"), col("user_id"),
           coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
         .orderBy("signup_id")
+    }),
+
+    // Gap-based sessionization (30-min inactivity) + per-session rollup:
+    // both windows and the session aggregate ride ONE shuffle on user_id
+    // (PlanAuditSpec counts the Exchanges). Gap math is integer
+    // microseconds — exact against DuckDB's interval comparison.
+    "q41_sessionize" -> ((s, dir) => {
+      GraftSession.tune(s)
+      graft.ops.Sessionize
+        .sessionize(tbl(s, dir, "events"), Seq("user_id"), "ts",
+          gapMicros = 30L * 60 * 1000000, tieBreakCols = Seq("event_id"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+          count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // Hierarchical subtotals via ROLLUP — (flag, status), (flag), ()
+    // in one pass: Spark expands the grouping sets map-side, so it's
+    // still a single shuffled aggregation, not three scans. Subtotal
+    // rows surface as 'ALL' (the columns are non-null in the data).
+    "q42_rollup" -> ((s, dir) => {
+      GraftSession.tune(s)
+      tbl(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(avg("l_extendedprice"), 2).as("avg_price"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n_rows"), col("sum_qty"), col("avg_price"))
+        .orderBy("returnflag", "linestatus")
     })
   )
 
@@ -914,6 +946,39 @@ object SparkEntry {
         | AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 1 HOUR
         |WHERE s.event_type = 'signup'
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    // same lag-then-running-sum idiom, independently in DuckDB; the
+    // interval comparison is microsecond-exact like the engine's
+    // unix_micros arithmetic (strict >: a gap of exactly 30 min stays)
+    "q41_sessionize" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS opens
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sids AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(opens) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM b
+        |)
+        |SELECT user_id, session_id, min(ts) AS session_start,
+        |  max(ts) AS session_end, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM sids GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q42_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(avg(l_extendedprice), 2) AS avg_price
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
 
     // exactly the rows added after v0: the append (10-14) plus the
     // insert-only merge's unmatched keys (15-19)
