@@ -802,6 +802,42 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
           col("n_rows"), col("sum_qty"), col("avg_price"))
         .orderBy("returnflag", "linestatus")
+    }),
+
+    // Exact quartiles per group (linear interpolation at p·(n-1)) — the
+    // distribution-profiling op behind length/quality cutoffs in corpus
+    // curation. Spark's percentile is an exact single-pass aggregate
+    // (per-group sorted buffer), matching DuckDB's quantile_cont.
+    "q45_percentiles" -> ((s, dir) => {
+      GraftSession.tune(s)
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("returnflag")
+    }),
+
+    // Salted skew join: lineitem⋈orders spread over 8 reducers per
+    // orderkey, then revenue per order priority. The oracle is the PLAIN
+    // join — the salt-and-replicate rewrite must be invisible in the
+    // result. Broadcast is disabled for the join so the salt actually
+    // exercises the shuffle-join path it exists for.
+    "q46_skew_join" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val li = tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val ord = tbl(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        .hint("shuffle_merge")
+      graft.ops.SkewJoin.saltedEquiJoin(li, ord, Seq("l_orderkey"), 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -979,6 +1015,22 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY 1, 2""".stripMargin,
+
+    // quantile_cont interpolates at p·(n-1) like Spark's exact percentile
+    "q45_percentiles" ->
+      """SELECT l_returnflag AS returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the plain join the salted rewrite must reproduce exactly
+    "q46_skew_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // exactly the rows added after v0: the append (10-14) plus the
     // insert-only merge's unmatched keys (15-19)
