@@ -838,6 +838,36 @@ object SparkEntry {
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
             .as("revenue"))
         .orderBy("o_orderpriority")
+    }),
+
+    // Structured Streaming windowed aggregation, END TO END: the events
+    // table streamed through a real file source (AvailableNow), the
+    // watermarked tumbling-window agg, a memory sink — and the result
+    // must equal the batch answer (DuckDB date_trunc oracle). Complete
+    // mode so every window lands in the sink (the memory sink is a
+    // verification device; production would append to a table sink).
+    "q47_stream_window" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // the streaming file source lists a DIRECTORY; the testdata table is
+      // a bare file — expose it through a symlinked temp dir
+      val in = Files.createTempDirectory("graft-q47")
+      Files.createSymbolicLink(in.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val raw = s.readStream.schema(schema).parquet(in.toString)
+      // same TIMESTAMP(NANOS)→µs normalization tbl() applies to the batch read
+      val stream =
+        if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else raw
+      val sink = "q47_win_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = graft.streaming.StreamingEventStats.windowedCounts(stream)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).orderBy("window_start", "event_type")
     })
   )
 
@@ -1031,6 +1061,13 @@ object SparkEntry {
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the batch answer the stream must converge to: Spark's window()
+    // buckets are epoch-aligned, so 1-hour tumbling ≡ date_trunc('hour')
+    "q47_stream_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // exactly the rows added after v0: the append (10-14) plus the
     // insert-only merge's unmatched keys (15-19)
