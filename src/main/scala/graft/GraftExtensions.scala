@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.expressions._
+
+/** SQL surface for the native sketch expressions: registers them as
+  * functions so a pure-SQL user gets the same codegen'd hot paths the
+  * DataFrame operators use — `SELECT graft_cosine(a.embedding,
+  * b.embedding) FROM ...` plans the identical whole-stage-codegen loop
+  * as the Scala API.
+  *
+  * Two installation routes:
+  *  - `spark.sql.extensions=graft.GraftExtensions` at session build
+  *    (the standard `SparkSessionExtensions` injection point), or
+  *  - `GraftExtensions.install(spark)` on a live session (the driver
+  *    contract builds its sessions before library code runs).
+  *
+  * Config arguments (hash counts, seeds, centroids) must be literals —
+  * they parameterize codegen, so a non-literal is rejected at analysis
+  * with a clear message rather than failing inside codegen.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def lit[T](e: Expression, fn: String, what: String): T = e match {
+    case Literal(v, _) if v != null => v.asInstanceOf[T]
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be a non-null literal, got $other")
+  }
+  private def intLit(e: Expression, fn: String, what: String): Int =
+    lit[Number](e, fn, what).intValue()
+  private def longLit(e: Expression, fn: String, what: String): Long =
+    lit[Number](e, fn, what).longValue()
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  /** (identifier, info, builder) triples in `injectFunction` shape. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_cosine"),
+      info("graft_cosine",
+        "graft_cosine(a, b) - cosine similarity of two float/double arrays"),
+      (es: Seq[Expression]) => CosineSim(es(0), es(1))),
+    (FunctionIdentifier("graft_shingles"),
+      info("graft_shingles",
+        "graft_shingles(text, n) - distinct hashed word n-gram shingles"),
+      (es: Seq[Expression]) =>
+        HashedShingles(es(0), intLit(es(1), "graft_shingles", "n"))),
+    (FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64",
+        "graft_simhash64(hashes) - 64-bit SimHash of an array<bigint>"),
+      (es: Seq[Expression]) => SimHash64(es(0))),
+    (FunctionIdentifier("graft_minhash"),
+      info("graft_minhash",
+        "graft_minhash(hashes, k, seed) - k-hash MinHash signature"),
+      (es: Seq[Expression]) => MinHashSig(es(0),
+        intLit(es(1), "graft_minhash", "k"),
+        longLit(es(2), "graft_minhash", "seed"))),
+    (FunctionIdentifier("graft_randproj_sig"),
+      info("graft_randproj_sig",
+        "graft_randproj_sig(embedding, planes, seed) - hyperplane LSH signature"),
+      (es: Seq[Expression]) => RandProjSig(es(0),
+        intLit(es(1), "graft_randproj_sig", "planes"),
+        longLit(es(2), "graft_randproj_sig", "seed"))),
+    (FunctionIdentifier("graft_randproj_buckets"),
+      info("graft_randproj_buckets",
+        "graft_randproj_buckets(embedding, tables, bits, seed) - LSH bucket keys"),
+      (es: Seq[Expression]) => RandProjBuckets(es(0),
+        intLit(es(1), "graft_randproj_buckets", "tables"),
+        intLit(es(2), "graft_randproj_buckets", "bits"),
+        longLit(es(3), "graft_randproj_buckets", "seed"))))
+
+  /** Register on an already-built session (idempotent — re-registering
+    * overwrites with the same builder). */
+  def install(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    functions.foreach { case (ident, inf, builder) =>
+      registry.registerFunction(ident, inf, builder)
+    }
+  }
+}

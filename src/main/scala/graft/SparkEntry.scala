@@ -868,6 +868,26 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       s.table(sink).orderBy("window_start", "event_type")
+    }),
+
+    // The SQL extension surface end-to-end: graft_cosine (the codegen'd
+    // CosineSim expression registered via GraftExtensions) driving a
+    // pure-SQL similarity query; DuckDB recomputes every pair with
+    // list_cosine_similarity. Bounded to a 40-vector slice — the scale
+    // path for all-pairs similarity is the LSH operator (q26), this
+    // verifies the SQL registration plans the same native expression.
+    "q48_sql_cosine" -> ((s, dir) => {
+      GraftSession.tune(s)
+      GraftExtensions.install(s)
+      tbl(s, dir, "embeddings").createOrReplaceTempView("embeddings_q48")
+      s.sql("""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(graft_cosine(a.embedding, b.embedding), 4) AS cosine_sim
+        FROM embeddings_q48 a JOIN embeddings_q48 b
+          ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 40 AND b.vec_id < 40
+          AND graft_cosine(a.embedding, b.embedding) >= 0.8
+        ORDER BY id_a, id_b""")
     })
   )
 
@@ -1068,6 +1088,17 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // every pair recomputed independently; same float→double path as q14
+    "q48_sql_cosine" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(
+        |    a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 40 AND b.vec_id < 40
+        |  AND list_cosine_similarity(
+        |    a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.8
+        |ORDER BY 1, 2""".stripMargin,
 
     // exactly the rows added after v0: the append (10-14) plus the
     // insert-only merge's unmatched keys (15-19)

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expressions.{CosineSim, HashedShingles, SimHash64}
+
+/** The SQL function surface must plan the SAME native expressions as the
+  * Scala API — checked by computing each sketch both ways on the same
+  * rows (the sf-scale check is q48's DuckDB cosine oracle). */
+class GraftExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SharedSpark.spark
+    GraftExtensions.install(s)
+    s
+  }
+  import spark.implicits._
+
+  test("graft_cosine in SQL equals the CosineSim expression") {
+    Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)),
+      (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)))
+      .toDF("a", "b").createOrReplaceTempView("ext_cos")
+    val viaSql = spark.sql(
+      "SELECT graft_cosine(a, b) AS c FROM ext_cos ORDER BY c")
+      .collect().map(_.getDouble(0))
+    val viaApi = spark.table("ext_cos")
+      .select(GraftColumnBridge.column(CosineSim(
+        GraftColumnBridge.expression(col("a")),
+        GraftColumnBridge.expression(col("b")))).as("c"))
+      .orderBy("c").collect().map(_.getDouble(0))
+    assert(viaSql.toSeq === viaApi.toSeq)
+  }
+
+  test("graft_simhash64(graft_shingles(text, n)) equals the expression chain") {
+    Seq("the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs")
+      .toDF("text").createOrReplaceTempView("ext_sim")
+    val viaSql = spark.sql(
+      "SELECT graft_simhash64(graft_shingles(text, 3)) AS s FROM ext_sim")
+      .collect().map(_.getLong(0))
+    val viaApi = spark.table("ext_sim")
+      .select(GraftColumnBridge.column(SimHash64(HashedShingles(
+        GraftColumnBridge.expression(col("text")), 3))).as("s"))
+      .collect().map(_.getLong(0))
+    assert(viaSql.toSeq === viaApi.toSeq)
+  }
+
+  test("config arguments must be literals — clear analysis-time error") {
+    Seq("x").toDF("text").createOrReplaceTempView("ext_bad")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_shingles(text, length(text)) FROM ext_bad").collect()
+    }
+    assert(e.getMessage.contains("must be a non-null literal"),
+      s"unexpected error: ${e.getMessage}")
+  }
+
+  test("install is idempotent") {
+    GraftExtensions.install(spark)
+    assert(spark.sql("SELECT graft_cosine(array(1.0f), array(1.0f)) AS c")
+      .head().getDouble(0) === 1.0)
+  }
+}
