@@ -886,8 +886,8 @@ object SparkEntry {
         FROM embeddings_q48 a JOIN embeddings_q48 b
           ON a.vec_id < b.vec_id
         WHERE a.vec_id < 40 AND b.vec_id < 40
-          AND graft_cosine(a.embedding, b.embedding) >= 0.8
-        ORDER BY id_a, id_b""")
+        ORDER BY graft_cosine(a.embedding, b.embedding) DESC, id_a, id_b
+        LIMIT 15""")
     })
   )
 
@@ -1096,9 +1096,9 @@ object SparkEntry {
         |    a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine_sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE a.vec_id < 40 AND b.vec_id < 40
-        |  AND list_cosine_similarity(
-        |    a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.8
-        |ORDER BY 1, 2""".stripMargin,
+        |ORDER BY list_cosine_similarity(
+        |    a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC, 1, 2
+        |LIMIT 15""".stripMargin,
 
     // exactly the rows added after v0: the append (10-14) plus the
     // insert-only merge's unmatched keys (15-19)
