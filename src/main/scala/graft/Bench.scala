@@ -63,6 +63,7 @@ object Bench {
       .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong)
     var lastTablePath: Option[String] = None
     val headerRuns = headerSizes.flatMap { n =>
+      var thisTmp: Option[String] = None
       try {
         // previous size's data is deleted before the next timed run — the
         // accumulated temp tables otherwise evict the page cache and bleed
@@ -72,6 +73,7 @@ object Bench {
         }
         System.gc()
         val tmp = Files.createTempDirectory(s"graft-bench-header-$n").toString
+        thisTmp = Some(tmp)
         HeaderDataGen.writeBatch1(spark, n, "20230127", s"$tmp/crm", cpus.toInt, seed = 42)
         HeaderDataGen.writeBatch2(spark, n, "20230228", s"$tmp/crm", cpus.toInt,
           seed = 43, existingCount = n, pctNew = 50.0)
@@ -84,6 +86,9 @@ object Bench {
       } catch {
         case e: Throwable =>
           errors(s"header_etl_$n") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          // the failed size's partial data would bleed into the next
+          // size's measurement (and leak after exit) — delete it too
+          thisTmp.foreach(t => deleteRecursively(new java.io.File(t)))
           lastTablePath = None // previous size's dir was already deleted
           None
       }

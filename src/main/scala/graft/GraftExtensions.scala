@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  private def arity(es: Seq[Expression], n: Int, fn: String, sig: String): Unit =
+    if (es.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n arguments — usage: $sig, got ${es.length}")
+
   private def lit[T](e: Expression, fn: String, what: String): T = e match {
     case Literal(v, _) if v != null => v.asInstanceOf[T]
     case other => throw new IllegalArgumentException(
@@ -48,35 +52,53 @@ object GraftExtensions {
     (FunctionIdentifier("graft_cosine"),
       info("graft_cosine",
         "graft_cosine(a, b) - cosine similarity of two float/double arrays"),
-      (es: Seq[Expression]) => CosineSim(es(0), es(1))),
+      (es: Seq[Expression]) => {
+        arity(es, 2, "graft_cosine", "graft_cosine(a, b)")
+        CosineSim(es(0), es(1))
+      }),
     (FunctionIdentifier("graft_shingles"),
       info("graft_shingles",
         "graft_shingles(text, n) - distinct hashed word n-gram shingles"),
-      (es: Seq[Expression]) =>
-        HashedShingles(es(0), intLit(es(1), "graft_shingles", "n"))),
+      (es: Seq[Expression]) => {
+        arity(es, 2, "graft_shingles", "graft_shingles(text, n)")
+        HashedShingles(es(0), intLit(es(1), "graft_shingles", "n"))
+      }),
     (FunctionIdentifier("graft_simhash64"),
       info("graft_simhash64",
         "graft_simhash64(hashes) - 64-bit SimHash of an array<bigint>"),
-      (es: Seq[Expression]) => SimHash64(es(0))),
+      (es: Seq[Expression]) => {
+        arity(es, 1, "graft_simhash64", "graft_simhash64(hashes)")
+        SimHash64(es(0))
+      }),
     (FunctionIdentifier("graft_minhash"),
       info("graft_minhash",
         "graft_minhash(hashes, k, seed) - k-hash MinHash signature"),
-      (es: Seq[Expression]) => MinHashSig(es(0),
-        intLit(es(1), "graft_minhash", "k"),
-        longLit(es(2), "graft_minhash", "seed"))),
+      (es: Seq[Expression]) => {
+        arity(es, 3, "graft_minhash", "graft_minhash(hashes, k, seed)")
+        MinHashSig(es(0),
+          intLit(es(1), "graft_minhash", "k"),
+          longLit(es(2), "graft_minhash", "seed"))
+      }),
     (FunctionIdentifier("graft_randproj_sig"),
       info("graft_randproj_sig",
         "graft_randproj_sig(embedding, planes, seed) - hyperplane LSH signature"),
-      (es: Seq[Expression]) => RandProjSig(es(0),
-        intLit(es(1), "graft_randproj_sig", "planes"),
-        longLit(es(2), "graft_randproj_sig", "seed"))),
+      (es: Seq[Expression]) => {
+        arity(es, 3, "graft_randproj_sig", "graft_randproj_sig(embedding, planes, seed)")
+        RandProjSig(es(0),
+          intLit(es(1), "graft_randproj_sig", "planes"),
+          longLit(es(2), "graft_randproj_sig", "seed"))
+      }),
     (FunctionIdentifier("graft_randproj_buckets"),
       info("graft_randproj_buckets",
         "graft_randproj_buckets(embedding, tables, bits, seed) - LSH bucket keys"),
-      (es: Seq[Expression]) => RandProjBuckets(es(0),
-        intLit(es(1), "graft_randproj_buckets", "tables"),
-        intLit(es(2), "graft_randproj_buckets", "bits"),
-        longLit(es(3), "graft_randproj_buckets", "seed"))))
+      (es: Seq[Expression]) => {
+        arity(es, 4, "graft_randproj_buckets",
+          "graft_randproj_buckets(embedding, tables, bits, seed)")
+        RandProjBuckets(es(0),
+          intLit(es(1), "graft_randproj_buckets", "tables"),
+          intLit(es(2), "graft_randproj_buckets", "bits"),
+          longLit(es(3), "graft_randproj_buckets", "seed"))
+      }))
 
   /** Register on an already-built session (idempotent — re-registering
     * overwrites with the same builder). */

@@ -867,6 +867,13 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // input fully drained — the symlink dir can go now; the in-memory
+      // sink table is released once the caller is done with the result
+      Files.deleteIfExists(in.resolve("events.parquet"))
+      Files.deleteIfExists(in)
+      graft.ops.Caches.registeredRelease { () =>
+        s.catalog.dropTempView(sink); ()
+      }
       s.table(sink).orderBy("window_start", "event_type")
     }),
 

@@ -57,9 +57,15 @@ object AsofJoin {
       s"right payload columns collide with left columns: ${collisions.mkString(", ")} — alias the right frame first")
     val leftOther = left.columns.toSeq.filterNot(keyCols.contains)
 
+    // A NULL right timestamp matches nothing in ASOF semantics (DuckDB's
+    // c.ts >= s.ts is never true on NULL) — drop those rows up front;
+    // unfiltered they would sort nulls-first and be carried onto every
+    // left row that precedes the key's first real right row
+    val rValid = right.filter(col(rightTs).isNotNull)
+
     // __rts rides inside the struct: it is the matched row's timestamp,
     // needed by the tolerance check even when rightTs ∉ rightCols
-    val rTagged = right.select(
+    val rTagged = rValid.select(
       keyCols.map(col) ++ Seq(
         col(rightTs).as("__ts"), lit(0).as("__side"),
         struct(rightCols.map(col) :+ col(rightTs).as("__rts"): _*).as("__r")) ++

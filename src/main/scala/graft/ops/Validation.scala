@@ -131,7 +131,14 @@ object Validation {
     fs.delete(discTarget, true)
     val discSrc = new Path(s"$stagingPath/__discarded=true")
     if (fs.exists(discSrc)) fs.rename(discSrc, discTarget)
-    else fs.mkdirs(discTarget) // no discards this batch
+    else {
+      // no discards this batch: still write a schema-bearing empty parquet
+      // dataset — a bare directory would break spark.read.parquet for
+      // downstream consumers of the discard sink
+      val schema = StructType(tagged.schema.filterNot(_.name == "__discarded"))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        .write.mode("overwrite").parquet(discTarget.toString)
+    }
 
     val keptDir = new Path(s"$stagingPath/__discarded=false")
     val keptClean =

@@ -156,6 +156,9 @@ class HeaderEtlJobSpec extends AnyFunSuite {
     assert(gaps == 0, "non-contiguous version intervals")
     // discarded sink exists for the dup batch
     assert(spark.read.parquet(s"$discardedPath/discarded_20230104").count() == 3)
+    // a CLEAN batch's discard sink must still be a readable (empty)
+    // parquet dataset, not a bare directory
+    assert(spark.read.parquet(s"$discardedPath/discarded_20230101").count() == 0)
     // metrics CSVs were written (one dir per batch)
     val metricsDirs = new java.io.File(metricsPath).list()
     assert(metricsDirs != null && metricsDirs.nonEmpty)

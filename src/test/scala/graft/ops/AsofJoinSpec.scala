@@ -73,6 +73,19 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(m(4L) === Some(200.0)) // 1 s back → kept
   }
 
+  test("a NULL right timestamp matches nothing (ASOF semantics)") {
+    val q = Seq(("A", None: Option[java.sql.Timestamp], Some(99.0)),
+      ("A", Some(ts("2024-01-01 10:00:05")), Some(101.0)))
+      .toDF("sym", "q_ts", "price")
+    val t = Seq(("A", ts("2024-01-01 10:00:01"), 1L), // before any real quote
+      ("A", ts("2024-01-01 10:00:06"), 2L))           // after the :05 quote
+      .toDF("sym", "t_ts", "trade_id")
+    val m = AsofJoin.asofJoin(t, q, Seq("sym"), "t_ts", "q_ts", Seq("price"))
+      .collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+    assert(m(1L) === None, "NULL-ts quote must not act as an earliest match")
+    assert(m(2L) === Some(101.0))
+  }
+
   test("right payload names colliding with left columns are rejected") {
     intercept[IllegalArgumentException] {
       AsofJoin.asofJoin(trades, quotes.withColumnRenamed("price", "trade_id"),
