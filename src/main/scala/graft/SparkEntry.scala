@@ -895,6 +895,20 @@ object SparkEntry {
         WHERE a.vec_id < 40 AND b.vec_id < 40
         ORDER BY graft_cosine(a.embedding, b.embedding) DESC, id_a, id_b
         LIMIT 15""")
+    }),
+
+    // Per-group z-score via stats-broadcast (two passes, fact side never
+    // shuffled); the oracle recomputes it with DuckDB's WINDOW
+    // formulation — an independent plan shape for the same math. Rounded
+    // to 3 decimals so cross-engine float summation order can't flip a
+    // digit.
+    "q49_zscore" -> ((s, dir) => {
+      GraftSession.tune(s)
+      graft.ops.GroupStats
+        .withZScore(tbl(s, dir, "documents"), Seq("lang"), "n_chars")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(col("z_score"), 3).as("z"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1106,6 +1120,17 @@ object SparkEntry {
         |ORDER BY list_cosine_similarity(
         |    a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC, 1, 2
         |LIMIT 15""".stripMargin,
+
+    // window formulation of the same per-group z-score
+    "q49_zscore" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CASE WHEN stddev_samp(n_chars) OVER w > 0
+        |       THEN round((n_chars - avg(n_chars) OVER w)
+        |                  / stddev_samp(n_chars) OVER w, 3)
+        |  END AS z
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang)
+        |ORDER BY doc_id""".stripMargin,
 
     // exactly the rows added after v0: the append (10-14) plus the
     // insert-only merge's unmatched keys (15-19)
