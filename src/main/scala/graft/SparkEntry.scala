@@ -909,6 +909,34 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"),
           round(col("z_score"), 3).as("z"))
         .orderBy("doc_id")
+    }),
+
+    // Streaming deduplication: dropDuplicates keyed state emits each
+    // (user, event_type) pair on FIRST arrival — projected to the keys,
+    // that is exactly the batch DISTINCT the oracle computes. State is
+    // one entry per live key; production bounds it with
+    // dropDuplicatesWithinWatermark when keys churn.
+    "q50_stream_dedup" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val in = Files.createTempDirectory("graft-q50")
+      Files.createSymbolicLink(in.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val sink = "q50_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = s.readStream.schema(schema).parquet(in.toString)
+        .select("user_id", "event_type")
+        .dropDuplicates("user_id", "event_type")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Files.deleteIfExists(in.resolve("events.parquet"))
+      Files.deleteIfExists(in)
+      graft.ops.Caches.registeredRelease { () =>
+        s.catalog.dropTempView(sink); ()
+      }
+      s.table(sink).orderBy("user_id", "event_type")
     })
   )
 
@@ -1120,6 +1148,11 @@ object SparkEntry {
         |ORDER BY list_cosine_similarity(
         |    a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC, 1, 2
         |LIMIT 15""".stripMargin,
+
+    // first-arrival streaming dedup ≡ batch DISTINCT on the keys
+    "q50_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type
+        |FROM events ORDER BY 1, 2""".stripMargin,
 
     // window formulation of the same per-group z-score
     "q49_zscore" ->
