@@ -937,6 +937,49 @@ object SparkEntry {
         s.catalog.dropTempView(sink); ()
       }
       s.table(sink).orderBy("user_id", "event_type")
+    }),
+
+    // mapGroupsWithState custom keyed state, END TO END: the running
+    // per-user stats stream drained via AvailableNow, then each user's
+    // FINAL state (update mode emits one row per user per micro-batch;
+    // the event count is strictly increasing, so max-count row = final)
+    // must equal the batch aggregate DuckDB computes.
+    "q51_stream_state" -> ((s, dir) => {
+      GraftSession.tune(s)
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val in = Files.createTempDirectory("graft-q51")
+      Files.createSymbolicLink(in.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val raw = s.readStream.schema(schema).parquet(in.toString)
+      val tsCol =
+        if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          expr("timestamp_micros(ts div 1000)")
+        else col("ts")
+      val events = raw
+        .select(col("user_id").as("userId"), tsCol.as("ts"), col("value"))
+        .as[graft.streaming.StreamingEventStats.UserEvent]
+      val sink = "q51_state_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = graft.streaming.StreamingEventStats.runningUserStats(events)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(graft.streaming.StreamingEventStats.RunningStatsOutputMode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Files.deleteIfExists(in.resolve("events.parquet"))
+      Files.deleteIfExists(in)
+      graft.ops.Caches.registeredRelease { () =>
+        s.catalog.dropTempView(sink); ()
+      }
+      val wFinal = Window.partitionBy(col("userId"))
+        .orderBy(col("nEvents").desc)
+      s.table(sink)
+        .withColumn("__rn", row_number().over(wFinal))
+        .filter(col("__rn") === 1)
+        .select(col("userId").as("user_id"), col("nEvents").as("n_events"),
+          round(col("totalValue"), 2).as("total_value"),
+          col("lastTs").as("last_ts"))
+        .orderBy("user_id")
     })
   )
 
@@ -1153,6 +1196,12 @@ object SparkEntry {
     "q50_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type
         |FROM events ORDER BY 1, 2""".stripMargin,
+
+    // the batch aggregate the final per-user state must converge to
+    "q51_stream_state" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value, max(ts) AS last_ts
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // window formulation of the same per-group z-score
     "q49_zscore" ->
