@@ -33,15 +33,18 @@ object GraftExtensions {
     if (es.length != n) throw new IllegalArgumentException(
       s"$fn expects $n arguments — usage: $sig, got ${es.length}")
 
-  private def lit[T](e: Expression, fn: String, what: String): T = e match {
-    case Literal(v, _) if v != null => v.asInstanceOf[T]
+  // Matching `v: Number` directly (not an erased asInstanceOf) so a
+  // string literal like graft_shingles(text, '3') gets the designed
+  // analysis error instead of a raw ClassCastException.
+  private def numLit(e: Expression, fn: String, what: String): Number = e match {
+    case Literal(v: Number, _) => v
     case other => throw new IllegalArgumentException(
-      s"$fn: $what must be a non-null literal, got $other")
+      s"$fn: $what must be a non-null numeric literal, got $other")
   }
   private def intLit(e: Expression, fn: String, what: String): Int =
-    lit[Number](e, fn, what).intValue()
+    numLit(e, fn, what).intValue()
   private def longLit(e: Expression, fn: String, what: String): Long =
-    lit[Number](e, fn, what).longValue()
+    numLit(e, fn, what).longValue()
 
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")

@@ -43,6 +43,23 @@ object SparkEntry {
     "causale_annullamento", "data_annullamento", "codice_agente",
     "status_quote", "creazione_dta", "event_time")
 
+  /** Expose a bare parquet file as a directory for the streaming file
+    * source (which lists a directory), run `body` with the dir path, and
+    * ALWAYS remove the symlink + temp dir — a failed streaming query must
+    * not leak the dir (the finally runs after awaitTermination inside
+    * `body`; the memory-sink result outlives the input dir). */
+  private def withStreamDir[T](dir: String, table: String, tag: String)
+                              (body: String => T): T = {
+    val in = Files.createTempDirectory(s"graft-$tag")
+    val link = in.resolve(s"$table.parquet")
+    Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$dir/$table.parquet"))
+    try body(in.toString)
+    finally {
+      Files.deleteIfExists(link)
+      Files.deleteIfExists(in)
+    }
+  }
+
   private[graft] def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
     // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 only reads as a
@@ -849,28 +866,21 @@ object SparkEntry {
     "q47_stream_window" -> ((s, dir) => {
       GraftSession.tune(s)
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      // the streaming file source lists a DIRECTORY; the testdata table is
-      // a bare file — expose it through a symlinked temp dir
-      val in = Files.createTempDirectory("graft-q47")
-      Files.createSymbolicLink(in.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val raw = s.readStream.schema(schema).parquet(in.toString)
-      // same TIMESTAMP(NANOS)→µs normalization tbl() applies to the batch read
-      val stream =
-        if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        else raw
       val sink = "q47_win_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val q = graft.streaming.StreamingEventStats.windowedCounts(stream)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      // input fully drained — the symlink dir can go now; the in-memory
-      // sink table is released once the caller is done with the result
-      Files.deleteIfExists(in.resolve("events.parquet"))
-      Files.deleteIfExists(in)
+      withStreamDir(dir, "events", "q47") { in =>
+        val raw = s.readStream.schema(schema).parquet(in)
+        // same TIMESTAMP(NANOS)→µs normalization tbl() applies to the batch read
+        val stream =
+          if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          else raw
+        val q = graft.streaming.StreamingEventStats.windowedCounts(stream)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       graft.ops.Caches.registeredRelease { () =>
         s.catalog.dropTempView(sink); ()
       }
@@ -919,20 +929,17 @@ object SparkEntry {
     "q50_stream_dedup" -> ((s, dir) => {
       GraftSession.tune(s)
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val in = Files.createTempDirectory("graft-q50")
-      Files.createSymbolicLink(in.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
       val sink = "q50_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val q = s.readStream.schema(schema).parquet(in.toString)
-        .select("user_id", "event_type")
-        .dropDuplicates("user_id", "event_type")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      Files.deleteIfExists(in.resolve("events.parquet"))
-      Files.deleteIfExists(in)
+      withStreamDir(dir, "events", "q50") { in =>
+        val q = s.readStream.schema(schema).parquet(in)
+          .select("user_id", "event_type")
+          .dropDuplicates("user_id", "event_type")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       graft.ops.Caches.registeredRelease { () =>
         s.catalog.dropTempView(sink); ()
       }
@@ -948,26 +955,23 @@ object SparkEntry {
       GraftSession.tune(s)
       import s.implicits._
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val in = Files.createTempDirectory("graft-q51")
-      Files.createSymbolicLink(in.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val raw = s.readStream.schema(schema).parquet(in.toString)
-      val tsCol =
-        if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          expr("timestamp_micros(ts div 1000)")
-        else col("ts")
-      val events = raw
-        .select(col("user_id").as("userId"), tsCol.as("ts"), col("value"))
-        .as[graft.streaming.StreamingEventStats.UserEvent]
       val sink = "q51_state_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val q = graft.streaming.StreamingEventStats.runningUserStats(events)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode(graft.streaming.StreamingEventStats.RunningStatsOutputMode)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      Files.deleteIfExists(in.resolve("events.parquet"))
-      Files.deleteIfExists(in)
+      withStreamDir(dir, "events", "q51") { in =>
+        val raw = s.readStream.schema(schema).parquet(in)
+        val tsCol =
+          if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            expr("timestamp_micros(ts div 1000)")
+          else col("ts")
+        val events = raw
+          .select(col("user_id").as("userId"), tsCol.as("ts"), col("value"))
+          .as[graft.streaming.StreamingEventStats.UserEvent]
+        val q = graft.streaming.StreamingEventStats.runningUserStats(events)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(graft.streaming.StreamingEventStats.RunningStatsOutputMode)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       graft.ops.Caches.registeredRelease { () =>
         s.catalog.dropTempView(sink); ()
       }

@@ -27,10 +27,15 @@ object GroupStats {
     require(groupCols.nonEmpty, "withZScore needs at least one group column")
     val stats = df.groupBy(groupCols.map(col): _*)
       .agg(avg(valueCol).as("__mu"), stddev_samp(valueCol).as("__sigma"))
-    df.join(broadcast(stats), groupCols)
+    // groupBy keeps a NULL-group row, so the join back MUST be null-safe
+    // (`<=>`): a plain equi-join would silently drop every row whose group
+    // column is NULL instead of scoring it against the NULL group's stats.
+    val statsR = groupCols.foldLeft(stats)((d, c) => d.withColumnRenamed(c, s"__g_$c"))
+    val cond = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
+    df.join(broadcast(statsR), cond)
       .withColumn(zCol,
         when(col("__sigma") > 0, (col(valueCol) - col("__mu")) / col("__sigma")))
-      .drop("__mu", "__sigma")
+      .drop(groupCols.map(c => s"__g_$c") ++ Seq("__mu", "__sigma"): _*)
   }
 
   /** Keep rows within `k` standard deviations of their group mean;

@@ -48,12 +48,18 @@ object Sessionize {
                  sessionCol: String = "session_id"): DataFrame = {
     require(keyCols.nonEmpty, "sessionize needs at least one key column")
     require(gapMicros > 0, "gapMicros must be positive")
+    // A NULL event time has no position in a gap sequence. Left in, Spark
+    // sorts it first ascending, so each NULL row would read prev as NULL
+    // and open a phantom session, shifting every real session id for the
+    // key (and DuckDB, which sorts nulls LAST, would disagree). Mirror
+    // AsofJoin's rule: NULL-ts rows are dropped up front.
+    val valid = df.filter(col(tsCol).isNotNull)
     val order = (tsCol +: tieBreakCols).map(col)
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
     val ts = unix_micros(col(tsCol))
     val prev = lag(ts, 1).over(w)
     val opens = when(prev.isNull || ts - prev > gapMicros, 1L).otherwise(0L)
-    df.withColumn(
+    valid.withColumn(
       sessionCol,
       sum(opens).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }

@@ -51,7 +51,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_shingles(text, length(text)) FROM ext_bad").collect()
     }
-    assert(e.getMessage.contains("must be a non-null literal"),
+    assert(e.getMessage.contains("must be a non-null numeric literal"),
+      s"unexpected error: ${e.getMessage}")
+  }
+
+  test("a non-numeric literal config gets the same clear error, not a CCE") {
+    Seq("x").toDF("text").createOrReplaceTempView("ext_bad_str")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_shingles(text, '3') FROM ext_bad_str").collect()
+    }
+    assert(e.getMessage.contains("must be a non-null numeric literal"),
       s"unexpected error: ${e.getMessage}")
   }
 

@@ -47,6 +47,21 @@ class GroupStatsSpec extends AnyFunSuite {
     assert(undef.count() === 3, "undefined-stddev rows are kept")
   }
 
+  test("NULL-group rows are scored against the NULL group's stats, not dropped") {
+    val withNulls = Seq(
+      (Option("a"), 1L, 1.0), (Option("a"), 2L, 3.0),
+      (Option.empty[String], 3L, 1.0), (Option.empty[String], 4L, 2.0),
+      (Option.empty[String], 5L, 3.0))
+      .toDF("g", "id", "v")
+    val out = GroupStats.withZScore(withNulls, Seq("g"), "v")
+    assert(out.count() === 5, "null-safe join must retain NULL-group rows")
+    val z = out.collect().map(r => r.getLong(1) ->
+      (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // NULL group: values 1,2,3 → mean 2, stddev_samp 1
+    assert(z(3L) === Some(-1.0) && z(4L) === Some(0.0) && z(5L) === Some(1.0))
+    assert(GroupStats.outlierFilter(withNulls, Seq("g"), "v", 3.0).count() === 5)
+  }
+
   test("the stats side broadcasts; the fact side is not shuffled") {
     val p = GroupStats.withZScore(df, Seq("g"), "v")
       .queryExecution.executedPlan.toString

@@ -66,6 +66,22 @@ class SessionizeSpec extends AnyFunSuite {
     assert(out(1L) === 1L && out(2L) === 1L && out(3L) === 2L)
   }
 
+  test("NULL-timestamp rows are dropped, not phantom sessions") {
+    // Without the filter, each NULL-ts row sorts first, reads prev=NULL,
+    // and opens a session — shifting every real session id for the key.
+    val withNull = Seq(
+      (9L, 1L, Option(ts("2024-01-01 10:00:00"))),
+      (9L, 2L, Option.empty[java.sql.Timestamp]),
+      (9L, 3L, Option(ts("2024-01-01 12:00:00"))))
+      .toDF("user_id", "event_id", "ts")
+    val out = Sessionize.sessionizeSeconds(
+      withNull, Seq("user_id"), "ts", 1800, Seq("event_id"))
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(!out.contains(2L), "NULL-ts row must be dropped")
+    assert(out(1L) === 1L && out(3L) === 2L,
+      "real rows keep their un-shifted session ids")
+  }
+
   test("both windows and the session aggregate share one shuffle") {
     val agg = sessions.groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n"))
