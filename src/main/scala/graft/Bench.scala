@@ -12,10 +12,14 @@ import org.apache.spark.sql.SparkSession
   * breakdown — the exact workload behind BASELINE.md's volume-scaling
   * rows), the partitioning/schema-evolution scenarios, then times every
   * SparkEntry query on SPARK_GRAFT_SF_DIR, then a CPU-scaling sweep —
-  * and prints ONE JSON line. The volume sweep runs FIRST (right after
-  * warmup) so the headline numbers aren't measured on a JVM aged by 40
-  * queries of cache/GC churn. Failed queries are reported as errors with
-  * a negative time — never as a (fake, fast) wall time. */
+  * and prints a final burst of small JSON lines (sections first, the
+  * `"metric":"total"` headline line LAST — the recorder keeps only a
+  * bounded output tail, and one giant line got truncated in round 4).
+  * The volume sweep runs FIRST (right after warmup) so the headline
+  * numbers aren't measured on a JVM aged by 40 queries of cache/GC
+  * churn; the largest size repeats 3× so the artifact records a spread.
+  * Failed queries are reported as errors with a negative time — never as
+  * a (fake, fast) wall time. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -61,38 +65,62 @@ object Bench {
     val headerSizes = sys.env.getOrElse("SPARK_GRAFT_HEADER_SIZES",
       "100000,1000000,5000000,10000000")
       .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong)
-    var lastTablePath: Option[String] = None
-    val headerRuns = headerSizes.flatMap { n =>
-      var thisTmp: Option[String] = None
-      try {
-        // previous size's data is deleted before the next timed run — the
-        // accumulated temp tables otherwise evict the page cache and bleed
-        // into the larger sizes' measurements (the r3 10M spread)
-        lastTablePath.foreach { p =>
-          deleteRecursively(new java.io.File(p).getParentFile)
-        }
-        System.gc()
-        val tmp = Files.createTempDirectory(s"graft-bench-header-$n").toString
-        thisTmp = Some(tmp)
-        HeaderDataGen.writeBatch1(spark, n, "20230127", s"$tmp/crm", cpus.toInt, seed = 42)
-        HeaderDataGen.writeBatch2(spark, n, "20230228", s"$tmp/crm", cpus.toInt,
-          seed = 43, existingCount = n, pctNew = 50.0)
-        HeaderEtlJob.run(spark, s"$tmp/crm/header_20230127.csv",
-          s"$tmp/table", s"$tmp/discarded", s"$tmp/metrics")
-        val m2 = HeaderEtlJob.run(spark, s"$tmp/crm/header_20230228.csv",
-          s"$tmp/table", s"$tmp/discarded", s"$tmp/metrics")
-        lastTablePath = Some(s"$tmp/table")
-        Some(n -> m2)
-      } catch {
-        case e: Throwable =>
-          errors(s"header_etl_$n") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          // the failed size's partial data would bleed into the next
-          // size's measurement (and leak after exit) — delete it too
-          thisTmp.foreach(t => deleteRecursively(new java.io.File(t)))
-          lastTablePath = None // previous size's dir was already deleted
-          None
+    // Timed repetitions per size. The largest point defaults to 3 runs so
+    // the recorded artifact carries a spread — a single sample at 10M
+    // proved load-confounded (97.4 s recorded vs ~34.7 s quiet-host on
+    // identical code). Override with SPARK_GRAFT_HEADER_REPEATS: one int
+    // for all sizes, or a comma list aligned with SPARK_GRAFT_HEADER_SIZES.
+    val repeatList: Seq[Int] = {
+      val env = sys.env.getOrElse("SPARK_GRAFT_HEADER_REPEATS", "").trim
+      if (env.isEmpty)
+        headerSizes.toSeq.map(n => if (headerSizes.nonEmpty && n == headerSizes.max) 3 else 1)
+      else {
+        val parts = env.split(",").map(_.trim.toInt)
+        if (parts.length == 1) Seq.fill(headerSizes.length)(parts(0)) else parts.toSeq
       }
     }
+    var lastTablePath: Option[String] = None
+    val headerRuns: Seq[(Long, Seq[graft.jobs.HeaderRunMetrics])] =
+      headerSizes.toSeq.zip(repeatList).flatMap { case (n, reps) =>
+        var thisTmp: Option[String] = None
+        try {
+          // previous size's data is deleted before the next timed run — the
+          // accumulated temp tables otherwise evict the page cache and bleed
+          // into the larger sizes' measurements (the r3 10M spread)
+          lastTablePath.foreach { p =>
+            deleteRecursively(new java.io.File(p).getParentFile)
+          }
+          System.gc()
+          val tmp = Files.createTempDirectory(s"graft-bench-header-$n").toString
+          thisTmp = Some(tmp)
+          HeaderDataGen.writeBatch1(spark, n, "20230127", s"$tmp/crm", cpus.toInt, seed = 42)
+          HeaderDataGen.writeBatch2(spark, n, "20230228", s"$tmp/crm", cpus.toInt,
+            seed = 43, existingCount = n, pctNew = 50.0)
+          // each repetition replays init + merge on a FRESH table from the
+          // same generated CSVs — the batch2 merge is the measured number
+          val ms = (1 to reps).map { i =>
+            if (i > 1) {
+              Seq("table", "discarded", "metrics").foreach(d =>
+                deleteRecursively(new java.io.File(s"$tmp/$d")))
+              System.gc()
+            }
+            HeaderEtlJob.run(spark, s"$tmp/crm/header_20230127.csv",
+              s"$tmp/table", s"$tmp/discarded", s"$tmp/metrics")
+            HeaderEtlJob.run(spark, s"$tmp/crm/header_20230228.csv",
+              s"$tmp/table", s"$tmp/discarded", s"$tmp/metrics")
+          }
+          lastTablePath = Some(s"$tmp/table")
+          Some(n -> ms)
+        } catch {
+          case e: Throwable =>
+            errors(s"header_etl_$n") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            // the failed size's partial data would bleed into the next
+            // size's measurement (and leak after exit) — delete it too
+            thisTmp.foreach(t => deleteRecursively(new java.io.File(t)))
+            lastTablePath = None // previous size's dir was already deleted
+            None
+        }
+      }
 
     // ---- partitioning + schema-evolution scenarios over the largest
     // header table (BASELINE.md partitioning + schema-evolution rows) ----
@@ -160,6 +188,22 @@ object Bench {
     lastTablePath.foreach(p => deleteRecursively(new java.io.File(p).getParentFile))
 
     // ---- per-query timings ----------------------------------------------
+    // Untimed warmup first (mirrors the ---- warmup ---- block): the query
+    // section follows the 10M volume sweep, and without it the first timed
+    // queries (alphabetically q5-q8 land there) absorb the aged JVM's
+    // GC/page-cache turbulence — BENCH_r04 recorded them 3-6× inflated
+    // purely from ordering.
+    if (!skipQueries) {
+      try {
+        System.gc()
+        SparkEntry.queries("q1_agg")(spark, sfDir).count()
+        SparkEntry.queries("q6_nullsafe_diff")(spark, sfDir).count()
+        graft.ops.Caches.releaseAll()
+      } catch {
+        case e: Throwable =>
+          errors("query_warmup") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
+    }
     val results = (if (skipQueries) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
                    else SparkEntry.queries).toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -222,23 +266,53 @@ object Bench {
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
                   case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
     def r3(d: Double): Double = math.rint(d * 1000) / 1000
-    val qs = results.map { case (k, v) => s""""${esc(k)}":${r3(v)}""" }.mkString("{", ",", "}")
-    val headerJson = headerRuns.map { case (n, m) =>
-      s""""$n":{"duration_s":${r3(m.duration_s)},"extract":${r3(m.duration_s_extract)},""" +
-        s""""validation":${r3(m.duration_s_validation)},"transform":${r3(m.duration_s_transform)},""" +
-        s""""merge":${r3(m.duration_s_merge)},"staged":${m.staged_count},""" +
-        s""""inserted":${m.inserted_count},"closed":${m.closed_count},""" +
-        s""""dq_kept":${m.dq_kept},"dq_discarded":${m.dq_discarded}}"""
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) -1.0
+      else if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+    }
+    // Per-size: every run's [total, extract, validation, transform, merge]
+    // plus the median total — the spread IS the evidence (a single 10M
+    // sample cannot separate host load from algorithm).
+    val headerJson = headerRuns.map { case (n, ms) =>
+      val runs = ms.map(m => Seq(m.duration_s, m.duration_s_extract,
+        m.duration_s_validation, m.duration_s_transform, m.duration_s_merge)
+        .map(r3).mkString("[", ",", "]")).mkString("[", ",", "]")
+      val m0 = ms.last
+      s""""$n":{"runs_tevm":$runs,"median_s":${r3(median(ms.map(_.duration_s)))},""" +
+        s""""median_merge_s":${r3(median(ms.map(_.duration_s_merge)))},""" +
+        s""""median_validation_s":${r3(median(ms.map(_.duration_s_validation)))},""" +
+        s""""staged":${m0.staged_count},"inserted":${m0.inserted_count},""" +
+        s""""closed":${m0.closed_count},"dq_kept":${m0.dq_kept},"dq_discarded":${m0.dq_discarded}}"""
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum +
-      headerRuns.map(_._2.duration_s).sum
-    val extras = {
-      val all = extraJson ++ cpuJson
-      if (all.isEmpty) "" else all.mkString(",", ",", "")
-    }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"header_etl_batch2":$headerJson$extras,"errors":$errJson,"sf":"$sfDir"}""")
+    val queriesTotal = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = queriesTotal +
+      headerRuns.map { case (_, ms) => median(ms.map(_.duration_s)) }.sum
+    // ---- output ---------------------------------------------------------
+    // The driver records only a bounded TAIL of this process's output
+    // (BENCH_r04.json lost q1/q10-q25 + the total when one giant JSON line
+    // outgrew the window). So: everything prints as a burst of SMALL
+    // self-describing lines at the very end — after all Spark work, so no
+    // interleaved log lines can dilute the window — ordered least- to
+    // most-important, headline totals LAST (the tail always survives).
+    val qSeq = results.map { case (k, v) => s""""${esc(k)}":${r3(v)}""" }
+    val qLines =
+      if (qSeq.isEmpty) Nil
+      else qSeq.grouped((qSeq.length + 2) / 3).zipWithIndex.map {
+        case (chunk, i) => s"""{"section":"queries_${i + 1}",${chunk.mkString(",")}}"""
+      }.toSeq
+    val out = Seq(
+      s"""{"section":"header_etl_batch2","detail":$headerJson}""") ++
+      qLines ++ Seq(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries_total_s":${r3(queriesTotal)},""" +
+        s""""header_etl_median_s":{${headerRuns.map { case (n, ms) =>
+          s""""$n":${r3(median(ms.map(_.duration_s)))}""" }.mkString(",")}}""" +
+        (extraJson ++ cpuJson).mkString(if (extraJson.nonEmpty || cpuJson.nonEmpty) "," else "", ",", "") +
+        s""","errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    out.foreach(println)
     if (errors.nonEmpty) sys.exit(1)
   }
 
