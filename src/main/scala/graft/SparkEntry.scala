@@ -984,6 +984,49 @@ object SparkEntry {
           round(col("totalValue"), 2).as("total_value"),
           col("lastTs").as("last_ts"))
         .orderBy("user_id")
+    }),
+
+    // Late-arriving-event interval splitting (HeaderEtlJob lateSplit
+    // opt-in — the reference's named future work, notes.md:100-105): a
+    // second same-date drop carries events OLDER than rows already in the
+    // table; the enclosing closed intervals must be truncated at the late
+    // timestamps and the late versions inserted valid until the next
+    // existing boundary. Covers: late inside a closed interval, late
+    // BEFORE the key's first interval, TWO late events inside one
+    // interval, and a normal newer-change close in the same drop. Every
+    // event differs in tracked attrs, so the ground truth is the full
+    // event-union SCD2 — which the oracle computes with one window.
+    "q52_late_split" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val root = Files.createTempDirectory("graft-q52").toString
+      def hrow(cod: String, status: String, et: String): Seq[String] =
+        Seq(cod, "3000000001", "365", "OPEC0001", "2023-01-01", "1500.00",
+          "", "", "10001", status, "2023-01-01", et)
+      val drop1 = Seq(
+        hrow("K0000001", "A", "2023-01-26 08:00:00"),
+        hrow("K0000001", "B", "2023-01-26 12:00:00"),
+        hrow("K0000002", "A", "2023-01-26 09:00:00"),
+        hrow("K0000003", "A", "2023-01-26 08:00:00"),
+        hrow("K0000003", "B", "2023-01-26 12:00:00"))
+      val drop2 = Seq(
+        hrow("K0000001", "C", "2023-01-26 10:00:00"), // late, inside [08,12)
+        hrow("K0000001", "D", "2023-01-26 06:00:00"), // late, before first
+        hrow("K0000002", "B", "2023-01-26 15:00:00"), // normal newer change
+        hrow("K0000003", "C", "2023-01-26 09:00:00"), // two lates inside
+        hrow("K0000003", "D", "2023-01-26 10:00:00")) //   the same interval
+      writePipeCsv(s"$root/crm1/header_20230126.csv", HeaderCsvHeader, drop1)
+      writePipeCsv(s"$root/crm2/header_20230126.csv", HeaderCsvHeader, drop2)
+      val tablePath = s"$root/landing/header"
+      Seq("crm1", "crm2").foreach { d =>
+        graft.jobs.HeaderEtlJob.run(s, s"$root/$d/header_20230126.csv",
+          tablePath, s"$root/discarded", s"$root/metrics", lateSplit = true)
+      }
+      VersionedTable.forPath(s, tablePath).read
+        .select(col("contratto_cod"), col("status_quote"),
+          date_format(col("valid_from_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("is_current"))
+        .orderBy("contratto_cod", "valid_from")
     })
   )
 
@@ -1659,6 +1702,35 @@ object SparkEntry {
         |    ON v.contratto_cod = c.contratto_cod AND v.next_ts IS NULL
         |  UNION ALL
         |  SELECT contratto_cod, status_quote, event_time, next_ts FROM ver2)
+        |SELECT contratto_cod, status_quote,
+        |  strftime(valid_from_ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  coalesce(strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00') AS valid_to,
+        |  valid_to_ts IS NULL AS is_current
+        |FROM hist
+        |ORDER BY contratto_cod, valid_from""".stripMargin,
+
+    // Independent replay of late-arrival interval splitting: with every
+    // event differing in tracked attributes, the correct post-split table
+    // is exactly the SCD2 of the UNION of both drops' events — one lead()
+    // window per key. The engine reaches the same result through merge
+    // truncation + boundary-capped inserts; the oracle never sees drop
+    // boundaries at all.
+    "q52_late_split" ->
+      """WITH ev(contratto_cod, status_quote, event_time) AS (VALUES
+        |  ('K0000001', 'A', TIMESTAMP '2023-01-26 08:00:00'),
+        |  ('K0000001', 'B', TIMESTAMP '2023-01-26 12:00:00'),
+        |  ('K0000002', 'A', TIMESTAMP '2023-01-26 09:00:00'),
+        |  ('K0000003', 'A', TIMESTAMP '2023-01-26 08:00:00'),
+        |  ('K0000003', 'B', TIMESTAMP '2023-01-26 12:00:00'),
+        |  ('K0000001', 'C', TIMESTAMP '2023-01-26 10:00:00'),
+        |  ('K0000001', 'D', TIMESTAMP '2023-01-26 06:00:00'),
+        |  ('K0000002', 'B', TIMESTAMP '2023-01-26 15:00:00'),
+        |  ('K0000003', 'C', TIMESTAMP '2023-01-26 09:00:00'),
+        |  ('K0000003', 'D', TIMESTAMP '2023-01-26 10:00:00')),
+        |hist AS (
+        |  SELECT contratto_cod, status_quote, event_time AS valid_from_ts,
+        |         lead(event_time) OVER (PARTITION BY contratto_cod ORDER BY event_time) AS valid_to_ts
+        |  FROM ev)
         |SELECT contratto_cod, status_quote,
         |  strftime(valid_from_ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
         |  coalesce(strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00') AS valid_to,

@@ -73,11 +73,21 @@ object HeaderEtlJob {
     "valid_from_day", "is_current", "batch_id", "source_file",
     "closed_by_batch")
 
+  /** @param lateSplit opt-in late-arriving-event interval splitting
+    *   (reference names it as future work at notes.md:100-105): an event
+    *   OLDER than the key's open version lands strictly inside an
+    *   already-closed interval — the enclosing interval is truncated at
+    *   the late timestamp and the late version is inserted valid until
+    *   the next existing boundary, keeping every key's history contiguous
+    *   and non-overlapping. Off by default: the reference pipeline (and
+    *   the parity oracles q24/q25) insert late rows with batch-computed
+    *   interval ends. */
   def run(spark: SparkSession,
           readPath: String,
           writePath: String,
           discardedPath: String,
-          metricsPath: String): HeaderRunMetrics = {
+          metricsPath: String,
+          lateSplit: Boolean = false): HeaderRunMetrics = {
     val t0 = System.nanoTime()
     val filename = readPath.split("/").last
     // driver-side batch id (reference computes the same value through the
@@ -113,7 +123,7 @@ object HeaderEtlJob {
     val tMerge0 = System.nanoTime()
     val stagedCount = dfTransformed.count()
     val (table, mInserted, mClosed) =
-      twoPhaseMerge(spark, writePath, dfTransformed, batchId)
+      twoPhaseMerge(spark, writePath, dfTransformed, batchId, lateSplit)
 
     // post-merge accounting from the MERGE OPERATION METRICS (the same
     // numbers the reference derives by re-scanning the whole table twice
@@ -205,7 +215,8 @@ object HeaderEtlJob {
     *         both from merge operation metrics, -1 if unmeasured */
   private[graft] def twoPhaseMerge(spark: SparkSession, writePath: String,
                                    dfTransformed: DataFrame,
-                                   batchId: String): (VersionedTable, Long, Long) = {
+                                   batchId: String,
+                                   lateSplit: Boolean = false): (VersionedTable, Long, Long) = {
     val inited = !VersionedTable.isTable(spark, writePath)
     if (inited) {
       // init write — the current batch is then ALSO merged against itself,
@@ -215,6 +226,15 @@ object HeaderEtlJob {
     val table = VersionedTable.forPath(spark, writePath)
     // rows written by the init carry this batch_id → they count as inserted
     val initRows = if (inited) lastMetric(table, "numOutputRows") else 0L
+
+    // -- Phase L (opt-in): late-arriving-event interval splitting --------
+    // Runs against the PRE-merge snapshot (table.read resolves its file
+    // list eagerly, so later merges can't shift it). On an init batch
+    // there is no pre-existing history to split. Phase B then inserts the
+    // ADJUSTED staged rows.
+    val stagedForInsert =
+      if (lateSplit && !inited) lateSplitAdjust(table, dfTransformed, batchId)
+      else dfTransformed
 
     // -- Phase A: close open rows only on real change, once per key ------
     // (reference: src/header_etl.py:168-215)
@@ -233,7 +253,15 @@ object HeaderEtlJob {
       "NOT (st.status_quote <=> ex.status_quote) OR " +
         "NOT (st.codice_agente <=> ex.codice_agente) OR " +
         "NOT (st.codice_ordine_sap <=> ex.codice_ordine_sap)"
-    val changedEvents = joined.filter(expr(diffExpr))
+    // Under lateSplit, an event OLDER than the open version belongs to
+    // Phase L — left in here it would poison min(first_change_ts) below
+    // the open row's valid_from and block the close of the open row at a
+    // genuinely newer change. Without lateSplit the reference's exact
+    // behavior is kept (the merge condition neutralizes the stale min).
+    val changeCandidates =
+      if (lateSplit) joined.filter(col("st.valid_from_ts") > col("ex.valid_from_ts"))
+      else joined
+    val changedEvents = changeCandidates.filter(expr(diffExpr))
       .select(col("st.contratto_cod").as("contratto_cod"),
         col("st.valid_from_ts").as("valid_from_ts"))
 
@@ -256,7 +284,7 @@ object HeaderEtlJob {
 
     // -- Phase B: idempotent insert of all version rows ------------------
     // (reference: src/header_etl.py:219-280)
-    val staged = dfTransformed.selectExpr(StagedColumns: _*)
+    val staged = stagedForInsert.selectExpr(StagedColumns: _*)
     table.alias("existing")
       .merge(staged.alias("staged"),
         "existing.contratto_cod = staged.contratto_cod AND existing.valid_from_ts = staged.valid_from_ts")
@@ -268,6 +296,65 @@ object HeaderEtlJob {
     val inserted =
       if (initRows < 0 || insertedB < 0) -1L else initRows + insertedB
     (table, inserted, closed)
+  }
+
+  /** Phase L: late-arriving-event interval splitting (the reference's
+    * named future work, notes.md:100-105 — "identificare esistenti con
+    * valid_from <= new.valid_from <= valid_to e aggiornare valid_to").
+    *
+    * Two effects, both idempotent:
+    *  1. every already-CLOSED interval that strictly encloses one or more
+    *     staged timestamps is truncated at the EARLIEST of them (merge
+    *     update, guarded by `valid_to_ts > split_ts` so a replay no-ops);
+    *  2. every staged row with an existing boundary after it gets its
+    *     `valid_to_ts` capped at the tightest such boundary and
+    *     `is_current` forced false — so a late version closes exactly at
+    *     the next existing `valid_from` and the chain stays contiguous.
+    *
+    * Events newer than the open version have no boundary after them and
+    * pass through untouched (that regime belongs to Phase A/B). Scale:
+    * both probes are one key-equi join of the batch against a 3-column
+    * projection of the key's history rows followed by a hash agg — no
+    * range join, no window over the table. */
+  private[jobs] def lateSplitAdjust(table: VersionedTable,
+                                    dfTransformed: DataFrame,
+                                    batchId: String): DataFrame = {
+    // pre-merge snapshot, narrowed to the interval skeleton
+    val exN = table.read.select(col("contratto_cod"),
+      col("valid_from_ts").as("ex_from"),
+      coalesce(col("valid_to_ts"), expr(MaxTsExpr)).as("ex_to"))
+
+    // 1. truncate enclosing closed intervals at their earliest late event
+    val splits = dfTransformed.select(col("contratto_cod"),
+        col("valid_from_ts").as("st_from"))
+      .join(exN, Seq("contratto_cod"))
+      .filter(col("ex_from") < col("st_from") && col("st_from") < col("ex_to") &&
+        col("ex_to") =!= expr(MaxTsExpr))
+      .groupBy(col("contratto_cod"), col("ex_from"))
+      .agg(min("st_from").as("split_ts"))
+    table.alias("existing")
+      .merge(splits.alias("sp"),
+        "existing.contratto_cod = sp.contratto_cod AND existing.valid_from_ts = sp.ex_from")
+      .whenMatchedUpdate(
+        condition = "existing.valid_to_ts > sp.split_ts",
+        set = Map(
+          "valid_to_ts" -> "sp.split_ts",
+          "closed_by_batch" -> s"'$batchId'"))
+      .execute()
+
+    // 2. cap each staged row at the tightest existing boundary after it
+    val bound = dfTransformed.select(col("contratto_cod"), col("valid_from_ts"))
+      .join(exN, Seq("contratto_cod"))
+      .filter(col("ex_from") > col("valid_from_ts"))
+      .groupBy("contratto_cod", "valid_from_ts")
+      .agg(min("ex_from").as("next_ex_from"))
+    dfTransformed.join(bound, Seq("contratto_cod", "valid_from_ts"), "left")
+      .withColumn("valid_to_ts",
+        when(col("next_ex_from").isNotNull,
+          least(col("valid_to_ts"), col("next_ex_from")))
+          .otherwise(col("valid_to_ts")))
+      .withColumn("is_current", col("is_current") && col("next_ex_from").isNull)
+      .drop("next_ex_from")
   }
 
   /** Run-metrics CSV sink, one dir per batch, append mode with header
