@@ -1027,6 +1027,56 @@ object SparkEntry {
           date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
           col("is_current"))
         .orderBy("contratto_cod", "valid_from")
+    }),
+
+    // Soft-delete / tombstone (reference notes.md:88-98) + technical
+    // deletion (notes.md:97) in ONE merge: a cancellation batch closes
+    // the open row of a WITHDRAWN contract at data_annullamento with the
+    // causale recorded on the closed row (tombstone — history preserved,
+    // no successor inserted), while an ERROR contract (sent by mistake)
+    // is physically removed via the whenMatchedDelete clause. Clause
+    // order is Delta's first-match-wins; the oracle replays both effects
+    // relationally (anti-join for the technical delete, conditional
+    // update for the tombstone).
+    "q53_soft_delete" -> ((s, dir) => {
+      GraftSession.tune(s)
+      import s.implicits._
+      val root = Files.createTempDirectory("graft-q53").toString
+      def hrow(cod: String, status: String, et: String): Seq[String] =
+        Seq(cod, "3000000001", "365", "OPEC0001", "2023-01-01", "1500.00",
+          "", "", "10001", status, "2023-01-01", et)
+      val b1 = Seq(
+        hrow("K0000001", "A", "2023-01-26 10:00:00"),
+        hrow("K0000001", "B", "2023-01-26 12:00:00"),
+        hrow("K0000002", "A", "2023-01-26 10:00:00"),
+        hrow("K0000003", "A", "2023-01-26 10:00:00"))
+      writePipeCsv(s"$root/crm/header_20230126.csv", HeaderCsvHeader, b1)
+      val tablePath = s"$root/landing/header"
+      graft.jobs.HeaderEtlJob.run(s, s"$root/crm/header_20230126.csv",
+        tablePath, s"$root/discarded", s"$root/metrics")
+      val cancels = Seq(
+        ("K0000001", "WITHDRAWN", Option("2023-01-27 09:30:00")),
+        ("K0000002", "ERROR", Option.empty[String]))
+        .toDF("contratto_cod", "causale", "annul_ts").alias("c")
+      val t = VersionedTable.forPath(s, tablePath)
+      t.alias("existing")
+        .merge(cancels, "existing.contratto_cod = c.contratto_cod")
+        .whenMatchedDelete(condition = "c.causale = 'ERROR'")
+        .whenMatchedUpdate(
+          condition = "existing.is_current = true",
+          set = Map(
+            "valid_to_ts" -> "to_timestamp(c.annul_ts)",
+            "is_current" -> "false",
+            "causale_annullamento" -> "c.causale",
+            "data_annullamento" -> "c.annul_ts",
+            "closed_by_batch" -> "'cancel_20230127'"))
+        .execute()
+      t.read
+        .select(col("contratto_cod"), col("status_quote"),
+          date_format(col("valid_from_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("is_current"), col("causale_annullamento"))
+        .orderBy("contratto_cod", "valid_from")
     })
   )
 
@@ -1736,6 +1786,45 @@ object SparkEntry {
         |  coalesce(strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00') AS valid_to,
         |  valid_to_ts IS NULL AS is_current
         |FROM hist
+        |ORDER BY contratto_cod, valid_from""".stripMargin,
+
+    // Independent replay of the cancellation batch: SCD2 of the initial
+    // events, then the technical delete as an anti-join (every version of
+    // an ERROR key vanishes) and the tombstone as a conditional update of
+    // the open row (valid_to = annul_ts, causale recorded, current flag
+    // cleared). The engine reaches the same state through one merge with
+    // ordered delete/update clauses.
+    "q53_soft_delete" ->
+      """WITH ev(contratto_cod, status_quote, event_time) AS (VALUES
+        |  ('K0000001', 'A', TIMESTAMP '2023-01-26 10:00:00'),
+        |  ('K0000001', 'B', TIMESTAMP '2023-01-26 12:00:00'),
+        |  ('K0000002', 'A', TIMESTAMP '2023-01-26 10:00:00'),
+        |  ('K0000003', 'A', TIMESTAMP '2023-01-26 10:00:00')),
+        |cancels(contratto_cod, causale, annul_ts) AS (VALUES
+        |  ('K0000001', 'WITHDRAWN', TIMESTAMP '2023-01-27 09:30:00'),
+        |  ('K0000002', 'ERROR', NULL)),
+        |hist AS (
+        |  SELECT contratto_cod, status_quote, event_time AS valid_from_ts,
+        |         lead(event_time) OVER (PARTITION BY contratto_cod ORDER BY event_time) AS valid_to_ts
+        |  FROM ev),
+        |after_delete AS (
+        |  SELECT h.* FROM hist h
+        |  WHERE NOT EXISTS (SELECT 1 FROM cancels c
+        |                    WHERE c.contratto_cod = h.contratto_cod AND c.causale = 'ERROR')),
+        |tomb AS (
+        |  SELECT a.contratto_cod, a.status_quote, a.valid_from_ts,
+        |    CASE WHEN a.valid_to_ts IS NULL AND c.contratto_cod IS NOT NULL
+        |         THEN c.annul_ts ELSE a.valid_to_ts END AS valid_to_ts,
+        |    CASE WHEN a.valid_to_ts IS NULL AND c.contratto_cod IS NOT NULL
+        |         THEN c.causale END AS causale_annullamento,
+        |    (a.valid_to_ts IS NULL AND c.contratto_cod IS NULL) AS is_current
+        |  FROM after_delete a LEFT JOIN cancels c
+        |    ON a.contratto_cod = c.contratto_cod AND c.causale <> 'ERROR')
+        |SELECT contratto_cod, status_quote,
+        |  strftime(valid_from_ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  coalesce(strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00') AS valid_to,
+        |  is_current, causale_annullamento
+        |FROM tomb
         |ORDER BY contratto_cod, valid_from""".stripMargin,
 
     "q23_ngram_jaccard" ->

@@ -155,11 +155,64 @@ class VersionedTable private (val spark: SparkSession,
     val f = fs
     f.mkdirs(logDir)
     val target = new Path(logDir, f"${entry.version}%020d.json")
-    if (f.exists(target))
-      throw new IllegalStateException(
-        s"concurrent commit detected: version ${entry.version} already exists at $root")
-    atomicWrite(f, target, renderEntry(entry))
+    // cheap pre-check; the real guard is the atomic publish below (two
+    // writers can both pass an exists() probe in the race window)
+    if (f.exists(target)) throw conflict(entry.version)
+    casPublish(f, target, renderEntry(entry), entry.version)
     maybeCheckpoint(entry.version)
+  }
+
+  private def conflict(version: Long) =
+    new ConcurrentCommitException(
+      s"concurrent commit detected: version $version already exists at $root — " +
+        "another writer won this version; re-read the table and retry the operation")
+
+  /** Publish a commit file via compare-and-swap: the version file is
+    * created if and ONLY if it does not exist, atomically, so of two
+    * interleaved writers exactly one wins and the loser fails cleanly
+    * instead of silently clobbering the winner's commit. On a local
+    * filesystem the CAS is a hard link (link(2) fails EEXIST atomically —
+    * a bare rename would overwrite); elsewhere it is create-no-overwrite
+    * of a temp-staged payload (atomic on HDFS via the namenode lease; an
+    * object-store deployment would put the log on a store with
+    * conditional puts or a coordination service). */
+  private def casPublish(f: FileSystem, target: Path, content: String,
+                         version: Long): Unit = {
+    val tmp = new Path(target.getParent, s".tmp-${UUID.randomUUID()}.json")
+    val out = f.create(tmp, false)
+    out.write(content.getBytes(StandardCharsets.UTF_8))
+    out.close()
+    val scheme = Option(target.toUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      val localTmp = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val localTarget = java.nio.file.Paths.get(target.toUri.getPath)
+      try java.nio.file.Files.createLink(localTarget, localTmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          f.delete(tmp, false)
+          throw conflict(version)
+      }
+      f.delete(tmp, false)
+    } else {
+      // non-local: exclusive create of the target, then copy the staged
+      // payload through it; create(overwrite=false) is the CAS
+      val outT =
+        try f.create(target, false)
+        catch {
+          case _: java.io.IOException =>
+            f.delete(tmp, false)
+            throw conflict(version)
+        }
+      try {
+        val in = f.open(tmp)
+        try {
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { outT.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+      } finally outT.close()
+      f.delete(tmp, false)
+    }
   }
 
   /** Every CheckpointInterval commits, materialize the live file set so
@@ -581,14 +634,17 @@ class VersionedTable private (val spark: SparkSession,
                                    source: DataFrame,
                                    condition: String,
                                    matchedUpdate: Option[(Option[String], Map[String, String])],
-                                   notMatchedInsert: Option[(Option[String], Map[String, String])]): Unit = {
+                                   notMatchedInsert: Option[(Option[String], Map[String, String])],
+                                   matchedDelete: Option[Option[String]] = None,
+                                   deleteFirst: Boolean = false): Unit = {
     // The source is consumed twice (file-prune join, then the rewrite
     // join). A typical merge source is a freshly-transformed batch with
     // windows/joins upstream — persist it so the lineage runs once.
     // try/finally: any failure (write, analysis, commit conflict) must
     // still release the cached blocks, or they leak for the session.
     val src = source.persist(StorageLevel.MEMORY_AND_DISK)
-    try mergeBody(targetAlias, src, condition, matchedUpdate, notMatchedInsert)
+    try mergeBody(targetAlias, src, condition, matchedUpdate, notMatchedInsert,
+      matchedDelete, deleteFirst)
     finally src.unpersist(false)
   }
 
@@ -638,7 +694,9 @@ class VersionedTable private (val spark: SparkSession,
                         src: DataFrame,
                         condition: String,
                         matchedUpdate: Option[(Option[String], Map[String, String])],
-                        notMatchedInsert: Option[(Option[String], Map[String, String])]): Unit = {
+                        notMatchedInsert: Option[(Option[String], Map[String, String])],
+                        matchedDelete: Option[Option[String]],
+                        deleteFirst: Boolean): Unit = {
     val (files, tableSchema, partCols) = snapshot(None)
     val dataCols = tableSchema.fields.toSeq
 
@@ -662,7 +720,8 @@ class VersionedTable private (val spark: SparkSession,
     // dup check only matters on the rewrite path (insert-only merges
     // return before the probe and never rewrite matched rows)
     val wantDupCheck = checkCardinality && pureEqui && pairs.nonEmpty &&
-      matchedUpdate.isDefined
+      (matchedUpdate.isDefined || matchedDelete.isDefined)
+    val anyMatchedClause = matchedUpdate.isDefined || matchedDelete.isDefined
     var srcKeysUnique = false
     val matchCandidates: Seq[FileEntry] =
       try {
@@ -703,14 +762,14 @@ class VersionedTable private (val spark: SparkSession,
     val statsSkipped = files.size - matchCandidates.size
 
     // --- fast path: insert-only merge rewrites NOTHING ------------------
-    // With no matched-update clause (e.g. the header job's Phase B),
-    // matched target rows are untouched by definition — the merge reduces
-    // to appending the source rows that match no target row: one
+    // With no matched-update/delete clause (e.g. the header job's Phase
+    // B), matched target rows are untouched by definition — the merge
+    // reduces to appending the source rows that match no target row: one
     // left-anti join + write of new files. No touched-file collect, no
     // full-outer rewrite of files whose rows would only be copied.
     // (At 10M rows this halves the merge phase; Delta special-cases
     // insert-only merges the same way.)
-    if (matchedUpdate.isEmpty && notMatchedInsert.isDefined) {
+    if (!anyMatchedClause && notMatchedInsert.isDefined) {
       val (insCondOpt, insVals) = notMatchedInsert.get
       // anti-join only against the stats-candidate files: rows in skipped
       // files cannot equal any source key, so they cannot absorb inserts
@@ -734,6 +793,7 @@ class VersionedTable private (val spark: SparkSession,
           "numTargetFilesUntouched" -> files.size.toString,
           "numTargetFilesSkippedByStats" -> statsSkipped.toString,
           "numTargetRowsUpdated" -> "0",
+          "numTargetRowsDeleted" -> "0",
           "numTargetRowsInserted" -> inserted.toString,
           "insertOnly" -> "true")))
       return
@@ -794,11 +854,31 @@ class VersionedTable private (val spark: SparkSession,
     val tPresent = col(TPresent) === lit(true)
     val sPresent = col(SPresent) === lit(true)
 
-    val updCond: Column = matchedUpdate match {
+    val rawUpdCond: Column = matchedUpdate match {
       case Some((Some(c), _)) => expr(c)
       case Some((None, _)) => lit(true)
       case None => lit(false)
     }
+    val rawDelCond: Column = matchedDelete match {
+      case Some(Some(c)) => expr(c)
+      case Some(None) => lit(true)
+      case None => lit(false)
+    }
+    // Delta clause semantics: matched clauses are tried in the order they
+    // were added, first satisfied condition wins, and a NULL condition
+    // means NOT satisfied. The earlier clause's guard must therefore be
+    // coalesced to false before negation — `!NULL` is NULL, and a NULL
+    // guard would block the later clause (or, worse, a NULL delete term
+    // in the keep filter below would silently DROP unmatched target rows
+    // riding the same file, since `tPresent && !NULL` filters as false).
+    val updCond =
+      if (deleteFirst && matchedDelete.isDefined)
+        rawUpdCond && !coalesce(rawDelCond, lit(false))
+      else rawUpdCond
+    val delCond =
+      if (!deleteFirst && matchedUpdate.isDefined)
+        rawDelCond && !coalesce(rawUpdCond, lit(false))
+      else rawDelCond
     val updSet = matchedUpdate.map(_._2).getOrElse(Map.empty)
     val insCond: Column = notMatchedInsert match {
       case Some((Some(c), _)) => expr(c)
@@ -808,16 +888,22 @@ class VersionedTable private (val spark: SparkSession,
     val insVals = notMatchedInsert.map(_._2).getOrElse(Map.empty)
 
     // Row-level merge metrics (the numbers Delta reports as
-    // numTargetRowsUpdated/Inserted) ride the rewrite write as an
+    // numTargetRowsUpdated/Inserted/Deleted) ride the rewrite write as an
     // Observation — no extra job, no persisted join; callers can account
     // for a merge without re-scanning the table afterwards.
     // NB TPresent is NULL (not false) on source-only full-outer rows.
+    // Deleted rows are simply NOT in the rewrite (their file is dropped
+    // from the log, the survivors copied) — same mechanics as Delta.
     val obs = org.apache.spark.sql.Observation()
-    val kept = joined.filter(tPresent || (sPresent && insCond))
+    val kept = joined
+      .filter((tPresent && !coalesce(sPresent && delCond, lit(false))) ||
+        (!coalesce(col(TPresent), lit(false)) && sPresent && insCond))
       .observe(obs,
         sum(when(tPresent && sPresent && updCond, 1L).otherwise(0L)).as("u"),
         sum(when(sPresent && insCond && !coalesce(col(TPresent), lit(false)), 1L)
-          .otherwise(0L)).as("i"))
+          .otherwise(0L)).as("i"),
+        // surviving target rows — deleted = touched-file row total minus this
+        sum(when(tPresent, 1L).otherwise(0L)).as("t"))
     val outCols = dataCols.map { f =>
       val tCol = col(s"$targetAlias.${f.name}")
       val upd = updSet.get(f.name).map(expr).getOrElse(tCol)
@@ -832,13 +918,23 @@ class VersionedTable private (val spark: SparkSession,
     val doWrite = touchedFiles.nonEmpty || notMatchedInsert.nonEmpty
     val added = if (doWrite) writeFiles(rewritten, partCols) else Seq.empty
     // obs.get blocks until its action ran — only consult it after a write
-    val (rowsUpdated, rowsInserted) =
+    val (rowsUpdated, rowsInserted, rowsDeleted) =
       if (doWrite) {
         val o = obs.get
         def cnt(k: String) = // sums are NULL when zero rows flowed
           Option(o(k)).map(_.asInstanceOf[Number].longValue).getOrElse(0L)
-        (cnt("u"), cnt("i"))
-      } else (0L, 0L)
+        val deleted =
+          if (matchedDelete.isEmpty) 0L
+          else {
+            // deleted rows never reach the observed write — derive them
+            // from the touched files' footer row counts minus survivors
+            val touchedRows =
+              if (touchedFiles.forall(_.rows >= 0)) touchedFiles.map(_.rows).sum
+              else -1L
+            if (touchedRows >= 0) touchedRows - cnt("t") else -1L
+          }
+        (cnt("u"), cnt("i"), deleted)
+      } else (0L, 0L, 0L)
 
     commit(LogEntry(currentVersion + 1, now(), "MERGE",
       tableSchema.json, partCols,
@@ -849,7 +945,8 @@ class VersionedTable private (val spark: SparkSession,
         "numTargetFilesUntouched" -> untouched.size.toString,
         "numTargetFilesSkippedByStats" -> statsSkipped.toString,
         "numTargetRowsUpdated" -> rowsUpdated.toString,
-        "numTargetRowsInserted" -> rowsInserted.toString)))
+        "numTargetRowsInserted" -> rowsInserted.toString,
+        "numTargetRowsDeleted" -> rowsDeleted.toString)))
   }
 
   // ------------------------------------------------------------- helpers --
@@ -962,18 +1059,39 @@ object VersionedTable {
   * reference exercises: at most one whenMatchedUpdate and one
   * whenNotMatchedInsert clause, conditions and assignments as SQL
   * expression strings over the target/source aliases. */
+/** A commit lost the version compare-and-swap to a concurrent writer:
+  * the table state is untouched by the loser; re-read and retry.
+  * Subclasses IllegalStateException so pre-CAS callers keep working. */
+class ConcurrentCommitException(msg: String) extends IllegalStateException(msg)
+
 class MergeBuilder private[tables] (table: VersionedTable,
                                     targetAlias: String,
                                     source: DataFrame,
                                     condition: String) {
   private var matchedUpdate: Option[(Option[String], Map[String, String])] = None
   private var notMatchedInsert: Option[(Option[String], Map[String, String])] = None
+  private var matchedDelete: Option[Option[String]] = None
+  private var deleteFirst: Boolean = false
 
   def whenMatchedUpdate(set: Map[String, String]): MergeBuilder =
     whenMatchedUpdate(null, set)
   def whenMatchedUpdate(condition: String, set: Map[String, String]): MergeBuilder = {
     require(matchedUpdate.isEmpty, "only one whenMatchedUpdate clause is supported")
     matchedUpdate = Some((Option(condition), set)); this
+  }
+  /** Delta-style matched-DELETE clause: matched target rows satisfying
+    * `condition` are removed from the table (their file is rewritten
+    * without them). With an update clause also present, the two are tried
+    * in the order they were added — first satisfied condition wins, as in
+    * Delta. The SCD2 soft-delete/tombstone path (reference notes.md:88-98)
+    * instead CLOSES the open row via whenMatchedUpdate; this clause is the
+    * "technical deletion" the reference asks about at notes.md:97. */
+  def whenMatchedDelete(): MergeBuilder = whenMatchedDelete(null)
+  def whenMatchedDelete(condition: String): MergeBuilder = {
+    require(matchedDelete.isEmpty, "only one whenMatchedDelete clause is supported")
+    matchedDelete = Some(Option(condition))
+    deleteFirst = matchedUpdate.isEmpty
+    this
   }
   def whenNotMatchedInsert(values: Map[String, String]): MergeBuilder =
     whenNotMatchedInsert(null, values)
@@ -982,5 +1100,6 @@ class MergeBuilder private[tables] (table: VersionedTable,
     notMatchedInsert = Some((Option(condition), values)); this
   }
   def execute(): Unit =
-    table.executeMerge(targetAlias, source, condition, matchedUpdate, notMatchedInsert)
+    table.executeMerge(targetAlias, source, condition, matchedUpdate,
+      notMatchedInsert, matchedDelete, deleteFirst)
 }

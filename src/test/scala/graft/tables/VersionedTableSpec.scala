@@ -99,6 +99,73 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.read.select("val").as[String].head() == "v")
   }
 
+  test("merge: matched delete + not-matched insert in one merge") {
+    val path = tmpDir() + "/t4d"
+    val t = VersionedTable.create(spark,
+      Seq((1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")).toDF("id", "v"), path)
+    val src = Seq((3, "x"), (6, "f")).toDF("id", "v").alias("s")
+    t.alias("e").merge(src, "e.id = s.id")
+      .whenMatchedDelete()
+      .whenNotMatchedInsert(values = Map("id" -> "s.id", "v" -> "s.v"))
+      .execute()
+    val out = t.read.orderBy("id").collect().map(r => r.getInt(0) -> r.getString(1))
+    assert(out.toSeq == Seq(1 -> "a", 2 -> "b", 4 -> "d", 5 -> "e", 6 -> "f"))
+    val m = t.history(1).select("operationMetrics").as[Map[String, String]].head()
+    assert(m("numTargetRowsDeleted").toLong == 1L)
+    assert(m("numTargetRowsInserted").toLong == 1L)
+  }
+
+  test("merge: delete and update clauses honor add order (first match wins)") {
+    val path = tmpDir() + "/t4e"
+    val t = VersionedTable.create(spark,
+      Seq(("k1", "v1"), ("k2", "v2"), ("k3", "v3")).toDF("key", "val"), path)
+    val src = Seq(("k1", "D", "ignored"), ("k2", "U", "updated"))
+      .toDF("key", "flag", "nv").alias("s")
+    t.alias("e").merge(src, "e.key = s.key")
+      .whenMatchedDelete(condition = "s.flag = 'D'")
+      .whenMatchedUpdate(set = Map("val" -> "s.nv")) // unconditioned, but SECOND
+      .execute()
+    val out = t.read.orderBy("key").collect().map(r => r.getString(0) -> r.getString(1))
+    assert(out.toSeq == Seq("k2" -> "updated", "k3" -> "v3"),
+      "k1 must be deleted (delete clause added first), k2 updated, k3 untouched")
+    val m = t.history(1).select("operationMetrics").as[Map[String, String]].head()
+    assert(m("numTargetRowsDeleted").toLong == 1L)
+    assert(m("numTargetRowsUpdated").toLong == 1L)
+  }
+
+  test("merge delete: unmatched target rows sharing a file with matches survive") {
+    // regression: for a target-only full-outer row the delete term is
+    // NULL (source cols absent), and an un-coalesced `tPresent && !NULL`
+    // filtered the row OUT — silently deleting every unmatched row that
+    // happened to share a file with a matched one. One file forces it.
+    val path = tmpDir() + "/t4g"
+    val t = VersionedTable.create(spark,
+      Seq(("k1", "v1"), ("k2", "v2"), ("k3", "v3")).toDF("key", "val").coalesce(1),
+      path)
+    val src = Seq(("k1", "D")).toDF("key", "flag").alias("s")
+    t.alias("e").merge(src, "e.key = s.key")
+      .whenMatchedDelete(condition = "s.flag = 'D'")
+      .execute()
+    val out = t.read.orderBy("key").collect().map(r => r.getString(0))
+    assert(out.toSeq == Seq("k2", "k3"),
+      "unmatched rows in the rewritten file must be copied, not dropped")
+    val m = t.history(1).select("operationMetrics").as[Map[String, String]].head()
+    assert(m("numTargetRowsDeleted").toLong == 1L)
+  }
+
+  test("merge: delete-only clause removes every row of a matched file cleanly") {
+    val path = tmpDir() + "/t4f"
+    val t = VersionedTable.create(spark,
+      Seq((1, "a", 2023), (2, "b", 2024)).toDF("id", "v", "year"), path, Seq("year"))
+    t.alias("e").merge(Seq(Tuple1(1)).toDF("id").alias("s"), "e.id = s.id")
+      .whenMatchedDelete()
+      .execute()
+    val out = t.read.collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(2), "only the 2024 row survives")
+    // time travel still sees the pre-delete state
+    assert(t.readVersion(0).count() == 2)
+  }
+
   test("merge prunes untouched files (file-level bounded work)") {
     val path = tmpDir() + "/t6"
     val df = Seq((1, "a", 2023), (2, "b", 2024)).toDF("id", "v", "year")
@@ -338,6 +405,42 @@ class VersionedTableSpec extends AnyFunSuite {
       .execute()
     intercept[IllegalArgumentException] { t.readChanges(vBefore).count() }
     assert(t.readChanges(vBefore, includeRewrites = true).count() > 0)
+  }
+
+  test("concurrent writers: each version has exactly one winner, losers fail cleanly") {
+    val path = tmpDir() + "/t9cas"
+    VersionedTable.create(spark, Seq((0, "init")).toDF("id", "v"), path)
+    val attempts = new java.util.concurrent.atomic.AtomicInteger
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger
+    val successes = new java.util.concurrent.atomic.AtomicInteger
+    val unexpected = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val barrier = new java.util.concurrent.CyclicBarrier(4)
+    val threads = (1 to 4).map { tid =>
+      val th = new Thread(() => {
+        val t = VersionedTable.forPath(spark, path)
+        (1 to 3).foreach { i =>
+          attempts.incrementAndGet()
+          try {
+            if (i == 1) barrier.await(10, java.util.concurrent.TimeUnit.SECONDS)
+            t.append(Seq((tid * 10 + i, s"w$tid-$i")).toDF("id", "v"))
+            successes.incrementAndGet()
+          } catch {
+            case _: ConcurrentCommitException => conflicts.incrementAndGet()
+            case e: Throwable => unexpected.add(e)
+          }
+        }
+      })
+      th.start(); th
+    }
+    threads.foreach(_.join(120000))
+    assert(unexpected.isEmpty, s"non-conflict failures: ${unexpected}")
+    assert(successes.get + conflicts.get == attempts.get)
+    val t = VersionedTable.forPath(spark, path)
+    // the log is exactly init + one commit per WINNER — no clobbered or
+    // skipped versions, and every winner's rows are all present
+    assert(t.currentVersion == successes.get.toLong)
+    assert(t.history().count() == 1L + successes.get)
+    assert(t.read.count() == 1L + successes.get)
   }
 
   test("data contract check over an empty frame reports clean (no NPE)") {
