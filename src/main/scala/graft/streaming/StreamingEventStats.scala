@@ -26,6 +26,23 @@ object StreamingEventStats {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** First-arrival deduplication with BOUNDED state — the production
+    * path q50's plain `dropDuplicates` comment points at: a key's state
+    * entry lives only until the event-time watermark passes the key's
+    * first-seen timestamp plus `delay`. Duplicates arriving inside that
+    * horizon are dropped; after it the entry is EVICTED (plain
+    * dropDuplicates state grows with the distinct-key count forever — a
+    * non-starter for churning keys at 100 TB/day), so a key re-appearing
+    * later is emitted again. Downstream must be idempotent on key —
+    * exactly the contract of a keyed upsert sink. */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+                           tsCol: String, delay: String): DataFrame = {
+    require(keyCols.nonEmpty, "dedupWithinWatermark needs at least one key column")
+    events
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+  }
+
   /** Running per-user state maintained with mapGroupsWithState. */
   case class UserState(userId: Long, nEvents: Long, totalValue: Double,
                        lastTs: java.sql.Timestamp)

@@ -97,6 +97,50 @@ class StreamingSpec extends AnyFunSuite {
       "late row must not reopen a finalized window")
   }
 
+  test("dedupWithinWatermark drops horizon duplicates, evicts state, re-emits after") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val events = mem.toDF().toDF("ts", "key")
+    val q = StreamingEventStats.dedupWithinWatermark(events, Seq("key"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("wm_dedup")
+      .outputMode("append").start()
+
+    // batch 1: A twice in-batch + B → A,B emitted once each
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "A"),
+      (Timestamp.valueOf("2024-01-01 10:01:00"), "A"),
+      (Timestamp.valueOf("2024-01-01 10:02:00"), "B"))
+    q.processAllAvailable()
+    // batch 2: A again within the watermark horizon → dropped; C advances
+    // the watermark to 10:20, past A/B's (first-seen + 10 min) expiry
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:03:00"), "A"),
+      (Timestamp.valueOf("2024-01-01 10:30:00"), "C"))
+    q.processAllAvailable()
+    // batch 3: one more batch so the post-batch-2 eviction has committed
+    mem.addData((Timestamp.valueOf("2024-01-01 10:32:00"), "D"))
+    q.processAllAvailable()
+    // batch 4: A re-appears AFTER eviction → emitted again
+    mem.addData((Timestamp.valueOf("2024-01-01 10:33:00"), "A"))
+    q.processAllAvailable()
+
+    val stateRows = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .lastOption.map(_.numRowsTotal)
+    q.stop()
+    val emitted = spark.table("wm_dedup").collect().map(_.getString(1))
+    val byKey = emitted.groupBy(identity).view.mapValues(_.length).toMap
+    assert(byKey("A") == 2,
+      s"A must emit on first arrival and again after eviction, got $byKey")
+    assert(byKey("B") == 1 && byKey("C") == 1 && byKey("D") == 1,
+      s"every other key emits exactly once, got $byKey")
+    // bounded state: 4 distinct keys + a re-emission were seen, but A/B's
+    // evicted entries are gone — only C, D and the re-emitted A remain
+    assert(stateRows.exists(_ <= 3),
+      s"state must stay bounded by the watermark horizon, got $stateRows")
+  }
+
   test("mapGroupsWithState running per-user stats across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
