@@ -133,7 +133,10 @@ object Similarity {
     // reused across queries; here it is computed inline
     val assigned = emb.withColumn("__cell", assignCol)
 
-    val qRow = assigned.filter(col(idCol) === queryId)
+    // the query-vector fetch never needs the __cell column — reading it
+    // from the raw frame saves a full centroid-assignment pass (the probe
+    // scan below is then the ONLY pass evaluating NearestCentroid)
+    val qRow = emb.filter(col(idCol) === queryId)
       .select(col(vecCol)).collect()
     require(qRow.nonEmpty, s"query id $queryId not found")
     val qVec = qRow(0).getSeq[Any](0).map {
@@ -147,7 +150,7 @@ object Similarity {
     val probes = centroids.zipWithIndex
       .sortBy { case (c, _) => -cos(c, qVec) }.take(nProbe).map(_._2)
 
-    val query = assigned.filter(col(idCol) === queryId)
+    val query = emb.filter(col(idCol) === queryId)
       .select(col(vecCol).as("__qvec"))
     assigned
       .filter(col("__cell").isin(probes: _*) && col(idCol) =!= queryId)

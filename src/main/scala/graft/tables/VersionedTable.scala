@@ -650,35 +650,47 @@ class VersionedTable private (val spark: SparkSession,
 
   /** Simple conjunctive equi-predicates `targetAlias.col = <srcExpr>`
     * (either side) extracted from a merge condition, for stats-based
-    * target pruning and the merge-cardinality fast path. Empty when the
-    * condition's shape is anything but a plain top-level conjunction of
-    * `=` comparisons — pruning is an optimization and must never guess.
+    * target pruning and the merge-cardinality fast path. Implemented as a
+    * walk over the PARSED Catalyst expression tree (not string surgery):
+    * the condition is split on `And` nodes, and each `EqualTo` conjunct
+    * qualifies when exactly one side is a plain `targetAlias.col`
+    * attribute and the other side references no target attribute at all —
+    * so parenthesization, function-wrapped source expressions, and
+    * whitespace never change the answer. Conservative on every other
+    * shape (Or, inequalities, null-safe `<=>`, unparseable input):
+    * pruning is an optimization and must never guess.
     * @return (pairs, pure) — `pure` is true iff EVERY conjunct parsed as
     *         such an equi-predicate, i.e. the pairs fully characterize
     *         the join condition */
-  private def equiPairs(condition: String, targetAlias: String): (Seq[(String, String)], Boolean) = {
-    if (condition.contains("(") ||
-      "(?is)\\bor\\b".r.findFirstIn(condition).isDefined) return (Seq.empty, false)
-    val tPrefix = targetAlias + "."
-    val conjuncts = condition.split("(?i)\\bAND\\b").toSeq
-    val parsed = conjuncts.map { c =>
-      if (c.exists("<>!".contains(_))) None
-      else c.split("=") match {
-        case Array(l0, r0) =>
-          val l = l0.trim; val r = r0.trim
-          def tcol(s: String): Option[String] =
-            if (s.startsWith(tPrefix) && s.drop(tPrefix.length).matches("\\w+"))
-              Some(s.drop(tPrefix.length))
-            else None
-          (tcol(l), tcol(r)) match {
-            case (Some(c1), None) if !r.contains(tPrefix) => Some(c1 -> r)
-            case (None, Some(c2)) if !l.contains(tPrefix) => Some(c2 -> l)
+  private[tables] def equiPairs(condition: String, targetAlias: String): (Seq[(String, String)], Boolean) = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualTo, Expression => CExpr}
+    def conjunctsOf(e: CExpr): Seq[CExpr] = e match {
+      case CAnd(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+      case other => Seq(other)
+    }
+    def targetCol(e: CExpr): Option[String] = e match {
+      case UnresolvedAttribute(Seq(q, c)) if q.equalsIgnoreCase(targetAlias) => Some(c)
+      case _ => None
+    }
+    def referencesTarget(e: CExpr): Boolean = e.exists {
+      case UnresolvedAttribute(parts) =>
+        parts.length >= 2 && parts.head.equalsIgnoreCase(targetAlias)
+      case _ => false
+    }
+    try {
+      val tree = spark.sessionState.sqlParser.parseExpression(condition)
+      val parsed = conjunctsOf(tree).map {
+        case EqualTo(l, r) =>
+          (targetCol(l), targetCol(r)) match {
+            case (Some(c), None) if !referencesTarget(r) => Some(c -> r.sql)
+            case (None, Some(c)) if !referencesTarget(l) => Some(c -> l.sql)
             case _ => None
           }
         case _ => None
       }
-    }
-    (parsed.flatten, parsed.forall(_.isDefined) && parsed.nonEmpty)
+      (parsed.flatten, parsed.forall(_.isDefined) && parsed.nonEmpty)
+    } catch { case scala.util.control.NonFatal(_) => (Seq.empty, false) }
   }
 
   /** Read a specific live-file subset with the table schema. */

@@ -407,6 +407,27 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.readChanges(vBefore, includeRewrites = true).count() > 0)
   }
 
+  test("equiPairs: Catalyst-walk extraction is shape-robust and conservative") {
+    val path = tmpDir() + "/t9eq"
+    val t = VersionedTable.create(spark, Seq((1, "a")).toDF("id", "v"), path)
+    // plain equi conjunction — both pairs, pure
+    assert(t.equiPairs("e.k = s.k AND e.ts = s.ts", "e") ==
+      (Seq("k" -> "s.k", "ts" -> "s.ts"), true))
+    // reversed sides + parentheses + function on the source side: the old
+    // string parser bailed on all three, the tree walk handles them
+    assert(t.equiPairs("(s.k = e.k)", "e") == (Seq("k" -> "s.k"), true))
+    val (fp, fpure) = t.equiPairs("e.k = upper(s.k)", "e")
+    assert(fp == Seq("k" -> "upper(s.k)") && fpure)
+    // theta residual: the equi pair still prunes, but purity is lost
+    val (rp, rpure) = t.equiPairs("e.k = s.k AND e.ts > s.lo", "e")
+    assert(rp == Seq("k" -> "s.k") && !rpure)
+    // OR, null-safe equality, target-on-both-sides, garbage: no pruning
+    assert(t.equiPairs("e.k = s.k OR e.ts = s.ts", "e") == (Seq.empty, false))
+    assert(t.equiPairs("e.k <=> s.k", "e") == (Seq.empty, false))
+    assert(t.equiPairs("e.k = e.k2", "e")._1.isEmpty)
+    assert(t.equiPairs("this is not sql", "e") == (Seq.empty, false))
+  }
+
   test("concurrent writers: each version has exactly one winner, losers fail cleanly") {
     val path = tmpDir() + "/t9cas"
     VersionedTable.create(spark, Seq((0, "init")).toDF("id", "v"), path)
