@@ -312,6 +312,14 @@ object Bench {
         (extraJson ++ cpuJson).mkString(if (extraJson.nonEmpty || cpuJson.nonEmpty) "," else "", ",", "") +
         s""","errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    // Durable copy: the recorder keeps only a bounded tail of stdout, so
+    // the COMPLETE section lines also land in a repo file the next reader
+    // can open (committed per round as the local-run record).
+    try {
+      val dest = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "bench_last.json")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(dest),
+        out.mkString("", "\n", "\n"))
+    } catch { case scala.util.control.NonFatal(_) => }
     out.foreach(println)
     if (errors.nonEmpty) sys.exit(1)
   }
