@@ -55,8 +55,11 @@ object SparkEntry {
     Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$dir/$table.parquet"))
     try body(in.toString)
     finally {
+      // recursive: the body may have added files beside the symlink
+      // (e.g. q57's watermark sentinel); the symlink is deleted as a
+      // link, never following into the read-only testdata target
       Files.deleteIfExists(link)
-      Files.deleteIfExists(in)
+      deleteRec(in.toFile)
     }
   }
 
@@ -1077,8 +1080,166 @@ object SparkEntry {
           date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
           col("is_current"), col("causale_annullamento"))
         .orderBy("contratto_cod", "valid_from")
+    }),
+
+    // Gopher-style within-document repetition signals (dup-word /
+    // top-bigram / dup-trigram fractions) — pure codegen'd higher-order
+    // expressions, map-only at any scale. Natural docs rarely trip the
+    // trigram measure, so three planted rows (a pure loop, a repeated
+    // phrase, clean prose) pin all regimes; the oracle recomputes every
+    // fraction with DuckDB list lambdas.
+    "q54_repetition" -> ((s, dir) => {
+      GraftSession.tune(s)
+      import s.implicits._
+      val planted = Seq(
+        (90001L, "loop loop loop loop loop loop loop loop"),
+        (90002L, "alpha beta gamma delta alpha beta gamma delta epsilon zeta"),
+        (90003L, "every word in this sentence is completely unique today"))
+        .toDF("doc_id", "text")
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(planted)
+      graft.ops.RepetitionStats.attach(docs, "text")
+        .select(col("doc_id"), col("dup_word_frac"),
+          col("top_bigram_frac"), col("dup_trigram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // Benchmark decontamination: corpus documents sharing any word
+    // 5-gram with the held-out eval slice (doc_id % 50 = 0) are flagged
+    // with their shared-gram count. Three planted leaks (a 12-word span
+    // lifted verbatim from an eval doc) guarantee known positives on top
+    // of whatever natural collisions the synthetic text has. The engine
+    // joins on xxhash64 gram hashes (8-byte shuffle rows, eval side
+    // broadcast); the oracle joins on the gram STRINGS — same answer
+    // unless xxhash64 collides, which the fixed dataset would expose.
+    "q55_decontaminate" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val evalSet = docs.filter(col("doc_id") % 50 === 0)
+      val planted = evalSet.filter(col("doc_id") < 150)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          expr("array_join(slice(split(trim(text), '\\\\s+'), 3, 12), ' ')").as("text"))
+      val corpus = docs.filter(col("doc_id") % 50 =!= 0).unionByName(planted)
+      graft.ops.Decontaminate.contaminated(corpus, evalSet, "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    }),
+
+    // Stream-STREAM inner join end-to-end: clicks and purchases read as
+    // two file-source streams, joined per user on a 2-hour event-time
+    // range with watermarks on both sides — the remaining Structured
+    // Streaming join surface (q47/q50/q51 cover agg/dedup/custom state).
+    // AvailableNow drains everything, so append-mode output must equal
+    // the batch join DuckDB computes.
+    "q56_stream_stream_join" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val sink = "q56_ssj_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      withStreamDir(dir, "events", "q56") { in =>
+        def src = {
+          val raw = s.readStream.schema(schema).parquet(in)
+          if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          else raw
+        }
+        val clicks = src.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+            col("event_id").as("click_id"))
+          .withWatermark("click_ts", "1 hour")
+        val purchases = src.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+            col("event_id").as("purchase_id"))
+          .withWatermark("purchase_ts", "1 hour")
+        val q = clicks.join(purchases,
+            col("user_id") === col("p_user") &&
+              col("purchase_ts") >= col("click_ts") &&
+              col("purchase_ts") <= col("click_ts") + expr("interval 2 hours"))
+          .select(col("user_id"), col("click_id"), col("purchase_id"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      graft.ops.Caches.registeredRelease { () =>
+        s.catalog.dropTempView(sink); ()
+      }
+      s.table(sink).orderBy("user_id", "click_id", "purchase_id")
+    }),
+
+    // Streaming SESSION WINDOWS end-to-end: per-user 30-minute-gap
+    // sessions via session_window + watermark, drained twice through one
+    // checkpoint — drain 1 processes the real events, then a far-future
+    // sentinel file is dropped into the source dir and drain 2 advances
+    // the watermark past every real session's end, flushing them all in
+    // append mode (a session only emits once the watermark passes it; a
+    // single drain would hold back each user's final session forever).
+    // The oracle replays gap sessionization with windows. NB Spark's
+    // session window is [first, last+gap) with an EXCLUSIVE end, so the
+    // break condition is `gap >= 30 min` — unlike Sessionize's strict `>`.
+    "q57_stream_session_window" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val tsIsLong = schema("ts").dataType == org.apache.spark.sql.types.LongType
+      val work = Files.createTempDirectory("graft-q57").toString
+      val outDir = s"$work/out"
+      withStreamDir(dir, "events", "q57") { in =>
+        // foreachBatch parquet sink: unlike the memory sink it supports
+        // RESTART from a checkpoint, which the two-drain flush needs
+        def drain(): Unit = {
+          val raw = s.readStream.schema(schema).parquet(in)
+          val stream =
+            if (tsIsLong) raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+            else raw
+          val q = stream
+            .withWatermark("ts", "0 seconds")
+            .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+            .agg(count(lit(1)).as("n_events"),
+              round(sum("value"), 2).as("total_value"))
+            .select(col("user_id"),
+              date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+                .as("session_start"),
+              col("n_events"), col("total_value"))
+            .writeStream
+            .option("checkpointLocation", s"$work/ckpt")
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              batch.write.mode("append").parquet(outDir)
+            }
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        drain()
+        // sentinel: one event ~100 days past the max advances the
+        // watermark beyond every real session's end on drain 2; its own
+        // session never closes, so only real sessions are flushed
+        val maxTs = s.read.parquet(s"$dir/events.parquet")
+          .agg(max(col("ts"))).collect()(0)
+        val sentinel = s.range(1).select(
+          lit(-999L).as("event_id"),
+          (if (tsIsLong) lit(maxTs.getLong(0) + 8640000L * 1000000000L)
+           else lit(new java.sql.Timestamp(
+             maxTs.getTimestamp(0).getTime + 8640000L * 1000L))).as("ts"),
+          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props"))
+        sentinel.select(schema.fieldNames.map(c =>
+          col(c).cast(schema(c).dataType)): _*)
+          .write.mode("append").parquet(in)
+        drain()
+      }
+      graft.ops.Caches.registeredRelease { () =>
+        deleteRec(new java.io.File(work)); ()
+      }
+      s.read.parquet(outDir)
+        .filter(col("user_id") >= 0)
+        .orderBy("user_id", "session_start")
     })
   )
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete(): Unit
+  }
 
   /** Queries intentionally lacking a DuckDB oracle (non-SQL-expressible),
     * so the driver records a rows-only check. Keep this set tight.
@@ -1826,6 +1987,84 @@ object SparkEntry {
         |  is_current, causale_annullamento
         |FROM tomb
         |ORDER BY contratto_cod, valid_from""".stripMargin,
+
+    // Same repetition fractions recomputed with DuckDB list lambdas over
+    // the identical doc set (documents ∪ the three planted rows).
+    "q54_repetition" ->
+      """WITH planted(doc_id, text) AS (VALUES
+        |  (90001, 'loop loop loop loop loop loop loop loop'),
+        |  (90002, 'alpha beta gamma delta alpha beta gamma delta epsilon zeta'),
+        |  (90003, 'every word in this sentence is completely unique today')),
+        |docs AS (SELECT doc_id, text FROM documents
+        |         UNION ALL SELECT doc_id, text FROM planted),
+        |toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM docs),
+        |g AS (SELECT doc_id, ws,
+        |  CASE WHEN len(ws) < 2 THEN [] ELSE list_transform(generate_series(1, len(ws)-1), i -> array_to_string(ws[i:i+1], ' ')) END AS g2,
+        |  CASE WHEN len(ws) < 3 THEN [] ELSE list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' ')) END AS g3
+        | FROM toks)
+        |SELECT doc_id,
+        |  round(1.0 - len(list_distinct(ws))::DOUBLE / len(ws), 4) AS dup_word_frac,
+        |  round(CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+        |    list_max(list_transform(list_distinct(g2), d -> len(list_filter(g2, x -> x = d)))) * 2 / len(ws)::DOUBLE END, 4) AS top_bigram_frac,
+        |  round(CASE WHEN len(g3) = 0 THEN 0.0 ELSE
+        |    len(list_filter(g3, x -> len(list_filter(g3, y -> y = x)) > 1))::DOUBLE / len(g3) END, 4) AS dup_trigram_frac
+        |FROM g
+        |ORDER BY doc_id""".stripMargin,
+
+    // The decontamination overlap recomputed on gram STRINGS (the engine
+    // joins 8-byte xxhash64 values; identical answers unless the hash
+    // collides on this fixed dataset).
+    "q55_decontaminate" ->
+      """WITH eval_set AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+        |planted AS (
+        |  SELECT doc_id + 100000 AS doc_id,
+        |         array_to_string(regexp_split_to_array(trim(text), '\s+')[3:14], ' ') AS text
+        |  FROM eval_set WHERE doc_id < 150),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+        |  UNION ALL SELECT doc_id, text FROM planted),
+        |eg AS (
+        |  SELECT DISTINCT g FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(ws)-4), i -> array_to_string(ws[i:i+4], ' '))) AS g
+        |    FROM (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM eval_set) WHERE len(ws) >= 5)),
+        |cg AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(ws)-4), i -> array_to_string(ws[i:i+4], ' ')))) AS g
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM corpus) WHERE len(ws) >= 5)
+        |SELECT cg.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM cg JOIN eg USING (g)
+        |GROUP BY cg.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // Batch replay of the streaming session windows: gap sessionization
+    // with lag + running sum. Spark's session window is [first, last+gap)
+    // with an EXCLUSIVE end, so a gap of exactly 30 minutes BREAKS the
+    // session (>=), unlike q41's strict-> semantics.
+    "q57_stream_session_window" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS total_value
+        |FROM sess
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // Batch replay of the stream-stream range join: same per-user
+    // click→purchase pairs within 2 hours.
+    "q56_stream_stream_join" ->
+      """SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+        |ORDER BY user_id, click_id, purchase_id""".stripMargin,
 
     "q23_ngram_jaccard" ->
       """WITH toks AS (

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: remove training documents that share a
+  * word n-gram with a held-out evaluation set — the standard guard
+  * against test-set leakage in pre-training corpora (GPT-3 §C / PaLM
+  * use 8-13-gram overlap; the n is a knob here).
+  *
+  * Scale design: both sides explode to (doc, gramHash) rows, the EVAL
+  * side collapses to DISTINCT hashes, and contamination is one
+  * inner-join + distinct on a single long column. The eval set is small
+  * by construction (benchmarks, not corpora), so Catalyst/AQE broadcasts
+  * its hash set and the corpus side never shuffles; gram strings never
+  * leave their executor — only 8-byte xxhash64 values travel. The
+  * corpus pass is a projection + explode, no per-row quadratic work.
+  */
+object Decontaminate {
+
+  private def gramHashes(textCol: String, n: Int): String = {
+    val t = s"split(lower(trim($textCol)), '\\\\s+')"
+    s"""CASE WHEN size($t) < $n THEN array()
+       |ELSE array_distinct(transform(sequence(1, size($t) - ${n - 1}),
+       |  __i -> xxhash64(array_join(slice($t, __i, $n), ' '))))
+       |END""".stripMargin
+  }
+
+  /** (idCol, n_shared) per contaminated corpus document: how many of its
+    * distinct n-grams appear anywhere in the eval set. */
+  def contaminated(corpus: DataFrame, evalSet: DataFrame,
+                   idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(expr(gramHashes(textCol, n))).as("__g"))
+      .distinct()
+    corpus
+      .select(col(idCol), explode(expr(gramHashes(textCol, n))).as("__g"))
+      .join(evalGrams, "__g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** The corpus with contaminated documents removed (left-anti on the
+    * contaminated id set). */
+  def clean(corpus: DataFrame, evalSet: DataFrame,
+            idCol: String, textCol: String, n: Int = 5): DataFrame =
+    corpus.join(
+      contaminated(corpus, evalSet, idCol, textCol, n).select(idCol),
+      Seq(idCol), "left_anti")
+}
