@@ -65,15 +65,16 @@ object Bench {
     val headerSizes = sys.env.getOrElse("SPARK_GRAFT_HEADER_SIZES",
       "100000,1000000,5000000,10000000")
       .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong)
-    // Timed repetitions per size. The largest point defaults to 3 runs so
-    // the recorded artifact carries a spread — a single sample at 10M
+    // Timed repetitions per size: 2 everywhere, 3 at the largest point,
+    // so every recorded number carries a spread — a single sample at 10M
     // proved load-confounded (97.4 s recorded vs ~34.7 s quiet-host on
-    // identical code). Override with SPARK_GRAFT_HEADER_REPEATS: one int
-    // for all sizes, or a comma list aligned with SPARK_GRAFT_HEADER_SIZES.
+    // identical code), and round-5 saw 1M swing 10.8→15.0 s on n=1.
+    // Override with SPARK_GRAFT_HEADER_REPEATS: one int for all sizes, or
+    // a comma list aligned with SPARK_GRAFT_HEADER_SIZES.
     val repeatList: Seq[Int] = {
       val env = sys.env.getOrElse("SPARK_GRAFT_HEADER_REPEATS", "").trim
       if (env.isEmpty)
-        headerSizes.toSeq.map(n => if (headerSizes.nonEmpty && n == headerSizes.max) 3 else 1)
+        headerSizes.toSeq.map(n => if (headerSizes.nonEmpty && n == headerSizes.max) 3 else 2)
       else {
         val parts = env.split(",").map(_.trim.toInt)
         if (parts.length == 1) Seq.fill(headerSizes.length)(parts(0)) else parts.toSeq

@@ -1233,6 +1233,45 @@ object SparkEntry {
       s.read.parquet(outDir)
         .filter(col("user_id") >= 0)
         .orderBy("user_id", "session_start")
+    }),
+
+    // Incremental ingestion dedup: new document drops are admitted into a
+    // VersionedTable only when their content fingerprint is unseen —
+    // first-writer-wins across drops WITHOUT ever rescanning or
+    // re-hashing the accumulated corpus (the merge is insert-only: one
+    // left-anti join against stats-pruned files, zero rewrites; at 100 TB
+    // the fingerprint column's footer stats bound the probe). Drop 2
+    // re-delivers half of drop 1 verbatim and adds whitespace/case
+    // variants that must still dedup (the fingerprint normalizes), plus
+    // genuinely new docs. The oracle replays first-wins dedup over the
+    // union with a window.
+    "q58_incremental_dedup" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val root = Files.createTempDirectory("graft-q58").toString
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val drop1 = docs.filter(col("doc_id") < 300)
+      val drop2 = docs.filter(col("doc_id") >= 150 && col("doc_id") < 450)
+        .unionByName(
+          // variants: same content, different byte form → same fingerprint
+          docs.filter(col("doc_id") < 50)
+            .select((col("doc_id") + 500000).as("doc_id"),
+              upper(concat(lit("  "), col("text"), lit("   "))).as("text")))
+      def fp(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("fp", graft.ops.TextAnalysis.fingerprint("text"))
+      val table = graft.tables.VersionedTable.create(
+        s, fp(drop1), s"$root/corpus", Seq.empty)
+      // within-batch dedup keeps the LOWEST doc_id per fingerprint, so
+      // the admitted set is deterministic even if a drop repeats itself
+      val staged = fp(drop2)
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+        .filter(col("__rn") === 1).drop("__rn")
+      table.alias("t")
+        .merge(staged.alias("d"), "t.fp = d.fp")
+        .whenNotMatchedInsert(values =
+          Map("doc_id" -> "d.doc_id", "text" -> "d.text", "fp" -> "d.fp"))
+        .execute()
+      table.read.select(col("doc_id"), col("fp")).orderBy("doc_id")
     })
   )
 
@@ -2033,6 +2072,28 @@ object SparkEntry {
         |SELECT cg.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_shared
         |FROM cg JOIN eg USING (g)
         |GROUP BY cg.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // First-wins incremental dedup replayed relationally: drop2 collapses
+    // to min-doc_id per fingerprint, then only unseen fingerprints join
+    // the corpus. The md5-of-normalized-tokens fingerprint is computed
+    // independently (md5 is md5 in any engine).
+    "q58_incremental_dedup" ->
+      """WITH d1 AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |d2 AS (SELECT doc_id, text FROM documents WHERE doc_id >= 150 AND doc_id < 450
+        |       UNION ALL
+        |       SELECT doc_id + 500000, upper('  ' || text || '   ')
+        |       FROM documents WHERE doc_id < 50),
+        |f1 AS (SELECT doc_id,
+        |         md5(array_to_string(regexp_split_to_array(lower(trim(text)), '\s+'), ' ')) AS fp
+        |       FROM d1),
+        |f2 AS (SELECT doc_id,
+        |         md5(array_to_string(regexp_split_to_array(lower(trim(text)), '\s+'), ' ')) AS fp
+        |       FROM d2),
+        |d2u AS (SELECT fp, min(doc_id) AS doc_id FROM f2 GROUP BY fp)
+        |SELECT doc_id, fp FROM f1
+        |UNION ALL
+        |SELECT doc_id, fp FROM d2u WHERE fp NOT IN (SELECT fp FROM f1)
         |ORDER BY doc_id""".stripMargin,
 
     // Batch replay of the streaming session windows: gap sessionization
