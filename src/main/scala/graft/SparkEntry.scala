@@ -1272,6 +1272,68 @@ object SparkEntry {
           Map("doc_id" -> "d.doc_id", "text" -> "d.text", "fp" -> "d.fp"))
         .execute()
       table.read.select(col("doc_id"), col("fp")).orderBy("doc_id")
+    }),
+
+    // The SAME session semantics as q57, through CUSTOM keyed state:
+    // flatMapGroupsWithState + event-time timeout — in-batch gaps emit
+    // immediately, each key's trailing session times out when the
+    // sentinel drain advances the watermark past last+gap. Verified
+    // against the IDENTICAL oracle as the built-in session_window path,
+    // pinning the two implementations to each other and to DuckDB.
+    "q59_state_sessionize" -> ((s, dir) => {
+      GraftSession.tune(s)
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val tsIsLong = schema("ts").dataType == org.apache.spark.sql.types.LongType
+      val work = Files.createTempDirectory("graft-q59").toString
+      val outDir = s"$work/out"
+      withStreamDir(dir, "events", "q59") { in =>
+        def drain(): Unit = {
+          val raw = s.readStream.schema(schema).parquet(in)
+          val tsCol =
+            if (tsIsLong) expr("timestamp_micros(ts div 1000)") else col("ts")
+          val events = raw
+            .select(col("user_id").as("userId"), tsCol.as("ts"), col("value"))
+            .withWatermark("ts", "0 seconds")
+            .as[graft.streaming.StreamingEventStats.UserEvent]
+          val q = graft.streaming.StreamingEventStats
+            .sessionizeWithState(events, gapMinutes = 30)
+            .toDF()
+            .writeStream
+            .option("checkpointLocation", s"$work/ckpt")
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              batch.write.mode("append").parquet(outDir)
+            }
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        drain()
+        val maxTs = s.read.parquet(s"$dir/events.parquet")
+          .agg(max(col("ts"))).collect()(0)
+        val sentinel = s.range(1).select(
+          lit(-999L).as("event_id"),
+          (if (tsIsLong) lit(maxTs.getLong(0) + 8640000L * 1000000000L)
+           else lit(new java.sql.Timestamp(
+             maxTs.getTimestamp(0).getTime + 8640000L * 1000L))).as("ts"),
+          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props"))
+        sentinel.select(schema.fieldNames.map(c =>
+          col(c).cast(schema(c).dataType)): _*)
+          .write.mode("append").parquet(in)
+        drain()
+      }
+      graft.ops.Caches.registeredRelease { () =>
+        deleteRec(new java.io.File(work)); ()
+      }
+      s.read.parquet(outDir)
+        .filter(col("userId") >= 0)
+        .select(col("userId").as("user_id"),
+          date_format(col("start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("nEvents").as("n_events"),
+          round(col("totalValue"), 2).as("total_value"))
+        .orderBy("user_id", "session_start")
     })
   )
 
@@ -1279,6 +1341,26 @@ object SparkEntry {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
     f.delete(): Unit
   }
+
+  /** Shared oracle for q57 (built-in session_window) and q59 (custom
+    * flatMapGroupsWithState sessionizer): 30-minute-gap sessions with the
+    * EXCLUSIVE-end (`>=`) break, per-user aggregates. */
+  private val SessionOracleSql: String =
+    """WITH s AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sess AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                           ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM s)
+      |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS total_value
+      |FROM sess
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
 
   /** Queries intentionally lacking a DuckDB oracle (non-SQL-expressible),
     * so the driver records a rows-only check. Keep this set tight.
@@ -2100,22 +2182,11 @@ object SparkEntry {
     // with lag + running sum. Spark's session window is [first, last+gap)
     // with an EXCLUSIVE end, so a gap of exactly 30 minutes BREAKS the
     // session (>=), unlike q41's strict-> semantics.
-    "q57_stream_session_window" ->
-      """WITH s AS (
-        |  SELECT user_id, ts, value,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
-        |         THEN 1 ELSE 0 END AS brk
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |sess AS (
-        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-        |                           ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM s)
-        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-        |  CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS total_value
-        |FROM sess
-        |GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin,
+    "q57_stream_session_window" -> SessionOracleSql,
+
+    // The custom-state sessionizer must land on the IDENTICAL answer as
+    // the built-in session_window path and the relational replay.
+    "q59_state_sessionize" -> SessionOracleSql,
 
     // Batch replay of the stream-stream range join: same per-user
     // click→purchase pairs within 2 hours.

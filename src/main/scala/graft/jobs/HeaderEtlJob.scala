@@ -316,15 +316,13 @@ object HeaderEtlJob {
     * both probes are one key-equi join of the batch against a 3-column
     * projection of the key's history rows followed by a hash agg — no
     * range join, no window over the table. */
-  private[jobs] def lateSplitAdjust(table: VersionedTable,
-                                    dfTransformed: DataFrame,
-                                    batchId: String): DataFrame = {
-    // pre-merge snapshot, narrowed to the interval skeleton
-    val exN = table.read.select(col("contratto_cod"),
-      col("valid_from_ts").as("ex_from"),
-      coalesce(col("valid_to_ts"), expr(MaxTsExpr)).as("ex_to"))
-
-    // 1. truncate enclosing closed intervals at their earliest late event
+  /** The two Phase-L probe frames, factored out so their plan shape is
+    * auditable: both are key-equi joins of the batch against the 3-column
+    * interval skeleton with theta RESIDUALS, followed by a hash agg —
+    * never a range join or nested loop (PlanAuditSpec guards this). */
+  private[graft] def lateSplitProbes(exN: DataFrame,
+                                     dfTransformed: DataFrame): (DataFrame, DataFrame) = {
+    // truncate enclosing closed intervals at their earliest late event
     val splits = dfTransformed.select(col("contratto_cod"),
         col("valid_from_ts").as("st_from"))
       .join(exN, Seq("contratto_cod"))
@@ -332,6 +330,23 @@ object HeaderEtlJob {
         col("ex_to") =!= expr(MaxTsExpr))
       .groupBy(col("contratto_cod"), col("ex_from"))
       .agg(min("st_from").as("split_ts"))
+    // tightest existing boundary strictly after each staged row
+    val bound = dfTransformed.select(col("contratto_cod"), col("valid_from_ts"))
+      .join(exN.select(col("contratto_cod"), col("ex_from")), Seq("contratto_cod"))
+      .filter(col("ex_from") > col("valid_from_ts"))
+      .groupBy("contratto_cod", "valid_from_ts")
+      .agg(min("ex_from").as("next_ex_from"))
+    (splits, bound)
+  }
+
+  private[jobs] def lateSplitAdjust(table: VersionedTable,
+                                    dfTransformed: DataFrame,
+                                    batchId: String): DataFrame = {
+    // pre-merge snapshot, narrowed to the interval skeleton
+    val exN = table.read.select(col("contratto_cod"),
+      col("valid_from_ts").as("ex_from"),
+      coalesce(col("valid_to_ts"), expr(MaxTsExpr)).as("ex_to"))
+    val (splits, bound) = lateSplitProbes(exN, dfTransformed)
     table.alias("existing")
       .merge(splits.alias("sp"),
         "existing.contratto_cod = sp.contratto_cod AND existing.valid_from_ts = sp.ex_from")
@@ -342,12 +357,7 @@ object HeaderEtlJob {
           "closed_by_batch" -> s"'$batchId'"))
       .execute()
 
-    // 2. cap each staged row at the tightest existing boundary after it
-    val bound = dfTransformed.select(col("contratto_cod"), col("valid_from_ts"))
-      .join(exN, Seq("contratto_cod"))
-      .filter(col("ex_from") > col("valid_from_ts"))
-      .groupBy("contratto_cod", "valid_from_ts")
-      .agg(min("ex_from").as("next_ex_from"))
+    // cap each staged row at the tightest existing boundary after it
     dfTransformed.join(bound, Seq("contratto_cod", "valid_from_ts"), "left")
       .withColumn("valid_to_ts",
         when(col("next_ex_from").isNotNull,

@@ -71,4 +71,60 @@ object StreamingEventStats {
 
   /** The output mode [[runningUserStats]] requires. */
   val RunningStatsOutputMode: OutputMode = OutputMode.Update()
+
+  /** One emitted closed session. */
+  case class SessionOut(userId: Long, start: java.sql.Timestamp,
+                        nEvents: Long, totalValue: Double)
+  /** Per-key open-session state, microsecond timestamps. */
+  case class OpenSession(startUs: Long, lastUs: Long, n: Long, total: Double)
+
+  private def micros(t: java.sql.Timestamp): Long =
+    t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+
+  private def fromMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Gap sessionization as CUSTOM keyed state: the same semantics as the
+    * built-in `session_window` path (break at gap >= `gapMinutes`,
+    * exclusive end), but via `flatMapGroupsWithState` + event-time
+    * timeout — sessions closed by an in-batch gap emit immediately, the
+    * key's trailing session stays in state with a timeout at
+    * last + gap and emits when the watermark passes it. One state entry
+    * per ACTIVE key, evicted on emission — the custom-state pattern for
+    * when the built-in operator's shape (fixed gap, simple aggs) isn't
+    * enough. q59 verifies it against the SAME oracle as q57. */
+  def sessionizeWithState(events: Dataset[UserEvent],
+                          gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60000000L
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(uid, fromMicros(s.startUs), s.n, s.total))
+          } else {
+            val closed = scala.collection.mutable.ListBuffer[OpenSession]()
+            var cur = state.getOption.orNull
+            rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+              val t = micros(e.ts)
+              if (cur == null) cur = OpenSession(t, t, 1L, e.value)
+              else if (t - cur.lastUs >= gapUs) {
+                closed += cur; cur = OpenSession(t, t, 1L, e.value)
+              } else cur = OpenSession(cur.startUs, t, cur.n + 1, cur.total + e.value)
+            }
+            state.update(cur)
+            // fires once the event-time watermark passes the session end
+            state.setTimeoutTimestamp((cur.lastUs + gapUs) / 1000L)
+            closed.iterator.map(s =>
+              SessionOut(uid, fromMicros(s.startUs), s.n, s.total))
+          }
+      }
+  }
 }

@@ -77,6 +77,23 @@ class PlanAuditSpec extends AnyFunSuite {
       "bucketed range join must stay an equi-join")
   }
 
+  test("late-split probes are key-equi joins with theta residuals, never BNLJ") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val exN = Seq(("K1", ts("2023-01-26 08:00:00"), ts("2023-01-26 12:00:00")))
+      .toDF("contratto_cod", "ex_from", "ex_to")
+    val staged = Seq(("K1", ts("2023-01-26 10:00:00")))
+      .toDF("contratto_cod", "valid_from_ts")
+    val (splits, bound) = graft.jobs.HeaderEtlJob.lateSplitProbes(exN, staged)
+    Seq("splits" -> splits, "bound" -> bound).foreach { case (name, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name probe must stay an equi-join with residual filters:\n$p")
+      assert(p.contains("Join") || p.contains("BroadcastHashJoin"),
+        s"$name probe must contain the key join:\n$p")
+    }
+  }
+
   test("versioned table read prunes partitions under filters") {
     val root = Files.createTempDirectory("graft-prune-spec").toString
     val base = spark.range(0, 300).selectExpr("id", "cast(id % 3 + 2021 as int) as y")
