@@ -77,7 +77,15 @@ object Bench {
         headerSizes.toSeq.map(n => if (headerSizes.nonEmpty && n == headerSizes.max) 3 else 2)
       else {
         val parts = env.split(",").map(_.trim.toInt)
-        if (parts.length == 1) Seq.fill(headerSizes.length)(parts(0)) else parts.toSeq
+        if (parts.length == 1) Seq.fill(headerSizes.length)(parts(0))
+        else {
+          // a shorter list would zip-truncate sizes SILENTLY — the artifact
+          // would look complete while missing points; fail loudly instead
+          require(parts.length == headerSizes.length,
+            s"SPARK_GRAFT_HEADER_REPEATS has ${parts.length} entries but " +
+              s"SPARK_GRAFT_HEADER_SIZES has ${headerSizes.length}")
+          parts.toSeq
+        }
       }
     }
     var lastTablePath: Option[String] = None
@@ -205,19 +213,35 @@ object Bench {
           errors("query_warmup") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
     }
-    val results = (if (skipQueries) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
-                   else SparkEntry.queries).toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch {
-          case e: Throwable =>
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-            false
+    // Each query runs `queryReps` times (warm) and the artifact records the
+    // full run list plus the median — BENCH_r05's single-sample query section
+    // read 1.8× slower than a committed same-code run purely from host load
+    // (q25 21.3 vs 4.3 s); with a spread per query, load can never masquerade
+    // as a regression again. SPARK_GRAFT_QUERY_REPEATS=1 for fast iteration.
+    val queryReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPEATS", "2").trim.toInt
+    require(queryReps >= 1, s"SPARK_GRAFT_QUERY_REPEATS must be >= 1, got $queryReps")
+    val results: Seq[(String, Seq[Double])] =
+      (if (skipQueries) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
+       else SparkEntry.queries).toSeq.sortBy(_._1).map { case (name, fn) =>
+        var failed = false
+        val runs = (1 to queryReps).flatMap { _ =>
+          if (failed) None // a failing query would just re-fail; don't re-time it
+          else {
+            val t0 = System.nanoTime()
+            val r =
+              try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+              catch {
+                case e: Throwable =>
+                  errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+                  failed = true
+                  None
+              }
+            graft.ops.Caches.releaseAll()
+            r
+          }
         }
-      graft.ops.Caches.releaseAll()
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
+        name -> runs
+      }
 
     // ---- CPU-scaling sweep (the local analog of the reference's
     // infra/scale_horizontal_runner.sh:140-160 6→1-worker sweep): the 1M
@@ -288,7 +312,10 @@ object Bench {
         s""""closed":${m0.closed_count},"dq_kept":${m0.dq_kept},"dq_discarded":${m0.dq_discarded}}"""
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
-    val queriesTotal = results.collect { case (_, v) if v >= 0 => v }.sum
+    // a query's headline number is its MEDIAN across reps; total sums medians
+    val queryMedians: Seq[(String, Double)] =
+      results.map { case (k, runs) => k -> (if (runs.isEmpty) -1.0 else median(runs)) }
+    val queriesTotal = queryMedians.collect { case (_, v) if v >= 0 => v }.sum
     val total = queriesTotal +
       headerRuns.map { case (_, ms) => median(ms.map(_.duration_s)) }.sum
     // ---- output ---------------------------------------------------------
@@ -298,10 +325,16 @@ object Bench {
     // self-describing lines at the very end — after all Spark work, so no
     // interleaved log lines can dilute the window — ordered least- to
     // most-important, headline totals LAST (the tail always survives).
-    val qSeq = results.map { case (k, v) => s""""${esc(k)}":${r3(v)}""" }
+    // per-query spread: {"median":m,"runs":[a,b]} (runs empty + median -1 on
+    // failure); chunked ~10 queries per line so every line stays well inside
+    // the recorder's bounded output tail
+    val qSeq = results.map { case (k, runs) =>
+      val m = if (runs.isEmpty) -1.0 else median(runs)
+      s""""${esc(k)}":{"median":${r3(m)},"runs":${runs.map(r3).mkString("[", ",", "]")}}"""
+    }
     val qLines =
       if (qSeq.isEmpty) Nil
-      else qSeq.grouped((qSeq.length + 2) / 3).zipWithIndex.map {
+      else qSeq.grouped(10).zipWithIndex.map {
         case (chunk, i) => s"""{"section":"queries_${i + 1}",${chunk.mkString(",")}}"""
       }.toSeq
     val out = Seq(

@@ -1334,6 +1334,74 @@ object SparkEntry {
           col("nEvents").as("n_events"),
           round(col("totalValue"), 2).as("total_value"))
         .orderBy("user_id", "session_start")
+    }),
+
+    // Watermark-BOUNDED streaming dedup end-to-end: duplicates planted
+    // inside and outside the eviction horizon, driven through three
+    // AvailableNow drains of one checkpoint so the micro-batch boundaries
+    // (and therefore the watermark at each batch) are pinned:
+    //   drain 1 — first arrivals, an identical in-batch duplicate, and a
+    //     "clock" row (u99 @ 11:00) that advances the watermark to 10:50;
+    //   drain 2 — one fresh key; at this batch's end every drain-1 entry
+    //     whose expiry (first_ts + 10 min) is behind the 10:50 watermark
+    //     is EVICTED (u1/u2/u3) while u99 (expires 11:10) survives;
+    //   drain 3 — u1 re-appears OUTSIDE the horizon (state evicted →
+    //     re-emitted: the bounded-state behavior plain dropDuplicates can
+    //     never show), u99 re-appears INSIDE it (dropped), plus a new key
+    //     with an identical in-batch duplicate.
+    // In-batch duplicates carry byte-identical payloads so the kept row
+    // is deterministic regardless of shuffle arrival order. The oracle
+    // replays first-arrival-within-horizon relationally from the same
+    // VALUES with the same per-batch watermark rule.
+    "q60_dedup_watermark" -> ((s, dir) => {
+      GraftSession.tune(s)
+      import s.implicits._
+      val work = Files.createTempDirectory("graft-q60").toString
+      val src = s"$work/src"; val outDir = s"$work/out"
+      Files.createDirectories(java.nio.file.Paths.get(src))
+      def writeBatch(rows: Seq[(Long, String, Double)]): Unit =
+        rows.toDF("user_id", "ts_s", "value")
+          .select(col("user_id"), to_timestamp(col("ts_s")).as("ts"), col("value"))
+          .coalesce(1) // ONE file per drain → one micro-batch per drain
+          .write.mode("append").parquet(src)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      def drain(): Unit = {
+        val q = graft.streaming.StreamingEventStats.dedupWithinWatermark(
+            s.readStream.schema(schema).parquet(src),
+            keyCols = Seq("user_id"), tsCol = "ts", delay = "10 minutes")
+          .writeStream
+          .option("checkpointLocation", s"$work/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(outDir)
+          }
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val d = "2023-06-01 "
+      writeBatch(Seq((1L, d + "10:00:00", 1.0), (1L, d + "10:00:00", 1.0),
+        (2L, d + "10:01:00", 2.0), (3L, d + "10:00:00", 3.0),
+        (99L, d + "11:00:00", 9.0)))
+      drain()
+      writeBatch(Seq((5L, d + "10:59:00", 5.0)))
+      drain()
+      writeBatch(Seq((1L, d + "10:55:00", 1.5), (99L, d + "11:05:00", 9.5),
+        (4L, d + "10:58:00", 4.0), (4L, d + "10:58:00", 4.0)))
+      drain()
+      graft.ops.Caches.registeredRelease { () =>
+        deleteRec(new java.io.File(work)); ()
+      }
+      s.read.parquet(outDir)
+        .select(col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"), col("value"))
+        .orderBy("user_id", "ts")
     })
   )
 
@@ -2187,6 +2255,43 @@ object SparkEntry {
     // The custom-state sessionizer must land on the IDENTICAL answer as
     // the built-in session_window path and the relational replay.
     "q59_state_sessionize" -> SessionOracleSql,
+
+    // Relational replay of watermark-bounded dedup over the SAME planted
+    // fixture with the SAME pinned batch boundaries: the watermark a batch
+    // runs under is max(ts) over all EARLIER batches minus the 10-minute
+    // delay; a row is kept iff no earlier-batch first-arrival of its key
+    // is still live (its ts + delay has not fallen behind that watermark).
+    // In-batch duplicates are byte-identical, so DISTINCT replays them.
+    "q60_dedup_watermark" ->
+      """WITH ev(user_id, ts, value, batch) AS (VALUES
+        |  (1, TIMESTAMP '2023-06-01 10:00:00', 1.0, 1),
+        |  (1, TIMESTAMP '2023-06-01 10:00:00', 1.0, 1),
+        |  (2, TIMESTAMP '2023-06-01 10:01:00', 2.0, 1),
+        |  (3, TIMESTAMP '2023-06-01 10:00:00', 3.0, 1),
+        |  (99, TIMESTAMP '2023-06-01 11:00:00', 9.0, 1),
+        |  (5, TIMESTAMP '2023-06-01 10:59:00', 5.0, 2),
+        |  (1, TIMESTAMP '2023-06-01 10:55:00', 1.5, 3),
+        |  (99, TIMESTAMP '2023-06-01 11:05:00', 9.5, 3),
+        |  (4, TIMESTAMP '2023-06-01 10:58:00', 4.0, 3),
+        |  (4, TIMESTAMP '2023-06-01 10:58:00', 4.0, 3)),
+        |firsts AS (SELECT DISTINCT user_id, ts, value, batch FROM ev),
+        |wms AS (
+        |  SELECT b.batch, max(p.ts) - INTERVAL 10 MINUTE AS wm
+        |  FROM (SELECT DISTINCT batch FROM ev) b
+        |  LEFT JOIN ev p ON p.batch < b.batch
+        |  GROUP BY b.batch),
+        |kept AS (
+        |  SELECT f.user_id, f.ts, f.value
+        |  FROM firsts f JOIN wms w ON w.batch = f.batch
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM firsts e
+        |    WHERE e.user_id = f.user_id AND e.batch < f.batch
+        |      AND e.ts + INTERVAL 10 MINUTE
+        |            >= coalesce(w.wm, TIMESTAMP '1970-01-01')))
+        |SELECT CAST(user_id AS BIGINT) AS user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  CAST(value AS DOUBLE) AS value
+        |FROM kept ORDER BY user_id, ts""".stripMargin,
 
     // Batch replay of the stream-stream range join: same per-user
     // click→purchase pairs within 2 hours.

@@ -112,6 +112,14 @@ object StreamingEventStats {
           } else {
             val closed = scala.collection.mutable.ListBuffer[OpenSession]()
             var cur = state.getOption.orNull
+            // CONTRACT: one key's events for ONE micro-batch are sorted in
+            // executor memory (Spark hands them as an unordered iterator; gap
+            // sessionization needs time order). The bound is per-key-per-batch
+            // — ~48 bytes/event — NOT per-key-lifetime: state keeps only the
+            // one open session between batches. A single key would need
+            // hundreds of millions of events in a single batch to matter;
+            // callers with such a key should pre-aggregate or bound the
+            // trigger size. LargeKeySpec exercises 100k events on one key.
             rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
               val t = micros(e.ts)
               if (cur == null) cur = OpenSession(t, t, 1L, e.value)
@@ -120,8 +128,15 @@ object StreamingEventStats {
               } else cur = OpenSession(cur.startUs, t, cur.n + 1, cur.total + e.value)
             }
             state.update(cur)
-            // fires once the event-time watermark passes the session end
-            state.setTimeoutTimestamp((cur.lastUs + gapUs) / 1000L)
+            // fires once the event-time watermark passes the session end.
+            // FlatMapGroupsWithState does NOT pre-drop late rows, so a batch
+            // whose events all satisfy last+gap <= watermark would make a
+            // bare setTimeoutTimestamp throw (timeout must exceed the
+            // watermark) and fail the query — clamp to just past the
+            // watermark, emitting the already-expired session on the next
+            // batch instead.
+            val target = (cur.lastUs + gapUs) / 1000L
+            state.setTimeoutTimestamp(math.max(state.getCurrentWatermarkMs + 1L, target))
             closed.iterator.map(s =>
               SessionOut(uid, fromMicros(s.startUs), s.n, s.total))
           }
