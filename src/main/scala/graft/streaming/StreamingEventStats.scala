@@ -129,12 +129,14 @@ object StreamingEventStats {
             }
             state.update(cur)
             // fires once the event-time watermark passes the session end.
-            // FlatMapGroupsWithState does NOT pre-drop late rows, so a batch
-            // whose events all satisfy last+gap <= watermark would make a
-            // bare setTimeoutTimestamp throw (timeout must exceed the
-            // watermark) and fail the query — clamp to just past the
-            // watermark, emitting the already-expired session on the next
-            // batch instead.
+            // DEFENSIVE CLAMP: if a batch's events for a key all satisfied
+            // last+gap <= watermark, a bare setTimeoutTimestamp would throw
+            // (timeout must exceed the watermark) and fail the query. On
+            // this Spark version the stateful-operator late-event filter
+            // drops such rows before they reach the function (LargeKeySpec
+            // pins that), but that filter is version-dependent — the clamp
+            // keeps the operator safe either way, emitting an already-
+            // expired session at the next watermark advance instead.
             val target = (cur.lastUs + gapUs) / 1000L
             state.setTimeoutTimestamp(math.max(state.getCurrentWatermarkMs + 1L, target))
             closed.iterator.map(s =>
