@@ -2190,14 +2190,21 @@ object SparkEntry {
         |g AS (SELECT doc_id, ws,
         |  CASE WHEN len(ws) < 2 THEN [] ELSE list_transform(generate_series(1, len(ws)-1), i -> array_to_string(ws[i:i+1], ' ')) END AS g2,
         |  CASE WHEN len(ws) < 3 THEN [] ELSE list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' ')) END AS g3
-        | FROM toks)
+        | FROM toks),
+        |t2 AS (SELECT doc_id, ws, g2, g3,
+        |  CASE WHEN len(g2) = 0 THEN NULL ELSE
+        |    list_min(list_filter(list_distinct(g2), d -> len(list_filter(g2, x -> x = d)) =
+        |      list_max(list_transform(list_distinct(g2), e -> len(list_filter(g2, y -> y = e)))))) END AS top2
+        | FROM g)
         |SELECT doc_id,
         |  round(1.0 - len(list_distinct(ws))::DOUBLE / len(ws), 4) AS dup_word_frac,
-        |  round(CASE WHEN len(g2) = 0 THEN 0.0 ELSE
-        |    list_max(list_transform(list_distinct(g2), d -> len(list_filter(g2, x -> x = d)))) * 2 / len(ws)::DOUBLE END, 4) AS top_bigram_frac,
+        |  round(CASE WHEN top2 IS NULL THEN 0.0 ELSE
+        |    len(list_distinct(flatten(list_transform(
+        |      list_filter(generate_series(1, len(g2)), i -> g2[i] = top2),
+        |      i -> generate_series(i, i + 1)))))::DOUBLE / len(ws) END, 4) AS top_bigram_frac,
         |  round(CASE WHEN len(g3) = 0 THEN 0.0 ELSE
         |    len(list_filter(g3, x -> len(list_filter(g3, y -> y = x)) > 1))::DOUBLE / len(g3) END, 4) AS dup_trigram_frac
-        |FROM g
+        |FROM t2
         |ORDER BY doc_id""".stripMargin,
 
     // The decontamination overlap recomputed on gram STRINGS (the engine

@@ -41,10 +41,18 @@ object Decontaminate {
   }
 
   /** The corpus with contaminated documents removed (left-anti on the
-    * contaminated id set). */
+    * contaminated id set). The id set is PERSISTED (and registered with
+    * [[Caches]] for release after the caller materializes): without it
+    * the anti-join's lineage would re-run [[contaminated]] — exploding
+    * the corpus to grams a SECOND time, the dominant cost at corpus
+    * scale. With it, the only Generate (explode) over the corpus in the
+    * executed plan is the one inside the id-set computation, and the
+    * anti-join probes a small cached id table. */
   def clean(corpus: DataFrame, evalSet: DataFrame,
-            idCol: String, textCol: String, n: Int = 5): DataFrame =
-    corpus.join(
-      contaminated(corpus, evalSet, idCol, textCol, n).select(idCol),
-      Seq(idCol), "left_anti")
+            idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val ids = Caches.registered(
+      contaminated(corpus, evalSet, idCol, textCol, n).select(idCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    corpus.join(ids, Seq(idCol), "left_anti")
+  }
 }

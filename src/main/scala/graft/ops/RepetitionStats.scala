@@ -40,17 +40,51 @@ object RepetitionStats {
     expr(s"round(1.0 - cast(size(array_distinct($t)) AS double) / size($t), 4)")
   }
 
-  /** Fraction of word occurrences covered by the single most frequent
-    * word n-gram (Gopher's "top n-gram fraction"): occurrences × n / words. */
+  /** Fraction of TOKEN POSITIONS covered by the single most frequent
+    * word n-gram — a true fraction in [0, 1]: covered positions are the
+    * deduplicated union of each occurrence's [i, i+n-1] span, so the
+    * overlapping occurrences of a loop ("x x x x") count each position
+    * once instead of once per occurrence (occurrences × n / words exceeds
+    * 1 on exactly the looping text the filter exists for). This is the
+    * token-position analog of Gopher's character-coverage "fraction of
+    * characters in most common n-gram" (Rae et al. §A1.1). Among grams
+    * tied on occurrence count the lexicographically smallest is measured,
+    * so the statistic is deterministic and an independent oracle can
+    * reproduce it exactly. */
   def topNgramFraction(textCol: String, n: Int): Column = {
     require(n >= 2, "topNgramFraction needs n >= 2")
     val g = grams(textCol, n)
     val t = toks(textCol)
+    // Each intermediate (gram array, distinct grams, per-gram counts, the
+    // top gram) is BOUND once per row via the single-element
+    // `element_at(transform(array(x), __v -> body), 1)` idiom before the
+    // next stage uses it — inlining them textually would re-run the O(d²)
+    // count scan inside the per-position lambda and turn a bounded
+    // per-document cost into O(d⁴) (measured: q54 went from sub-second to
+    // unrunnable). With the bindings the whole measure stays O(d²) in the
+    // per-document gram count, computed once per stage.
     expr(
       s"""round(CASE WHEN size($g) = 0 THEN 0.0 ELSE
-         |cast(array_max(transform(array_distinct($g),
-         |  __d -> size(filter($g, __x -> __x = __d)))) * $n AS double)
-         |/ size($t) END, 4)""".stripMargin)
+         |element_at(transform(array($g), __g ->
+         |  element_at(transform(array(array_distinct(__g)), __dg ->
+         |    element_at(transform(array(
+         |        transform(__dg, __d -> size(filter(__g, __x -> __x = __d)))
+         |      ), __cnts ->
+         |      element_at(transform(array(
+         |          array_min(transform(
+         |            filter(sequence(1, size(__dg)),
+         |              __j -> element_at(__cnts, __j) = array_max(__cnts)),
+         |            __j -> element_at(__dg, __j)))
+         |        ), __top ->
+         |        cast(size(array_distinct(flatten(transform(
+         |          filter(sequence(1, size(__g)), __i -> element_at(__g, __i) = __top),
+         |          __s -> sequence(__s, __s + ${n - 1}))))) AS double)
+         |        / size($t)
+         |      ), 1)
+         |    ), 1)
+         |  ), 1)
+         |), 1)
+         |END, 4)""".stripMargin)
   }
 
   /** Fraction of n-gram occurrences that are duplicates of another
@@ -70,10 +104,12 @@ object RepetitionStats {
       .withColumn("top_bigram_frac", topNgramFraction(textCol, 2))
       .withColumn("dup_trigram_frac", duplicateNgramFraction(textCol, 3))
 
-  /** Keep documents under all three repetition ceilings (Gopher's
-    * published thresholds as defaults: top-2-gram 0.20, dup-3-gram 0.18;
-    * word-level 0.6 ≈ its duplicate-line-fraction role for unstructured
-    * text). */
+  /** Keep documents under all three repetition ceilings. Defaults are
+    * GOPHER-INSPIRED, not Gopher-equivalent: the paper's 0.20 top-2-gram
+    * / 0.18 dup-3-gram thresholds apply to character-coverage fractions,
+    * while these measures are token-position analogs (word-level 0.6
+    * plays its duplicate-line-fraction role for unstructured text) —
+    * calibrate per corpus. */
   def gopherFilter(df: DataFrame, textCol: String,
                    maxDupWord: Double = 0.6,
                    maxTopBigram: Double = 0.20,

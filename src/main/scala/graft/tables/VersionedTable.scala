@@ -136,9 +136,27 @@ class VersionedTable private (val spark: SparkSession,
     val files = scala.collection.mutable.LinkedHashMap[String, FileEntry]()
     cp.foreach(_.files.foreach(fe => files(fe.path) = fe))
     val fromV = cp.map(_.version).getOrElse(-1L)
+    // An unparsable NEWEST commit on an implicit (latest) read is treated
+    // as an aborted publish and skipped — the reader sees the previous
+    // version instead of failing every query until recovery. Possible only
+    // through store-level corruption or a crashed writer on a store
+    // without an atomic publish; anywhere else in the log an unparsable
+    // commit is real corruption and still throws, as does a time-travel
+    // read that targets the torn version EXPLICITLY (silently answering
+    // with different-version data would be worse than failing).
     val replayed = commits
       .filter { case (v, _) => v > fromV && v <= target }
-      .map { case (_, p) => parseEntry(readFully(f, p)) }
+      .flatMap { case (v, p) =>
+        try Some(parseEntry(readFully(f, p)))
+        catch {
+          case scala.util.control.NonFatal(_)
+            if asOf.isEmpty && v == commits.last._1 => None
+        }
+      }
+    if (replayed.isEmpty && cp.isEmpty)
+      throw new IllegalStateException(
+        s"$root has no parsable commit (newest is torn/corrupt and no " +
+          "checkpoint exists) — recoverAbortedCommit() after inspection")
     replayed.foreach { e =>
       e.remove.foreach(files.remove)
       e.add.foreach(a => files(a.path) = a)
@@ -158,24 +176,106 @@ class VersionedTable private (val spark: SparkSession,
     // cheap pre-check; the real guard is the atomic publish below (two
     // writers can both pass an exists() probe in the race window)
     if (f.exists(target)) throw conflict(entry.version)
+    // never build version N+1 on an unparsable newest commit N: with the
+    // rename/link publish a torn target file "cannot happen", so one IS
+    // evidence of corruption or a crashed legacy writer — committing past
+    // it would bake the hole into the log forever. Readers tolerate it
+    // (snapshot treats it as aborted); writers stop and point at the
+    // explicit recovery path.
+    newestUnparsable().foreach { case (v, _) =>
+      throw new IllegalStateException(
+        s"newest commit $v at $root is unparsable (torn or corrupt); " +
+          "refusing to commit past it — inspect it, then recoverAbortedCommit() " +
+          "to discard it if it is aborted-publish debris")
+    }
     casPublish(f, target, renderEntry(entry), entry.version)
     maybeCheckpoint(entry.version)
   }
+
+  /** The newest commit's (version, path) if its JSON does not parse. */
+  private def newestUnparsable(): Option[(Long, Path)] = {
+    val (commits, _) = listLog()
+    commits.lastOption.flatMap { case (v, p) =>
+      try { parseEntry(readFully(fs, p)); None }
+      catch { case scala.util.control.NonFatal(_) => Some((v, p)) }
+    }
+  }
+
+  /** Explicit recovery from a torn/corrupt NEWEST commit file (possible
+    * only via store-level corruption or a writer on a store without an
+    * atomic publish dying mid-copy): deletes it so the version can be
+    * re-claimed, returning true. A parsable newest commit is never
+    * touched (returns false) — this is an operator action, never called
+    * implicitly, because on a store with a non-atomic publish the
+    * "corrupt" file could be a concurrent writer's in-flight copy. */
+  def recoverAbortedCommit(): Boolean =
+    newestUnparsable() match {
+      case Some((_, p)) => fs.delete(p, false)
+      case None => false
+    }
 
   private def conflict(version: Long) =
     new ConcurrentCommitException(
       s"concurrent commit detected: version $version already exists at $root — " +
         "another writer won this version; re-read the table and retry the operation")
 
+  /** Delta-style optimistic-concurrency loop around a whole write
+    * operation: the body re-reads the snapshot at its start and CAS-
+    * publishes at its end, so on a [[ConcurrentCommitException]] the
+    * operation is simply re-run against the winner's new table state —
+    * re-snapshot, re-rewrite, re-CAS — up to
+    * `spark.graft.commit.maxRetries` times (default 3, 0 disables).
+    * Physically-conflicting writers (same keys, same files) stay correct
+    * under this loop because each retry rewrites from the committed
+    * state; it is the CONCURRENCY discipline that is optimistic, not the
+    * correctness. The loser's orphaned data files are deleted before each
+    * retry (see the commit call sites), so retries don't accumulate
+    * garbage. */
+  private def withCommitRetry[T](body: => T): T = {
+    val maxRetries =
+      spark.conf.get("spark.graft.commit.maxRetries", "3").trim.toInt
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Commit, deleting this attempt's freshly-written data files when the
+    * commit LOSES a CAS race — they are referenced by no log version, and
+    * a retry writes its own — before rethrowing for the retry loop. */
+  private def commitOrClean(entry: LogEntry, wrote: Seq[FileEntry]): Unit =
+    try commit(entry)
+    catch {
+      case e: ConcurrentCommitException =>
+        val f = fs
+        wrote.foreach { fe =>
+          try f.delete(new Path(dataDir, fe.path), false)
+          catch { case scala.util.control.NonFatal(_) => }
+        }
+        throw e
+    }
+
   /** Publish a commit file via compare-and-swap: the version file is
-    * created if and ONLY if it does not exist, atomically, so of two
-    * interleaved writers exactly one wins and the loser fails cleanly
-    * instead of silently clobbering the winner's commit. On a local
-    * filesystem the CAS is a hard link (link(2) fails EEXIST atomically —
-    * a bare rename would overwrite); elsewhere it is create-no-overwrite
-    * of a temp-staged payload (atomic on HDFS via the namenode lease; an
-    * object-store deployment would put the log on a store with
-    * conditional puts or a coordination service). */
+    * created if and ONLY if it does not exist, atomically, AND appears to
+    * readers all-or-nothing — of two interleaved writers exactly one wins,
+    * the loser fails cleanly instead of silently clobbering the winner,
+    * and no reader can ever list or replay a half-written commit. Both
+    * branches stage the full payload under a dot-prefixed tmp name (which
+    * the `\d{20}.json` log listing never matches) and make it visible in
+    * one metadata operation. On a local filesystem that operation is a
+    * hard link (link(2) fails EEXIST atomically — a bare rename would
+    * overwrite); elsewhere it is rename-no-overwrite of the staged file
+    * (atomic in the HDFS namenode, returns false when the target exists —
+    * unlike the previous create-then-copy, a writer crash can never leave
+    * a torn target). An object-store deployment (S3-style rename =
+    * non-atomic copy) would put the log on a store with conditional puts
+    * or a coordination service — documented contract, not handled here. */
   private def casPublish(f: FileSystem, target: Path, content: String,
                          version: Long): Unit = {
     val tmp = new Path(target.getParent, s".tmp-${UUID.randomUUID()}.json")
@@ -194,24 +294,16 @@ class VersionedTable private (val spark: SparkSession,
       }
       f.delete(tmp, false)
     } else {
-      // non-local: exclusive create of the target, then copy the staged
-      // payload through it; create(overwrite=false) is the CAS
-      val outT =
-        try f.create(target, false)
-        catch {
-          case _: java.io.IOException =>
-            f.delete(tmp, false)
-            throw conflict(version)
-        }
-      try {
-        val in = f.open(tmp)
-        try {
-          val buf = new Array[Byte](8192)
-          var n = in.read(buf)
-          while (n >= 0) { outT.write(buf, 0, n); n = in.read(buf) }
-        } finally in.close()
-      } finally outT.close()
-      f.delete(tmp, false)
+      // non-local: rename the fully-written staged payload onto the
+      // target; rename-no-overwrite is the CAS and the payload is
+      // complete before it becomes visible
+      val renamed =
+        try f.rename(tmp, target)
+        catch { case _: java.io.IOException => false }
+      if (!renamed) {
+        f.delete(tmp, false)
+        throw conflict(version)
+      }
     }
   }
 
@@ -316,7 +408,7 @@ class VersionedTable private (val spark: SparkSession,
 
   /** Append `df`. With `mergeSchema=true`, new nullable columns widen the
     * table schema (reference: schema_evolution_step1.py:139-144). */
-  def append(df: DataFrame, mergeSchema: Boolean = false): Unit = {
+  def append(df: DataFrame, mergeSchema: Boolean = false): Unit = withCommitRetry {
     val (_, cur, partCols) = snapshot(None)
     val newSchema =
       if (mergeSchema) widenSchema(cur, df.schema)
@@ -333,10 +425,10 @@ class VersionedTable private (val spark: SparkSession,
       else lit(null).cast(newSchema(n).dataType).as(n)
     }: _*)
     val added = writeFiles(aligned, partCols)
-    commit(LogEntry(currentVersion + 1, now(), "WRITE",
+    commitOrClean(LogEntry(currentVersion + 1, now(), "WRITE",
       newSchema.json, partCols, added, Seq.empty,
       Map("numFiles" -> added.size.toString, "mode" -> "Append",
-        "mergeSchema" -> mergeSchema.toString)))
+        "mergeSchema" -> mergeSchema.toString)), added)
   }
 
   /** Physically write `df` partitioned by `partCols` into the data dir via
@@ -642,10 +734,13 @@ class VersionedTable private (val spark: SparkSession,
     // windows/joins upstream — persist it so the lineage runs once.
     // try/finally: any failure (write, analysis, commit conflict) must
     // still release the cached blocks, or they leak for the session.
+    // The retry loop sits INSIDE the persist scope: a CAS-losing merge
+    // re-runs against the winner's state reusing the already-cached source.
     val src = source.persist(StorageLevel.MEMORY_AND_DISK)
-    try mergeBody(targetAlias, src, condition, matchedUpdate, notMatchedInsert,
-      matchedDelete, deleteFirst)
-    finally src.unpersist(false)
+    try withCommitRetry {
+      mergeBody(targetAlias, src, condition, matchedUpdate, notMatchedInsert,
+        matchedDelete, deleteFirst)
+    } finally src.unpersist(false)
   }
 
   /** Simple conjunctive equi-predicates `targetAlias.col = <srcExpr>`
@@ -797,7 +892,7 @@ class VersionedTable private (val spark: SparkSession,
       // callers never need a post-merge table scan for accounting
       val inserted =
         if (added.forall(_.rows >= 0)) added.map(_.rows).sum else -1L
-      commit(LogEntry(currentVersion + 1, now(), "MERGE",
+      commitOrClean(LogEntry(currentVersion + 1, now(), "MERGE",
         tableSchema.json, partCols, added, Seq.empty,
         Map(
           "numTargetFilesAdded" -> added.size.toString,
@@ -807,7 +902,7 @@ class VersionedTable private (val spark: SparkSession,
           "numTargetRowsUpdated" -> "0",
           "numTargetRowsDeleted" -> "0",
           "numTargetRowsInserted" -> inserted.toString,
-          "insertOnly" -> "true")))
+          "insertOnly" -> "true")), added)
       return
     }
 
@@ -948,7 +1043,7 @@ class VersionedTable private (val spark: SparkSession,
         (cnt("u"), cnt("i"), deleted)
       } else (0L, 0L, 0L)
 
-    commit(LogEntry(currentVersion + 1, now(), "MERGE",
+    commitOrClean(LogEntry(currentVersion + 1, now(), "MERGE",
       tableSchema.json, partCols,
       added, touchedFiles.map(_.path),
       Map(
@@ -958,7 +1053,7 @@ class VersionedTable private (val spark: SparkSession,
         "numTargetFilesSkippedByStats" -> statsSkipped.toString,
         "numTargetRowsUpdated" -> rowsUpdated.toString,
         "numTargetRowsInserted" -> rowsInserted.toString,
-        "numTargetRowsDeleted" -> rowsDeleted.toString)))
+        "numTargetRowsDeleted" -> rowsDeleted.toString)), added)
   }
 
   // ------------------------------------------------------------- helpers --

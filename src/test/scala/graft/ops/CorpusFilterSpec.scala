@@ -22,8 +22,11 @@ class CorpusFilterSpec extends AnyFunSuite {
     val out = RepetitionStats.attach(docs, "text")
       .collect().map(r => r.getLong(0) ->
         ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
-    // 8x "loop": 1 distinct word of 8; 7 identical bigrams; 6 identical trigrams
-    assert(out(1L) == (0.875, 1.75, 1.0))
+    // 8x "loop": 1 distinct word of 8; the 7 overlapping "loop loop"
+    // occurrences cover every token position exactly once → 1.0, the
+    // capped maximum (the old occurrences×n/words scored 1.75 here —
+    // not a fraction)
+    assert(out(1L) == (0.875, 1.0, 1.0))
     // 10 words, 6 distinct; "alpha beta" twice -> 2*2/10; trigram dups 4 of 8
     assert(out(2L) == (0.4, 0.4, 0.5))
     // fully unique prose: bigram max is 1 -> 2/9
@@ -60,6 +63,32 @@ class CorpusFilterSpec extends AnyFunSuite {
     val clean = Decontaminate.clean(corpus, evalSet, "doc_id", "text", n = 5)
       .select("doc_id").as[Long].collect().toSet
     assert(clean == Set(1L, 3L))
+  }
+
+  test("clean explodes the corpus ONCE, behind the cached contaminated-id set") {
+    val evalSet = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a clean document about completely different things entirely"),
+      (2L, "she said quick brown fox jumps over it all"))
+      .toDF("doc_id", "text")
+    val cleaned = Decontaminate.clean(corpus, evalSet, "doc_id", "text", n = 5)
+    assert(cleaned.select("doc_id").as[Long].collect().toSet == Set(1L))
+    val plan = cleaned.queryExecution.executedPlan.toString
+    // the anti-join must probe the PERSISTED id set — without the persist
+    // its lineage would inline contaminated() and gram-explode the corpus
+    // a second time when a caller materializes both frames
+    val cacheAt = plan.indexOf("InMemoryRelation")
+    assert(cacheAt >= 0, s"contaminated-id set must be cached:\n$plan")
+    // every explode sits INSIDE the cached subtree (printed under the
+    // InMemoryRelation); the outer anti-join plan re-explodes nothing
+    var i = plan.indexOf("Generate")
+    while (i >= 0) {
+      assert(i > cacheAt,
+        s"explode outside the cached id-set computation at offset $i:\n$plan")
+      i = plan.indexOf("Generate", i + 1)
+    }
+    Caches.releaseAll()
   }
 
   test("decontamination join carries only 8-byte hashes, eval side broadcast") {

