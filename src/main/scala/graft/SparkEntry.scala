@@ -1212,7 +1212,11 @@ object SparkEntry {
         drain()
         // sentinel: one event ~100 days past the max advances the
         // watermark beyond every real session's end on drain 2; its own
-        // session never closes, so only real sessions are flushed
+        // session never closes, so only real sessions are flushed. It is
+        // appended INSIDE the withStreamDir temp dir (beside the symlink
+        // to the real parquet, which is never followed for writes) — the
+        // read-only corpus is never mutated, and the finally removes the
+        // whole dir. The 1-row max(ts) collect is bounded metadata.
         val maxTs = s.read.parquet(s"$dir/events.parquet")
           .agg(max(col("ts"))).collect()(0)
         val sentinel = s.range(1).select(
@@ -1310,6 +1314,8 @@ object SparkEntry {
           q.awaitTermination()
         }
         drain()
+        // same far-future sentinel as q57 (see its comment: written into
+        // the TEMP stream dir only, corpus untouched, bounded collect)
         val maxTs = s.read.parquet(s"$dir/events.parquet")
           .agg(max(col("ts"))).collect()(0)
         val sentinel = s.range(1).select(
