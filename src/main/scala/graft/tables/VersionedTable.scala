@@ -109,7 +109,16 @@ class VersionedTable private (val spark: SparkSession,
 
   private[tables] def entries: Seq[LogEntry] = {
     val f = fs
-    listLog()._1.map { case (_, p) => parseEntry(readFully(f, p)) }
+    val commits = listLog()._1
+    // same tolerance as snapshot(): a torn NEWEST commit is aborted-
+    // publish debris, not history — history()/readChanges() keep working
+    // on the parsable prefix; torn anywhere else is corruption and throws
+    commits.flatMap { case (v, p) =>
+      try Some(parseEntry(readFully(f, p)))
+      catch {
+        case scala.util.control.NonFatal(_) if v == commits.last._1 => None
+      }
+    }
   }
 
   def currentVersion: Long = {
@@ -655,7 +664,7 @@ class VersionedTable private (val spark: SparkSession,
     * pruning bite on non-partition columns.
     * @return number of files compacted away (0 = nothing to do) */
   def compact(targetBytes: Long = 128L * 1024 * 1024,
-              clusterBy: Seq[String] = Seq.empty): Int = {
+              clusterBy: Seq[String] = Seq.empty): Int = withCommitRetry {
     val (files, tableSchema, partCols) = snapshot(None)
     // only partitions with 2+ small files benefit — unless clustering was
     // requested, which re-sorts every small file even alone in its partition
@@ -675,12 +684,12 @@ class VersionedTable private (val spark: SparkSession,
       else if (partCols.nonEmpty) df.repartition(nOut, partCols.map(col): _*)
       else df.repartition(nOut)
     val added = writeFiles(packed, partCols)
-    commit(LogEntry(currentVersion + 1, now(), "OPTIMIZE",
+    commitOrClean(LogEntry(currentVersion + 1, now(), "OPTIMIZE",
       tableSchema.json, partCols, added, toCompact.map(_.path),
       Map("numFilesRemoved" -> toCompact.size.toString,
         "numFilesAdded" -> added.size.toString,
         "bytesCompacted" -> totalBytes.toString,
-        "clusterBy" -> clusterBy.mkString(","))))
+        "clusterBy" -> clusterBy.mkString(","))), added)
     toCompact.size
   }
 

@@ -528,6 +528,7 @@ class VersionedTableSpec extends AnyFunSuite {
     java.nio.file.Files.writeString(v1, """{"version":1,"opera""")
     // reads tolerate: the torn newest is treated as aborted → version 0
     assert(t.read.count() == 1, "reader must fall back to the last parsable version")
+    assert(t.history().count() == 1, "history lists only the parsable prefix")
     // explicit time travel TO the torn version must fail, not lie
     intercept[Exception] { t.readVersion(1L).collect() }
     // writers refuse to commit past the hole
