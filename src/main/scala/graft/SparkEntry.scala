@@ -1408,6 +1408,50 @@ object SparkEntry {
         .select(col("user_id"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"), col("value"))
         .orderBy("user_id", "ts")
+    }),
+
+    // Bloom-filter point lookup (ZOrderBloomSpec proves the file pruning;
+    // this proves the pruned READ PATH loses no rows): orders shuffled
+    // across 8 files so min/max stats cover every key, table created with
+    // parquet blooms on o_orderkey, then readWhereEquals on a key derived
+    // from the data itself. Scale: the probe is a footer-metadata read per
+    // candidate file — the only rows scanned are the bloom survivors'.
+    "q61_bloom_lookup" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val path = Files.createTempDirectory("graft-q61").toString
+      val orders = tbl(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val t = VersionedTable.create(s, orders.repartition(8), path + "/t",
+        properties = Map(VersionedTable.BloomColsProp -> "o_orderkey",
+          VersionedTable.BloomNdvProp -> "100000"))
+      val probe = orders.agg(floor(max(col("o_orderkey")) / 2).cast("long"))
+        .head().getLong(0) // bounded: one scalar
+      graft.ops.Caches.registeredRelease { () =>
+        deleteRec(new java.io.File(path)); ()
+      }
+      t.readWhereEquals("o_orderkey", probe)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("total_price"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Z-order multi-dimension pruned scan (ZOrderBloomSpec proves both
+    // dims prune; this proves result fidelity): lineitem laid out along a
+    // z-curve over (l_partkey, l_quantity), then a 2-D band read via the
+    // intersection of per-dimension stats candidates. sum(l_quantity) is
+    // exact in doubles, so the rounded aggregate is order-insensitive.
+    "q62_zorder_scan" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val path = Files.createTempDirectory("graft-q62").toString
+      val li = tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+      val t = VersionedTable.create(s, li.repartition(8), path + "/t")
+      t.compact(targetBytes = 512 * 1024, zOrderBy = Seq("l_partkey", "l_quantity"))
+      graft.ops.Caches.registeredRelease { () =>
+        deleteRec(new java.io.File(path)); ()
+      }
+      t.readWhereBetweenAll(("l_partkey", 100, 300), ("l_quantity", 10, 20))
+        .agg(count(lit(1)).as("n_rows"), round(sum("l_quantity"), 2).as("sum_qty"))
     })
   )
 
@@ -2330,6 +2374,25 @@ object SparkEntry {
         |FROM grams a JOIN grams b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
         |      / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.5
-        |ORDER BY doc_id_1, doc_id_2""".stripMargin
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin,
+
+    // The probe key is derived from the data exactly as the Spark side
+    // derives it (max/2), so both sides look up the same order.
+    "q61_bloom_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  round(o_totalprice, 2) AS total_price
+        |FROM orders
+        |WHERE o_orderkey = (SELECT CAST(floor(max(o_orderkey) / 2) AS BIGINT)
+        |                    FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Plain 2-D band filter — the z-order layout must be invisible in the
+    // result, pruning or not.
+    "q62_zorder_scan" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 300
+        |  AND l_quantity BETWEEN 10 AND 20""".stripMargin
   )
 }

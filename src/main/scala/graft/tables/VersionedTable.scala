@@ -82,6 +82,25 @@ class VersionedTable private (val spark: SparkSession,
     rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def logDir = new Path(rootPath, LogDirName)
   private def dataDir = new Path(rootPath, "data")
+  private def propsPath = new Path(logDir, "_table_properties.json")
+
+  /** Immutable table properties written once at [[VersionedTable.create]]
+    * (e.g. bloom-filter columns). Missing/unreadable ⇒ empty: properties
+    * only ever enable optimizations, never correctness. */
+  private lazy val tableProps: Map[String, String] =
+    try {
+      val f = fs
+      if (f.exists(propsPath))
+        Serialization.read[Map[String, String]](readFully(f, propsPath))
+      else Map.empty
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** Columns carrying parquet bloom filters (property
+    * `bloom.filter.columns`, comma-separated), written by every file this
+    * table writes and probed by [[readWhereEquals]]. */
+  private def bloomColumns: Seq[String] =
+    tableProps.get(BloomColsProp).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
 
   def as(name: String): VersionedTable = alias(name)
   def alias(name: String): VersionedTable = {
@@ -454,7 +473,16 @@ class VersionedTable private (val spark: SparkSession,
     val prevTs = spark.conf.getOption(TsConf)
     spark.conf.set(TsConf, "TIMESTAMP_MICROS")
     try {
-      val writer = df.write.mode("overwrite")
+      var writer = df.write.mode("overwrite")
+      // per-column parquet bloom filters (table property): written into
+      // the file footer region by parquet-mr itself — no extra data pass,
+      // nothing stored in the commit log. Probed by readWhereEquals.
+      bloomColumns.filter(df.schema.fieldNames.contains).foreach { c =>
+        writer = writer
+          .option(s"parquet.bloom.filter.enabled#$c", "true")
+          .option(s"parquet.bloom.filter.expected.ndv#$c",
+            tableProps.getOrElse(BloomNdvProp, "1000000"))
+      }
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
         .parquet(stage.toString)
     } finally prevTs match {
@@ -648,6 +676,114 @@ class VersionedTable private (val spark: SparkSession,
     pruned.filter(col(colName).between(lit(lo), lit(hi)))
   }
 
+  /** Multi-column data-skipping read: the candidate set is the
+    * INTERSECTION of each predicate's stats-candidate files, then every
+    * exact filter is applied. With a [[compact]] `zOrderBy` layout this
+    * prunes on all z dimensions at once — the point of the z-curve. */
+  def readWhereBetweenAll(preds: (String, Any, Any)*): DataFrame = {
+    require(preds.nonEmpty, "readWhereBetweenAll needs at least one predicate")
+    val (files, schema, _) = snapshot(None)
+    val dts = preds.map { case (c, _, _) =>
+      c -> schema.fields.find(_.name == c).map(_.dataType)
+    }.toMap
+    val cand = files.filter(fe => preds.forall { case (c, lo, hi) =>
+      fileOverlaps(fe, c, lo, hi, dts(c))
+    })
+    val df =
+      if (cand.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else
+        spark.read.schema(schema)
+          .option("basePath", dataDir.toString)
+          .parquet(cand.map(fe => new Path(dataDir, fe.path).toString): _*)
+    val base = aliasName.fold(df)(df.alias)
+    preds.foldLeft(base) { case (acc, (c, lo, hi)) =>
+      acc.filter(col(c).between(lit(lo), lit(hi)))
+    }
+  }
+
+  /** Point-lookup read: min/max stats pruning first, then each surviving
+    * file's parquet BLOOM filter is probed for the literal (when the
+    * table declares `bloom.filter.columns` covering `colName`). Stats
+    * can't prune a point lookup on a uniformly-spread key — every file's
+    * [min,max] covers it — which is exactly where the bloom bites: only
+    * files that (probably) contain the value are scanned. The probe is a
+    * footer-region metadata read per candidate, driver-side here; a
+    * deployment with millions of candidates would run the same probe as
+    * an executor-parallel job over the file list (Hudi's bloom-index tag
+    * step) — the per-file work is identical. */
+  def readWhereEquals(colName: String, value: Any): DataFrame = {
+    val (cand, _, _) = candidateFilesEquals(colName, value)
+    val (_, schema, _) = snapshot(None)
+    val df =
+      if (cand.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else
+        spark.read.schema(schema)
+          .option("basePath", dataDir.toString)
+          .parquet(cand.map(fe => new Path(dataDir, fe.path).toString): _*)
+    val pruned = aliasName.fold(df)(df.alias)
+    pruned.filter(col(colName) === lit(value))
+  }
+
+  /** Candidate files for `colName == value`.
+    * @return (candidates after stats+bloom, count after stats only,
+    *         total live files) — the two counts let callers (and specs)
+    *         attribute pruning to stats vs bloom. */
+  private[tables] def candidateFilesEquals(colName: String,
+                                           value: Any): (Seq[FileEntry], Int, Int) = {
+    val (files, tableSchema, _) = snapshot(None)
+    val dt = tableSchema.fields.find(_.name == colName).map(_.dataType)
+    val statsCand = files.filter(fe => fileOverlaps(fe, colName, value, value, dt))
+    val cand = dt match {
+      case Some(t) if bloomColumns.contains(colName) =>
+        statsCand.filter(fe => bloomMightContain(fe, colName, value, t).getOrElse(true))
+      case _ => statsCand
+    }
+    (cand, statsCand.size, files.size)
+  }
+
+  /** Probe one file's parquet bloom filter(s) for `value`. Some(false) ⇒
+    * provably absent (every row group has a bloom and none matches);
+    * Some(true) ⇒ possibly present; None ⇒ undecidable (no bloom on some
+    * row group, unsupported type, IO failure) — caller must keep the
+    * file. The hash must match the column's parquet PHYSICAL type, so the
+    * value is converted under the declared table type (timestamps are
+    * written TIMESTAMP_MICROS by [[writeFiles]] ⇒ int64 micros). */
+  private def bloomMightContain(fe: FileEntry, colName: String, value: Any,
+                                dt: DataType): Option[Boolean] =
+    try {
+      import scala.jdk.CollectionConverters._
+      import org.apache.spark.sql.types._
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(dataDir, fe.path), spark.sparkContext.hadoopConfiguration)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        var any = false
+        for (block <- reader.getFooter.getBlocks.asScala) {
+          val chunk = block.getColumns.asScala
+            .find(c => c.getPath.size == 1 && c.getPath.toDotString == colName)
+            .getOrElse(return None)
+          val bf = reader.getBloomFilterDataReader(block).readBloomFilter(chunk)
+          if (bf == null) return None
+          val hash = dt match {
+            case ByteType | ShortType | IntegerType =>
+              bf.hash(value.toString.trim.toDouble.toInt)
+            case LongType => bf.hash(value.toString.trim.toDouble.toLong)
+            case FloatType => bf.hash(value.toString.trim.toFloat)
+            case DoubleType => bf.hash(value.toString.trim.toDouble)
+            case StringType =>
+              bf.hash(org.apache.parquet.io.api.Binary.fromString(value.toString))
+            case DateType => bf.hash(boundDate(value).toEpochDay.toInt)
+            case TimestampType | TimestampNTZType => bf.hash(boundMicros(value))
+            case _ => return None
+          }
+          if (bf.findHash(hash)) any = true
+        }
+        Some(any)
+      } finally reader.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   // -------------------------------------------------------- maintenance --
 
   /** Bin-pack small files (OPTIMIZE): partitions accumulating many
@@ -658,27 +794,45 @@ class VersionedTable private (val spark: SparkSession,
     * into millions of tiny scans.
     *
     * With `clusterBy`, rewritten data is range-partitioned and sorted on
-    * those columns (the practical core of Delta's OPTIMIZE ZORDER):
-    * each output file then covers a TIGHT min/max range, which is what
-    * makes footer-stats skipping ([[readWhereBetween]]) and merge-target
-    * pruning bite on non-partition columns.
+    * those columns: each output file then covers a TIGHT min/max range on
+    * the LEADING column, which is what makes footer-stats skipping
+    * ([[readWhereBetween]]) and merge-target pruning bite on non-partition
+    * columns. A linear sort leaves trailing columns' per-file ranges wide.
+    *
+    * With `zOrderBy` (mutually exclusive), files are laid out along a
+    * Z-order space-filling curve over ALL the given columns (Delta's
+    * OPTIMIZE ZORDER): each file covers a hypercube-ish tile, so stats
+    * pruning bites on EVERY z column, not just the first. Equal-width
+    * bucketing (one bounded min/max agg, then bit interleaving — all
+    * codegen'd expressions); heavy value skew degrades tiles toward the
+    * linear layout but never affects correctness.
     * @return number of files compacted away (0 = nothing to do) */
   def compact(targetBytes: Long = 128L * 1024 * 1024,
-              clusterBy: Seq[String] = Seq.empty): Int = withCommitRetry {
+              clusterBy: Seq[String] = Seq.empty,
+              zOrderBy: Seq[String] = Seq.empty): Int = withCommitRetry {
+    require(clusterBy.isEmpty || zOrderBy.isEmpty,
+      "clusterBy and zOrderBy are mutually exclusive")
     val (files, tableSchema, partCols) = snapshot(None)
     // only partitions with 2+ small files benefit — unless clustering was
     // requested, which re-sorts every small file even alone in its partition
+    val reSort = clusterBy.nonEmpty || zOrderBy.nonEmpty
     val byPartition = files.groupBy(_.partitionValues)
     val toCompact = byPartition.values
       .map(_.filter(_.sizeBytes < targetBytes))
-      .filter(fs => fs.size >= 2 || (clusterBy.nonEmpty && fs.nonEmpty))
+      .filter(fs => fs.size >= 2 || (reSort && fs.nonEmpty))
       .flatten.toSeq
     if (toCompact.isEmpty) return 0
     val totalBytes = toCompact.map(_.sizeBytes).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val df = readFileEntries(toCompact, tableSchema)
     val packed =
-      if (clusterBy.nonEmpty)
+      if (zOrderBy.nonEmpty) {
+        val ZKey = "__graft_zkey"
+        val keyed = df.withColumn(ZKey, zOrderKey(df, zOrderBy, tableSchema))
+        keyed.repartitionByRange(nOut, (partCols.map(col) :+ col(ZKey)): _*)
+          .sortWithinPartitions((partCols.map(col) :+ col(ZKey)): _*)
+          .drop(ZKey) // projection after the sort — order survives, schema doesn't change
+      } else if (clusterBy.nonEmpty)
         df.repartitionByRange(nOut, (partCols ++ clusterBy).map(col): _*)
           .sortWithinPartitions((partCols ++ clusterBy).map(col): _*)
       else if (partCols.nonEmpty) df.repartition(nOut, partCols.map(col): _*)
@@ -689,8 +843,55 @@ class VersionedTable private (val spark: SparkSession,
       Map("numFilesRemoved" -> toCompact.size.toString,
         "numFilesAdded" -> added.size.toString,
         "bytesCompacted" -> totalBytes.toString,
-        "clusterBy" -> clusterBy.mkString(","))), added)
+        "clusterBy" -> clusterBy.mkString(","),
+        "zOrderBy" -> zOrderBy.mkString(","))), added)
     toCompact.size
+  }
+
+  /** Z-value column for [[compact]]'s `zOrderBy` layout: each column is
+    * mapped to a `bits`-wide equal-width bucket between its global min and
+    * max (ONE bounded agg — 2·n driver-side scalars, never row data), and
+    * the bucket bits are interleaved into one long. Range-partitioning on
+    * the interleaved key then yields hypercube-ish file tiles, tight on
+    * every z dimension at once. NULLs and all-NULL/constant columns fold
+    * to bucket 0. Numeric, date and timestamp columns only — a string
+    * prefix has no fixed-width order-preserving integer form. */
+  private def zOrderKey(df: DataFrame, zCols: Seq[String],
+                        schema: StructType): Column = {
+    import org.apache.spark.sql.types._
+    val numeric: Seq[(String, Column)] = zCols.map { c =>
+      val dt = schema.fields.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+        s"zOrderBy column $c is not in the table schema")).dataType
+      val d = dt match {
+        case ByteType | ShortType | IntegerType | LongType |
+             FloatType | DoubleType | _: DecimalType => col(c).cast(DoubleType)
+        case DateType => unix_date(col(c)).cast(DoubleType)
+        case TimestampType | TimestampNTZType => unix_micros(col(c)).cast(DoubleType)
+        case other => throw new IllegalArgumentException(
+          s"zOrderBy supports numeric/date/timestamp columns; $c is $other")
+      }
+      c -> d
+    }
+    val aggs = numeric.flatMap { case (_, d) => Seq(min(d), max(d)) }
+    val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+    val bits = math.min(20, 62 / zCols.size)
+    val buckets = 1L << bits
+    val bucketCols = numeric.zipWithIndex.map { case ((_, d), i) =>
+      if (bounds.isNullAt(2 * i) || bounds.getDouble(2 * i) == bounds.getDouble(2 * i + 1))
+        lit(0L) // all-NULL or constant column carries no information
+      else {
+        val (lo, hi) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+        // width_bucket: [lo,hi) → 1..buckets, hi itself → buckets+1; shift
+        // to 0-based and clamp the max-value row into the top bucket
+        least(lit(buckets - 1), greatest(lit(0L),
+          coalesce(width_bucket(d, lit(lo), lit(hi), lit(buckets)), lit(1L)) - 1))
+      }
+    }
+    val terms = for {
+      b <- 0 until bits
+      (bc, i) <- bucketCols.zipWithIndex
+    } yield shiftleft(shiftright(bc, b).bitwiseAND(lit(1L)), b * zCols.size + i)
+    terms.reduce(_.bitwiseOR(_))
   }
 
   /** Delete data files no longer referenced by any of the last
@@ -1102,6 +1303,11 @@ object VersionedTable {
   private val LogDirName = "_graft_log"
   /** Commits between snapshot checkpoints (Delta uses 10 as well). */
   private val CheckpointInterval = 10L
+  /** Table property: comma-separated columns to write parquet bloom
+    * filters on (see [[VersionedTable.create]] / readWhereEquals). */
+  val BloomColsProp = "bloom.filter.columns"
+  /** Table property: expected distinct values per file for bloom sizing. */
+  val BloomNdvProp = "bloom.filter.ndv"
   private val FileCol = "__graft_file"
   private val RowIdxCol = "__graft_row_idx"
   private val TPresent = "__graft_t_present"
@@ -1114,7 +1320,9 @@ object VersionedTable {
   def isTable(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path, LogDirName)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    f.exists(p) && f.listStatus(p).exists(_.getPath.getName.endsWith(".json"))
+    // commit files only — a properties file written just before a crashed
+    // CREATE must not make an empty dir read as a live table
+    f.exists(p) && f.listStatus(p).exists(_.getPath.getName.matches("""\d{20}\.json"""))
   }
 
   /** Reference: DeltaTable.forPath (src/header_etl.py:166). */
@@ -1123,11 +1331,20 @@ object VersionedTable {
     new VersionedTable(spark, path, None)
   }
 
-  /** Initial partitioned write (reference: src/header_etl.py:159-162). */
+  /** Initial partitioned write (reference: src/header_etl.py:159-162).
+    * `properties` are written once beside the log and are immutable:
+    * [[BloomColsProp]] ("bloom.filter.columns", comma-separated) makes
+    * every write add parquet bloom filters on those columns, sized by
+    * [[BloomNdvProp]] ("bloom.filter.ndv", default 1M distinct values). */
   def create(spark: SparkSession, df: DataFrame, path: String,
-             partitionBy: Seq[String] = Seq.empty): VersionedTable = {
+             partitionBy: Seq[String] = Seq.empty,
+             properties: Map[String, String] = Map.empty): VersionedTable = {
     require(!isTable(spark, path), s"$path is already a graft table")
     val t = new VersionedTable(spark, path, None)
+    if (properties.nonEmpty) {
+      t.fs.mkdirs(t.logDir)
+      t.atomicWrite(t.fs, t.propsPath, Serialization.write(properties))
+    }
     val added = t.writeFiles(df, partitionBy)
     val rows =
       if (added.forall(_.rows >= 0)) added.map(_.rows).sum else -1L
