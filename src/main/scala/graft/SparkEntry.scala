@@ -1452,6 +1452,38 @@ object SparkEntry {
       }
       t.readWhereBetweenAll(("l_partkey", 100, 300), ("l_quantity", 10, 20))
         .agg(count(lit(1)).as("n_rows"), round(sum("l_quantity"), 2).as("sum_qty"))
+    }),
+
+    // RESTORE drill (RestoreSpec proves mechanics; this proves content
+    // fidelity vs the source of truth): load orders (v0), corrupt it two
+    // ways — a merge-update of a third of the keys and an append of a
+    // synthetic row — then restoreToVersion(v0) and read. The restore is
+    // a metadata-only commit (no data read/written), so the SAME drill
+    // on a 100 TB table costs the same driver-side log write. The oracle
+    // never sees the detour: it just selects the original orders.
+    "q63_restore" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val path = Files.createTempDirectory("graft-q63").toString
+      val orders = tbl(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val t = VersionedTable
+        .create(s, orders.repartition(6), path + "/t").as("t")
+      val v0 = t.currentVersion
+      t.merge(orders.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2).as("s"),
+          "t.o_orderkey = s.o_orderkey")
+        .whenMatchedUpdate(Map("o_totalprice" -> "s.o_totalprice")).execute()
+      t.append(s.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(-1L, -1L, "X", 0.0)),
+        t.schema))
+      t.restoreToVersion(v0)
+      graft.ops.Caches.registeredRelease { () =>
+        deleteRec(new java.io.File(path)); ()
+      }
+      t.read
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("total_price"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -2393,6 +2425,14 @@ object SparkEntry {
         |  round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem
         |WHERE l_partkey BETWEEN 100 AND 300
-        |  AND l_quantity BETWEEN 10 AND 20""".stripMargin
+        |  AND l_quantity BETWEEN 10 AND 20""".stripMargin,
+
+    // The mutate-then-restore detour must be invisible: the oracle is the
+    // untouched original.
+    "q63_restore" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  round(o_totalprice, 2) AS total_price
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -432,6 +432,40 @@ class VersionedTable private (val spark: SparkSession,
   def schema: StructType = snapshot(None)._2
   def partitionColumns: Seq[String] = snapshot(None)._3
 
+  /** RESTORE: make the table's CURRENT state equal its state at `version`,
+    * as a NEW commit — history is preserved, so a restore is itself
+    * undoable by another restore (Delta's RESTORE TABLE ... VERSION AS OF).
+    * Pure metadata: the commit re-adds the files live at `version` that
+    * are no longer live and removes the files live now that weren't —
+    * no data is read, rewritten, or copied, so restoring a 100 TB table
+    * is a driver-side log operation. Files from the target version that
+    * [[vacuum]] has physically deleted make the restore impossible; that
+    * is detected up front (one existence probe per re-added file) and
+    * fails before anything is committed. A consumer of [[readChanges]]
+    * sees the restore's re-added files as new data — their rows are
+    * newly live, which is exactly what an incremental reader must apply.
+    * @return (filesReAdded, filesRemoved) as recorded by the commit */
+  def restoreToVersion(version: Long): (Int, Int) = withCommitRetry {
+    val (targetFiles, targetSchema, targetPartCols) = snapshot(Some(version))
+    val cur = currentVersion
+    val (curFiles, _, _) = snapshot(None)
+    val curSet = curFiles.map(_.path).toSet
+    val tgtSet = targetFiles.map(_.path).toSet
+    val toAdd = targetFiles.filterNot(fe => curSet.contains(fe.path))
+    val toRemove = curFiles.map(_.path).filterNot(tgtSet.contains)
+    val f = fs
+    val missing = toAdd.filterNot(fe => f.exists(new Path(dataDir, fe.path)))
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"cannot restore $root to version $version: ${missing.size} data " +
+        s"file(s) of that version were vacuumed (e.g. ${missing.head.path})")
+    commit(LogEntry(cur + 1, now(), "RESTORE", targetSchema.json,
+      targetPartCols, toAdd, toRemove,
+      Map("restoredVersion" -> version.toString,
+        "numRestoredFiles" -> toAdd.size.toString,
+        "numRemovedFiles" -> toRemove.size.toString)))
+    (toAdd.size, toRemove.size)
+  }
+
   // -------------------------------------------------------------- write --
 
   /** Append `df`. With `mergeSchema=true`, new nullable columns widen the
