@@ -1484,6 +1484,27 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           round(col("o_totalprice"), 2).as("total_price"))
         .orderBy("o_orderkey")
+    }),
+
+    // Deletion-vector DELETE drill (DeletionVectorSpec proves zero data
+    // files are touched; this proves the DV'd READ loses exactly the
+    // deleted rows): ~5% of orders deleted as a (file, row-index) sidecar,
+    // then a full read through the broadcast anti-join. On 100 TB the
+    // same takedown-style delete writes KBs instead of rewriting TBs.
+    "q64_dv_delete" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val path = Files.createTempDirectory("graft-q64").toString
+      val orders = tbl(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val t = VersionedTable.create(s, orders.repartition(6), path + "/t")
+      t.delete("o_orderkey % 100 < 5", deletionVectors = true)
+      graft.ops.Caches.registeredRelease { () =>
+        deleteRec(new java.io.File(path)); ()
+      }
+      t.read
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("total_price"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -2433,6 +2454,14 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  round(o_totalprice, 2) AS total_price
         |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Deleted-by-vector rows must be exactly the predicate's complement.
+    "q64_dv_delete" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  round(o_totalprice, 2) AS total_price
+        |FROM orders
+        |WHERE o_orderkey % 100 >= 5
         |ORDER BY o_orderkey""".stripMargin
   )
 }

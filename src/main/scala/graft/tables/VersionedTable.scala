@@ -8,7 +8,7 @@ import java.util.UUID
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 import org.json4s.{DefaultFormats, Formats}
 import org.json4s.jackson.Serialization
@@ -22,12 +22,18 @@ case class FileColStats(min: String, max: String,
 
 /** One data file of a table version. `path` is relative to `<root>/data`.
   * `rows` comes free from the parquet footer at commit time (-1 on
-  * legacy entries written before it was recorded). */
+  * legacy entries written before it was recorded). `dv` lists deletion-
+  * vector sidecar files (relative to `<root>/data`, under `_dv/`) whose
+  * (file, row_idx) pairs mark rows of THIS file as deleted; `dvRows` is
+  * how many of this file's physical rows they mark (for accounting —
+  * live rows = rows - dvRows). Both default empty for pre-DV entries. */
 case class FileEntry(path: String,
                      partitionValues: Map[String, String],
                      sizeBytes: Long,
                      stats: Option[Map[String, FileColStats]] = None,
-                     rows: Long = -1L)
+                     rows: Long = -1L,
+                     dv: Seq[String] = Seq.empty,
+                     dvRows: Long = 0L)
 
 /** One commit in the version log — Delta-shaped (add/remove actions +
   * commitInfo fields), modeled on the commit files observed in the
@@ -368,16 +374,7 @@ class VersionedTable private (val spark: SparkSession,
 
   private def readAt(asOf: Option[Long]): DataFrame = {
     val (files, schema, _) = snapshot(asOf)
-    val df =
-      if (files.isEmpty) {
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      } else {
-        val paths = files.map(fe => new Path(dataDir, fe.path).toString)
-        spark.read
-          .schema(schema)
-          .option("basePath", dataDir.toString)
-          .parquet(paths: _*)
-      }
+    val df = readFileEntries(files, schema)
     aliasName.fold(df)(df.alias)
   }
 
@@ -403,6 +400,14 @@ class VersionedTable private (val spark: SparkSession,
     val changeFiles = range.flatMap { e =>
       e.operation match {
         case "OPTIMIZE" => Seq.empty // bin-packing: no logical change
+        case "DELETE" =>
+          // removes rows, adds none — its add actions are survivor
+          // rewrites or DV re-commits of OLD rows, never new data
+          if (includeRewrites) Seq.empty
+          else throw new IllegalArgumentException(
+            s"version ${e.version} is a DELETE: rows disappeared, which " +
+              "added-rows semantics cannot express; pass includeRewrites=true " +
+              "to skip it, or consume from operation metrics instead")
         case "MERGE" if e.remove.nonEmpty &&
           !e.operationMetrics.get("insertOnly").contains("true") =>
           if (includeRewrites) e.add
@@ -431,6 +436,7 @@ class VersionedTable private (val spark: SparkSession,
 
   def schema: StructType = snapshot(None)._2
   def partitionColumns: Seq[String] = snapshot(None)._3
+  private[tables] def liveEntries: Seq[FileEntry] = snapshot(None)._1
 
   /** RESTORE: make the table's CURRENT state equal its state at `version`,
     * as a NEW commit — history is preserved, so a restore is itself
@@ -449,12 +455,17 @@ class VersionedTable private (val spark: SparkSession,
     val (targetFiles, targetSchema, targetPartCols) = snapshot(Some(version))
     val cur = currentVersion
     val (curFiles, _, _) = snapshot(None)
-    val curSet = curFiles.map(_.path).toSet
+    // compare full entries, not just paths: a deletion-vector DELETE
+    // changes an entry's dv refs while the data file path stays the same —
+    // restoring past it must re-commit the old entry (replay's add
+    // overwrites by path)
+    val curByPath = curFiles.map(fe => fe.path -> fe).toMap
     val tgtSet = targetFiles.map(_.path).toSet
-    val toAdd = targetFiles.filterNot(fe => curSet.contains(fe.path))
+    val toAdd = targetFiles.filterNot(fe => curByPath.get(fe.path).contains(fe))
     val toRemove = curFiles.map(_.path).filterNot(tgtSet.contains)
     val f = fs
-    val missing = toAdd.filterNot(fe => f.exists(new Path(dataDir, fe.path)))
+    val missing = toAdd.filterNot(fe =>
+      (fe.path +: fe.dv).forall(p => f.exists(new Path(dataDir, p))))
     if (missing.nonEmpty) throw new IllegalStateException(
       s"cannot restore $root to version $version: ${missing.size} data " +
         s"file(s) of that version were vacuumed (e.g. ${missing.head.path})")
@@ -697,15 +708,9 @@ class VersionedTable private (val spark: SparkSession,
     * file set — the per-file analogue of partition pruning, for columns
     * the table is NOT partitioned by. */
   def readWhereBetween(colName: String, lo: Any, hi: Any): DataFrame = {
-    val (files, schema, _) = snapshot(None)
+    val (_, schema, _) = snapshot(None)
     val (cand, _) = candidateFiles(colName, lo, hi)
-    val df =
-      if (cand.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else
-        spark.read.schema(schema)
-          .option("basePath", dataDir.toString)
-          .parquet(cand.map(fe => new Path(dataDir, fe.path).toString): _*)
+    val df = readFileEntries(cand, schema)
     val pruned = aliasName.fold(df)(df.alias)
     pruned.filter(col(colName).between(lit(lo), lit(hi)))
   }
@@ -723,13 +728,7 @@ class VersionedTable private (val spark: SparkSession,
     val cand = files.filter(fe => preds.forall { case (c, lo, hi) =>
       fileOverlaps(fe, c, lo, hi, dts(c))
     })
-    val df =
-      if (cand.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else
-        spark.read.schema(schema)
-          .option("basePath", dataDir.toString)
-          .parquet(cand.map(fe => new Path(dataDir, fe.path).toString): _*)
+    val df = readFileEntries(cand, schema)
     val base = aliasName.fold(df)(df.alias)
     preds.foldLeft(base) { case (acc, (c, lo, hi)) =>
       acc.filter(col(c).between(lit(lo), lit(hi)))
@@ -749,13 +748,7 @@ class VersionedTable private (val spark: SparkSession,
   def readWhereEquals(colName: String, value: Any): DataFrame = {
     val (cand, _, _) = candidateFilesEquals(colName, value)
     val (_, schema, _) = snapshot(None)
-    val df =
-      if (cand.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else
-        spark.read.schema(schema)
-          .option("basePath", dataDir.toString)
-          .parquet(cand.map(fe => new Path(dataDir, fe.path).toString): _*)
+    val df = readFileEntries(cand, schema)
     val pruned = aliasName.fold(df)(df.alias)
     pruned.filter(col(colName) === lit(value))
   }
@@ -851,8 +844,13 @@ class VersionedTable private (val spark: SparkSession,
     // requested, which re-sorts every small file even alone in its partition
     val reSort = clusterBy.nonEmpty || zOrderBy.nonEmpty
     val byPartition = files.groupBy(_.partitionValues)
+    // bin-packing selects only small files (rewriting a full-size file to
+    // produce another full-size file is wasted IO); a clustering rewrite
+    // selects EVERY file — the point is the global layout, and a large
+    // unsorted file left in place would keep its wide per-file ranges
+    // (Delta's OPTIMIZE ZORDER rewrites all selected partitions too)
     val toCompact = byPartition.values
-      .map(_.filter(_.sizeBytes < targetBytes))
+      .map(fs => if (reSort) fs else fs.filter(_.sizeBytes < targetBytes))
       .filter(fs => fs.size >= 2 || (reSort && fs.nonEmpty))
       .flatten.toSeq
     if (toCompact.isEmpty) return 0
@@ -939,8 +937,10 @@ class VersionedTable private (val spark: SparkSession,
     val (commits, _) = listLog()
     if (commits.isEmpty) return 0
     val retained = commits.map(_._1).takeRight(retainVersions)
+    // dv sidecars live under data/_dv/ — referenced ones are as live as
+    // the data files themselves; unreferenced ones get reclaimed here
     val live: Set[String] = retained
-      .flatMap(v => snapshot(Some(v))._1.map(_.path)).toSet
+      .flatMap(v => snapshot(Some(v))._1.flatMap(fe => fe.path +: fe.dv)).toSet
     val f = fs
     if (!f.exists(dataDir)) return 0
     var deleted = 0
@@ -958,6 +958,101 @@ class VersionedTable private (val spark: SparkSession,
     walk(dataDir, "")
     deleted
   }
+
+  // ------------------------------------------------------------- delete --
+
+  /** DELETE rows matching `condition` (bare column names — the predicate
+    * is evaluated on the table's own schema, no alias).
+    *
+    * Two physical strategies, same logical result:
+    *  - `deletionVectors = false` (default): files containing matched rows
+    *    are rewritten without them — Delta's classic DELETE. Cost scales
+    *    with the SIZE of the touched files, even when the match is 1 row.
+    *  - `deletionVectors = true`: matched (file, row-index) pairs are
+    *    written to a tiny parquet sidecar under `data/_dv/` and the
+    *    touched entries re-committed pointing at it — no data file is
+    *    read-rewritten, so cost scales with the NUMBER of deleted rows.
+    *    On a 100 TB table, deleting a user's rows for a takedown request
+    *    becomes a sidecar write instead of a multi-TB rewrite. Readers
+    *    apply the sidecar as a broadcast anti-join (see
+    *    [[readFileEntries]]); the next merge/compact touching a file
+    *    rewrites it clean and drops its vector, and [[vacuum]] reclaims
+    *    unreferenced sidecars. DVs are for SMALL deletions by contract —
+    *    a delete matching most of the table should rewrite instead.
+    *
+    * Either way the probe is ONE job over the live files (DV-applied, so
+    * re-deleting an already-dead row is a no-op) that also yields exact
+    * per-file deleted counts; files without matches are never read again.
+    * A delete matching nothing commits nothing.
+    * @return number of rows deleted */
+  def delete(condition: String, deletionVectors: Boolean = false): Long =
+    withCommitRetry {
+      val (files, tableSchema, partCols) = snapshot(None)
+      if (files.isEmpty) return 0L
+      val matched = readFileEntries(files, tableSchema, keepMeta = true)
+        .filter(expr(condition))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val perFile = matched.groupBy(col(FileCol))
+          .agg(count(lit(1)).as("__graft_n")).collect()
+        if (perFile.isEmpty) return 0L
+        val qualify = files.map(fe =>
+          new Path(dataDir, fe.path).toString -> fe.path).toMap
+        val known = files.map(_.path).toSet
+        val relCounts: Map[String, Long] = perFile.map(r =>
+          relativize(r.getString(0), qualify, known) -> r.getLong(1)).toMap
+        val deleted = relCounts.values.sum
+        val touched = files.filter(fe => relCounts.contains(fe.path))
+        val metrics = Map(
+          "numDeletedRows" -> deleted.toString,
+          "numTouchedFiles" -> touched.size.toString,
+          "numFilesUntouched" -> (files.size - touched.size).toString,
+          "deletionVectors" -> deletionVectors.toString)
+        if (deletionVectors) {
+          // remap the scan's qualified paths to log-relative ones through
+          // a broadcast of the probe's OWN validated keys — the join can
+          // never miss, the strings come from the same scan
+          val lookup = spark.createDataFrame(
+            java.util.Arrays.asList(perFile.map(r => org.apache.spark.sql.Row(
+              r.getString(0),
+              relativize(r.getString(0), qualify, known))): _*),
+            StructType(Seq(StructField(FileCol, StringType),
+              StructField("file", StringType))))
+          val dvName = s"_dv/${UUID.randomUUID()}"
+          val dvDir = new Path(dataDir, dvName)
+          matched.select(col(FileCol), col(RowIdxCol))
+            .join(broadcast(lookup), FileCol)
+            .select(col("file"), col(RowIdxCol).as("row_idx"))
+            .write.parquet(dvDir.toString)
+          val f = fs
+          val sidecars = f.listStatus(dvDir).map(_.getPath.getName)
+            .filter(_.endsWith(".parquet")).sorted
+            .map(n => s"$dvName/$n").toSeq
+          val updated = touched.map(fe => fe.copy(
+            dv = fe.dv ++ sidecars, dvRows = fe.dvRows + relCounts(fe.path)))
+          // add-with-same-path REPLACES the entry on replay — the data
+          // file stays live, only its DV reference set changes
+          try commit(LogEntry(currentVersion + 1, now(), "DELETE",
+            tableSchema.json, partCols, updated, Seq.empty, metrics))
+          catch {
+            case e: ConcurrentCommitException =>
+              f.delete(dvDir, true); throw e
+          }
+        } else {
+          // NULL-condition rows are kept — exactly the rows the probe's
+          // filter(condition) did not match
+          val keep = readFileEntries(touched, tableSchema)
+            .filter(!coalesce(expr(condition), lit(false)))
+          val added = writeFiles(keep, partCols)
+          commitOrClean(LogEntry(currentVersion + 1, now(), "DELETE",
+            tableSchema.json, partCols, added, touched.map(_.path),
+            metrics ++ Map(
+              "numTargetFilesAdded" -> added.size.toString,
+              "numTargetFilesRemoved" -> touched.size.toString)), added)
+        }
+        deleted
+      } finally matched.unpersist(false)
+    }
 
   // -------------------------------------------------------------- merge --
 
@@ -1032,14 +1127,52 @@ class VersionedTable private (val spark: SparkSession,
     } catch { case scala.util.control.NonFatal(_) => (Seq.empty, false) }
   }
 
-  /** Read a specific live-file subset with the table schema. */
-  private def readFileEntries(entries: Seq[FileEntry], tableSchema: StructType): DataFrame =
+  /** Read a specific live-file subset with the table schema, applying any
+    * deletion vectors the entries carry. `keepMeta=true` additionally
+    * exposes [[VersionedTable.FileCol]] (the file's `_metadata.file_path`)
+    * and [[VersionedTable.RowIdxCol]] (`_metadata.row_index`) as regular
+    * columns — callers that need row identity (the merge probe) must take
+    * them from here, because once the DV anti-join has run, `_metadata`
+    * itself no longer resolves on the returned plan.
+    *
+    * DV application is a LEFT ANTI join against the union of the scanned
+    * entries' sidecars on (relative path, row index), with the sidecar
+    * side broadcast — deletion vectors are tiny by contract (a delete
+    * touching most rows should rewrite instead). Entries without DVs pay
+    * nothing: the fast path is byte-identical to a plain parquet scan, so
+    * existing plans (pushdown, pruning, codegen) are unchanged. The
+    * relative path on the scan side is `file_path` minus the qualified
+    * data-dir prefix — the same invariant [[relativize]] (and thus MERGE
+    * correctness) already rests on. */
+  private def readFileEntries(entries: Seq[FileEntry], tableSchema: StructType,
+                              keepMeta: Boolean = false): DataFrame = {
     if (entries.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
-    else
-      spark.read.schema(tableSchema)
-        .option("basePath", dataDir.toString)
-        .parquet(entries.map(fe => new Path(dataDir, fe.path).toString): _*)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
+    val base = spark.read.schema(tableSchema)
+      .option("basePath", dataDir.toString)
+      .parquet(entries.map(fe => new Path(dataDir, fe.path).toString): _*)
+    val dvPaths = entries.flatMap(_.dv).distinct
+    if (dvPaths.isEmpty && !keepMeta) base
+    else {
+      val withMeta = base
+        .withColumn(FileCol, col("_metadata.file_path"))
+        .withColumn(RowIdxCol, col("_metadata.row_index"))
+        .drop("_metadata")
+      val applied =
+        if (dvPaths.isEmpty) withMeta
+        else {
+          val prefix = fs.makeQualified(dataDir).toString + "/"
+          val dv = spark.read.schema(DvSchema)
+            .parquet(dvPaths.map(p => new Path(dataDir, p).toString): _*)
+          val rel = substring(col(FileCol), prefix.length + 1, Int.MaxValue)
+          withMeta.join(broadcast(dv),
+            rel === dv("file") && col(RowIdxCol) === dv("row_idx"),
+            "left_anti")
+        }
+      if (keepMeta) applied else applied.drop(FileCol, RowIdxCol)
+    }
+  }
 
   private def mergeBody(targetAlias: String,
                         src: DataFrame,
@@ -1169,10 +1302,10 @@ class VersionedTable private (val spark: SparkSession,
       if (matchCandidates.isEmpty) Set.empty
       else {
         // probe scans only the stats-candidate files — skipped files
-        // cannot contain matched rows and are untouched by construction
-        val t = readFileEntries(matchCandidates, tableSchema)
-          .withColumn(FileCol, col("_metadata.file_path"))
-          .withColumn(RowIdxCol, col("_metadata.row_index"))
+        // cannot contain matched rows and are untouched by construction.
+        // keepMeta supplies file/row-index identity (readFileEntries owns
+        // it now: after a DV anti-join, _metadata no longer resolves)
+        val t = readFileEntries(matchCandidates, tableSchema, keepMeta = true)
           .alias(targetAlias)
         val matched = t.join(src, expr(condition), "inner")
         if (needExactCardinality) {
@@ -1278,9 +1411,11 @@ class VersionedTable private (val spark: SparkSession,
           if (matchedDelete.isEmpty) 0L
           else {
             // deleted rows never reach the observed write — derive them
-            // from the touched files' footer row counts minus survivors
+            // from the touched files' LIVE row counts (footer total minus
+            // rows already dead under a deletion vector) minus survivors
             val touchedRows =
-              if (touchedFiles.forall(_.rows >= 0)) touchedFiles.map(_.rows).sum
+              if (touchedFiles.forall(_.rows >= 0))
+                touchedFiles.map(fe => fe.rows - fe.dvRows).sum
               else -1L
             if (touchedRows >= 0) touchedRows - cnt("t") else -1L
           }
@@ -1344,6 +1479,12 @@ object VersionedTable {
   val BloomNdvProp = "bloom.filter.ndv"
   private val FileCol = "__graft_file"
   private val RowIdxCol = "__graft_row_idx"
+  /** Deletion-vector sidecar schema: one row marks one deleted physical
+    * row — `file` is the data file's path relative to `<root>/data`,
+    * `row_idx` its parquet `_metadata.row_index`. */
+  private val DvSchema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("row_idx", LongType, nullable = false)))
   private val TPresent = "__graft_t_present"
   private val SPresent = "__graft_s_present"
   private implicit val fmts: Formats = DefaultFormats
