@@ -1505,6 +1505,28 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           round(col("o_totalprice"), 2).as("total_price"))
         .orderBy("o_orderkey")
+    }),
+
+    // Standalone UPDATE drill (UpdateSpec proves pruning + accounting;
+    // this proves content): double every urgent order's price (exact in
+    // binary; *1.1 trips round-half boundaries across engines), read back.
+    // Only files containing matched rows are rewritten — the probe's
+    // per-file counts bound the work exactly as in q64's delete.
+    "q65_update" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val path = Files.createTempDirectory("graft-q65").toString
+      val orders = tbl(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+      val t = VersionedTable.create(s, orders.repartition(6), path + "/t")
+      t.update("o_orderpriority = '1-URGENT'",
+        Map("o_totalprice" -> "o_totalprice * 2"))
+      graft.ops.Caches.registeredRelease { () =>
+        deleteRec(new java.io.File(path)); ()
+      }
+      t.read
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+          round(col("o_totalprice"), 2).as("total_price"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -2462,6 +2484,15 @@ object SparkEntry {
         |  round(o_totalprice, 2) AS total_price
         |FROM orders
         |WHERE o_orderkey % 100 >= 5
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // CASE replays the conditional transform the engine ran as an UPDATE.
+    "q65_update" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority,
+        |  round(CASE WHEN o_orderpriority = '1-URGENT'
+        |             THEN o_totalprice * 2 ELSE o_totalprice END, 2)
+        |    AS total_price
+        |FROM orders
         |ORDER BY o_orderkey""".stripMargin
   )
 }

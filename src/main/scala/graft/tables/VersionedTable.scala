@@ -408,13 +408,13 @@ class VersionedTable private (val spark: SparkSession,
             s"version ${e.version} is a DELETE: rows disappeared, which " +
               "added-rows semantics cannot express; pass includeRewrites=true " +
               "to skip it, or consume from operation metrics instead")
-        case "MERGE" if e.remove.nonEmpty &&
+        case "MERGE" | "UPDATE" if e.remove.nonEmpty &&
           !e.operationMetrics.get("insertOnly").contains("true") =>
           if (includeRewrites) e.add
           else throw new IllegalArgumentException(
-            s"version ${e.version} is a rewriting MERGE: its added files mix " +
-              "updated/copied/inserted rows; pass includeRewrites=true to read " +
-              "them coarsely, or consume from operation metrics instead")
+            s"version ${e.version} is a rewriting ${e.operation}: its added " +
+              "files mix updated/copied/inserted rows; pass includeRewrites=true " +
+              "to read them coarsely, or consume from operation metrics instead")
         case _ => e.add
       }
     }
@@ -1052,6 +1052,54 @@ class VersionedTable private (val spark: SparkSession,
         }
         deleted
       } finally matched.unpersist(false)
+    }
+
+  // ------------------------------------------------------------- update --
+
+  /** UPDATE rows matching `condition`: `set` maps column name → SQL
+    * expression (bare column names on both — evaluated on the table's own
+    * schema). Same bounded-work shape as [[delete]]: ONE DV-applied probe
+    * job finds the files containing matched rows and their exact per-file
+    * counts; only those files are rewritten (matched rows transformed,
+    * neighbors copied), everything else is carried by reference. Rows
+    * whose condition evaluates NULL are not matched — same as the probe's
+    * filter. A rewrite of a DV'd file applies the vector first and drops
+    * it. An update matching nothing commits nothing.
+    * @return number of rows updated */
+  def update(condition: String, set: Map[String, String]): Long =
+    withCommitRetry {
+      val (files, tableSchema, partCols) = snapshot(None)
+      if (files.isEmpty) return 0L
+      val unknown = set.keySet.filterNot(tableSchema.fieldNames.contains)
+      require(unknown.isEmpty, s"update sets unknown column(s): ${unknown.mkString(", ")}")
+      val perFile = readFileEntries(files, tableSchema, keepMeta = true)
+        .filter(expr(condition))
+        .groupBy(col(FileCol)).agg(count(lit(1)).as("__graft_n")).collect()
+      if (perFile.isEmpty) return 0L
+      val qualify = files.map(fe =>
+        new Path(dataDir, fe.path).toString -> fe.path).toMap
+      val known = files.map(_.path).toSet
+      val relCounts: Map[String, Long] = perFile.map(r =>
+        relativize(r.getString(0), qualify, known) -> r.getLong(1)).toMap
+      val updatedRows = relCounts.values.sum
+      val touched = files.filter(fe => relCounts.contains(fe.path))
+      val cond = coalesce(expr(condition), lit(false))
+      val out = tableSchema.fields.toSeq.map { f =>
+        set.get(f.name)
+          .map(e => when(cond, expr(e).cast(f.dataType)).otherwise(col(f.name)))
+          .getOrElse(col(f.name)).as(f.name)
+      }
+      val rewritten = readFileEntries(touched, tableSchema).select(out: _*)
+      val added = writeFiles(rewritten, partCols)
+      commitOrClean(LogEntry(currentVersion + 1, now(), "UPDATE",
+        tableSchema.json, partCols, added, touched.map(_.path),
+        Map(
+          "numUpdatedRows" -> updatedRows.toString,
+          "numTouchedFiles" -> touched.size.toString,
+          "numFilesUntouched" -> (files.size - touched.size).toString,
+          "numTargetFilesAdded" -> added.size.toString,
+          "numTargetFilesRemoved" -> touched.size.toString)), added)
+      updatedRows
     }
 
   // -------------------------------------------------------------- merge --
