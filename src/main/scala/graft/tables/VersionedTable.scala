@@ -959,6 +959,108 @@ class VersionedTable private (val spark: SparkSession,
     deleted
   }
 
+  /** Conservative per-column bounds implied by a DML predicate's
+    * top-level conjuncts, for stats-based file skipping: `c = 5` ⇒ [5,5],
+    * `c > 5 AND c <= 9` ⇒ [5,9] (inequality edges kept inclusive — stats
+    * pruning may only over-approximate), `c IN (…literals)` ⇒ [min,max].
+    * Any shape it doesn't recognize (OR at the top, casts, functions,
+    * non-literal operands) contributes nothing; a parse failure returns
+    * no bounds at all — pruning is an optimization, never a guess. */
+  private def predicateBounds(condition: String): Seq[(String, Any, Any)] = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualTo,
+      Expression => CExpr, GreaterThan, GreaterThanOrEqual, In, LessThan,
+      LessThanOrEqual, Literal => CLit}
+    def conjunctsOf(e: CExpr): Seq[CExpr] = e match {
+      case CAnd(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+      case other => Seq(other)
+    }
+    def colOf(e: CExpr): Option[String] = e match {
+      case UnresolvedAttribute(Seq(c)) => Some(c)
+      case _ => None
+    }
+    def valOf(e: CExpr): Option[Any] = e match {
+      case CLit(v, dt) if v != null =>
+        Some(CatalystTypeConverters.convertToScala(v, dt))
+      case _ => None
+    }
+    try {
+      conjunctsOf(spark.sessionState.sqlParser.parseExpression(condition))
+        .flatMap {
+          case EqualTo(a, b) =>
+            colOf(a).zip(valOf(b)).map { case (c, v) => (c, v, v) } ++
+              colOf(b).zip(valOf(a)).map { case (c, v) => (c, v, v) }
+          case GreaterThan(a, b) =>
+            colOf(a).zip(valOf(b)).map { case (c, v) => (c, v, null) } ++
+              colOf(b).zip(valOf(a)).map { case (c, v) => (c, null, v) }
+          case GreaterThanOrEqual(a, b) =>
+            colOf(a).zip(valOf(b)).map { case (c, v) => (c, v, null) } ++
+              colOf(b).zip(valOf(a)).map { case (c, v) => (c, null, v) }
+          case LessThan(a, b) =>
+            colOf(a).zip(valOf(b)).map { case (c, v) => (c, null, v) } ++
+              colOf(b).zip(valOf(a)).map { case (c, v) => (c, v, null) }
+          case LessThanOrEqual(a, b) =>
+            colOf(a).zip(valOf(b)).map { case (c, v) => (c, null, v) } ++
+              colOf(b).zip(valOf(a)).map { case (c, v) => (c, v, null) }
+          case In(a, list) if list.nonEmpty =>
+            val vs = list.map(valOf)
+            colOf(a).filter(_ => vs.forall(_.isDefined)).map { c =>
+              val sorted = vs.flatten
+              (c, sorted.reduceLeft((x, y) => if (ordered(x.toString, y.toString)) x else y),
+                sorted.reduceLeft((x, y) => if (ordered(x.toString, y.toString)) y else x))
+            }
+          case _ => Seq.empty
+        }
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+  }
+
+  /** Stats+bloom candidate files for a DML predicate: a file survives
+    * only if EVERY recognized conjunct bound overlaps its footer stats
+    * (an open-ended bound checks one edge), and — for equality bounds on
+    * a declared bloom column — its bloom filter might contain the value.
+    * Files skipped here provably contain no matching row, so DELETE /
+    * UPDATE never read them. */
+  private def dmlCandidates(files: Seq[FileEntry], tableSchema: StructType,
+                            condition: String): Seq[FileEntry] = {
+    val bounds = predicateBounds(condition)
+    if (bounds.isEmpty) files
+    else files.filter { fe =>
+      bounds.forall { case (c, lo, hi) =>
+        val dt = tableSchema.fields.find(_.name == c).map(_.dataType)
+        val statsOk = (lo, hi) match {
+          case (null, null) => true
+          case (l, null) => fileOverlapsAbove(fe, c, l, dt)
+          case (null, h) => fileOverlapsBelow(fe, c, h, dt)
+          case (l, h) => fileOverlaps(fe, c, l, h, dt)
+        }
+        statsOk && ((lo, hi, dt) match {
+          case (l, h, Some(t)) if l != null && l == h && bloomColumns.contains(c) =>
+            bloomMightContain(fe, c, l, t).getOrElse(true)
+          case _ => true
+        })
+      }
+    }
+  }
+
+  /** Can `fe` contain rows with `colName >= lo`? (max >= lo, conservative) */
+  private def fileOverlapsAbove(fe: FileEntry, colName: String, lo: Any,
+                                dt: Option[DataType]): Boolean =
+    fe.stats.flatMap(_.get(colName)) match {
+      case Some(s) if !s.hasMinMax => false // all NULL never matches
+      case Some(s) => dt.forall(t => cmpTyped(s.max, lo, t).forall(_ >= 0))
+      case None => true
+    }
+
+  /** Can `fe` contain rows with `colName <= hi`? (min <= hi, conservative) */
+  private def fileOverlapsBelow(fe: FileEntry, colName: String, hi: Any,
+                                dt: Option[DataType]): Boolean =
+    fe.stats.flatMap(_.get(colName)) match {
+      case Some(s) if !s.hasMinMax => false
+      case Some(s) => dt.forall(t => cmpTyped(s.min, hi, t).forall(_ <= 0))
+      case None => true
+    }
+
   // ------------------------------------------------------------- delete --
 
   /** DELETE rows matching `condition` (bare column names — the predicate
@@ -980,16 +1082,24 @@ class VersionedTable private (val spark: SparkSession,
     *    unreferenced sidecars. DVs are for SMALL deletions by contract —
     *    a delete matching most of the table should rewrite instead.
     *
-    * Either way the probe is ONE job over the live files (DV-applied, so
-    * re-deleting an already-dead row is a no-op) that also yields exact
-    * per-file deleted counts; files without matches are never read again.
-    * A delete matching nothing commits nothing.
+    * Either way the probe is ONE job over the predicate's stats/bloom
+    * candidate files — recognized conjunct bounds (`=`, `<`, `<=`, `>`,
+    * `>=`, `IN`) skip files whose footer stats (and bloom filters, for
+    * equality on a declared bloom column) prove no match, so a point
+    * delete on a clustered table reads candidates, not the table. The
+    * scan is DV-applied (re-deleting an already-dead row is a no-op) and
+    * yields exact per-file counts; files without matches are never read
+    * again. A delete matching nothing commits nothing.
     * @return number of rows deleted */
   def delete(condition: String, deletionVectors: Boolean = false): Long =
     withCommitRetry {
       val (files, tableSchema, partCols) = snapshot(None)
       if (files.isEmpty) return 0L
-      val matched = readFileEntries(files, tableSchema, keepMeta = true)
+      // stats/bloom skipping bounds the probe itself: a point delete on a
+      // clustered or bloomed table reads candidate files, not the table
+      val cand = dmlCandidates(files, tableSchema, condition)
+      val statsSkipped = files.size - cand.size
+      val matched = readFileEntries(cand, tableSchema, keepMeta = true)
         .filter(expr(condition))
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
@@ -1007,6 +1117,7 @@ class VersionedTable private (val spark: SparkSession,
           "numDeletedRows" -> deleted.toString,
           "numTouchedFiles" -> touched.size.toString,
           "numFilesUntouched" -> (files.size - touched.size).toString,
+          "numFilesSkippedByStats" -> statsSkipped.toString,
           "deletionVectors" -> deletionVectors.toString)
         if (deletionVectors) {
           // remap the scan's qualified paths to log-relative ones through
@@ -1059,9 +1170,10 @@ class VersionedTable private (val spark: SparkSession,
   /** UPDATE rows matching `condition`: `set` maps column name → SQL
     * expression (bare column names on both — evaluated on the table's own
     * schema). Same bounded-work shape as [[delete]]: ONE DV-applied probe
-    * job finds the files containing matched rows and their exact per-file
-    * counts; only those files are rewritten (matched rows transformed,
-    * neighbors copied), everything else is carried by reference. Rows
+    * job over the predicate's stats/bloom candidate files finds the files
+    * containing matched rows and their exact per-file counts; only those
+    * files are rewritten (matched rows transformed, neighbors copied),
+    * everything else is carried by reference. Rows
     * whose condition evaluates NULL are not matched — same as the probe's
     * filter. A rewrite of a DV'd file applies the vector first and drops
     * it. An update matching nothing commits nothing.
@@ -1072,7 +1184,9 @@ class VersionedTable private (val spark: SparkSession,
       if (files.isEmpty) return 0L
       val unknown = set.keySet.filterNot(tableSchema.fieldNames.contains)
       require(unknown.isEmpty, s"update sets unknown column(s): ${unknown.mkString(", ")}")
-      val perFile = readFileEntries(files, tableSchema, keepMeta = true)
+      val cand = dmlCandidates(files, tableSchema, condition)
+      val statsSkipped = files.size - cand.size
+      val perFile = readFileEntries(cand, tableSchema, keepMeta = true)
         .filter(expr(condition))
         .groupBy(col(FileCol)).agg(count(lit(1)).as("__graft_n")).collect()
       if (perFile.isEmpty) return 0L
@@ -1097,6 +1211,7 @@ class VersionedTable private (val spark: SparkSession,
           "numUpdatedRows" -> updatedRows.toString,
           "numTouchedFiles" -> touched.size.toString,
           "numFilesUntouched" -> (files.size - touched.size).toString,
+          "numFilesSkippedByStats" -> statsSkipped.toString,
           "numTargetFilesAdded" -> added.size.toString,
           "numTargetFilesRemoved" -> touched.size.toString)), added)
       updatedRows
