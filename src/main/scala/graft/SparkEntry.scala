@@ -1527,6 +1527,41 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
           round(col("o_totalprice"), 2).as("total_price"))
         .orderBy("o_orderkey")
+    }),
+
+    // Merge-time schema evolution drill (MergeEvolutionSpec proves the
+    // mechanics; this proves content): customers table gains an order_cnt
+    // column FROM the merge itself — matched customers get their per-key
+    // order count, three synthetic backfill keys exercise the insert
+    // clause, customers without orders read the evolved column as NULL
+    // because their files are carried by reference, never rewritten.
+    // The oracle replays it relationally: LEFT JOIN for the update arm,
+    // UNION ALL for the inserts.
+    "q66_merge_evolve" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val path = Files.createTempDirectory("graft-q66").toString
+      val cust = tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("acctbal"))
+      val t = VersionedTable.create(s, cust.repartition(6), path + "/t").as("t")
+      val agg = tbl(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("order_cnt"))
+      val backfill = s.range(1, 4)
+        .select((-col("id")).as("o_custkey"), lit(7L).as("order_cnt"))
+      t.merge(agg.unionByName(backfill).as("s"), "t.c_custkey = s.o_custkey")
+        .whenMatchedUpdate(Map("order_cnt" -> "s.order_cnt"))
+        .whenNotMatchedInsert(Map("c_custkey" -> "s.o_custkey",
+          "c_name" -> "'(backfill)'", "order_cnt" -> "s.order_cnt"))
+        .withSchemaEvolution()
+        .execute()
+      graft.ops.Caches.registeredRelease { () =>
+        deleteRec(new java.io.File(path)); ()
+      }
+      t.read
+        .select(col("c_custkey"), col("c_name"), col("acctbal"),
+          col("order_cnt"))
+        .orderBy("c_custkey")
     })
   )
 
@@ -2493,6 +2528,26 @@ object SparkEntry {
         |             THEN o_totalprice * 2 ELSE o_totalprice END, 2)
         |    AS total_price
         |FROM orders
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // The evolved column is replayed relationally: LEFT JOIN gives the
+    // matched-update arm (NULL where no orders — those files were carried
+    // by reference), UNION ALL the insert arm.
+    "q66_merge_evolve" ->
+      """WITH src AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS order_cnt
+        |  FROM orders GROUP BY 1
+        |  UNION ALL
+        |  SELECT CAST(v.k AS BIGINT), CAST(7 AS BIGINT)
+        |  FROM (VALUES (-1), (-2), (-3)) AS v(k)
+        |)
+        |SELECT c.c_custkey, c.c_name, round(c.c_acctbal, 2) AS acctbal,
+        |  s.order_cnt
+        |FROM customer c LEFT JOIN src s ON c.c_custkey = s.o_custkey
+        |UNION ALL
+        |SELECT s.o_custkey AS c_custkey, '(backfill)' AS c_name,
+        |  NULL AS acctbal, s.order_cnt
+        |FROM src s WHERE s.o_custkey < 0
+        |ORDER BY c_custkey""".stripMargin
   )
 }

@@ -1230,7 +1230,8 @@ class VersionedTable private (val spark: SparkSession,
                                    matchedUpdate: Option[(Option[String], Map[String, String])],
                                    notMatchedInsert: Option[(Option[String], Map[String, String])],
                                    matchedDelete: Option[Option[String]] = None,
-                                   deleteFirst: Boolean = false): Unit = {
+                                   deleteFirst: Boolean = false,
+                                   schemaEvolution: Boolean = false): Unit = {
     // The source is consumed twice (file-prune join, then the rewrite
     // join). A typical merge source is a freshly-transformed batch with
     // windows/joins upstream — persist it so the lineage runs once.
@@ -1241,7 +1242,7 @@ class VersionedTable private (val spark: SparkSession,
     val src = source.persist(StorageLevel.MEMORY_AND_DISK)
     try withCommitRetry {
       mergeBody(targetAlias, src, condition, matchedUpdate, notMatchedInsert,
-        matchedDelete, deleteFirst)
+        matchedDelete, deleteFirst, schemaEvolution)
     } finally src.unpersist(false)
   }
 
@@ -1343,8 +1344,37 @@ class VersionedTable private (val spark: SparkSession,
                         matchedUpdate: Option[(Option[String], Map[String, String])],
                         notMatchedInsert: Option[(Option[String], Map[String, String])],
                         matchedDelete: Option[Option[String]],
-                        deleteFirst: Boolean): Unit = {
-    val (files, tableSchema, partCols) = snapshot(None)
+                        deleteFirst: Boolean,
+                        schemaEvolution: Boolean): Unit = {
+    val (files, baseSchema, partCols) = snapshot(None)
+    // Merge-time schema evolution (the reference's autoMerge case,
+    // notes.md:102-105; Delta's spark.databricks.delta.schema.autoMerge):
+    // columns ASSIGNED by an update/insert clause but absent from the
+    // target become new nullable columns. Their type is resolved against
+    // the SOURCE frame (the documented contract — a new column's value
+    // comes from the batch that introduces it). The evolved schema rides
+    // this commit; untouched files are carried by reference and read the
+    // new column as NULL — evolving a 100 TB table rewrites nothing extra.
+    val evolvedCols: Seq[StructField] =
+      if (!schemaEvolution) Seq.empty
+      else {
+        val assigned = (matchedUpdate.map(_._2).getOrElse(Map.empty) ++
+          notMatchedInsert.map(_._2).getOrElse(Map.empty)).toSeq
+        assigned
+          .filterNot { case (n, _) => baseSchema.fieldNames.exists(_.equalsIgnoreCase(n)) }
+          .map { case (n, e) =>
+            val dt = try src.select(expr(e)).schema.head.dataType
+            catch {
+              case scala.util.control.NonFatal(ex) => throw new IllegalArgumentException(
+                s"schema evolution: the assignment for new column '$n' ($e) " +
+                  "must resolve against the source frame", ex)
+            }
+            StructField(n, dt, nullable = true)
+          }
+      }
+    val tableSchema =
+      if (evolvedCols.isEmpty) baseSchema
+      else StructType(baseSchema.fields ++ evolvedCols)
     val dataCols = tableSchema.fields.toSeq
 
     // --- stats pruning + cardinality fast path: ONE source-side agg -----
@@ -1442,6 +1472,7 @@ class VersionedTable private (val spark: SparkSession,
           "numTargetRowsUpdated" -> "0",
           "numTargetRowsDeleted" -> "0",
           "numTargetRowsInserted" -> inserted.toString,
+          "numColumnsEvolved" -> evolvedCols.size.toString,
           "insertOnly" -> "true")), added)
       return
     }
@@ -1595,7 +1626,8 @@ class VersionedTable private (val spark: SparkSession,
         "numTargetFilesSkippedByStats" -> statsSkipped.toString,
         "numTargetRowsUpdated" -> rowsUpdated.toString,
         "numTargetRowsInserted" -> rowsInserted.toString,
-        "numTargetRowsDeleted" -> rowsDeleted.toString)), added)
+        "numTargetRowsDeleted" -> rowsDeleted.toString,
+        "numColumnsEvolved" -> evolvedCols.size.toString)), added)
   }
 
   // ------------------------------------------------------------- helpers --
@@ -1743,6 +1775,7 @@ class MergeBuilder private[tables] (table: VersionedTable,
   private var notMatchedInsert: Option[(Option[String], Map[String, String])] = None
   private var matchedDelete: Option[Option[String]] = None
   private var deleteFirst: Boolean = false
+  private var schemaEvolution: Boolean = false
 
   def whenMatchedUpdate(set: Map[String, String]): MergeBuilder =
     whenMatchedUpdate(null, set)
@@ -1770,7 +1803,17 @@ class MergeBuilder private[tables] (table: VersionedTable,
     require(notMatchedInsert.isEmpty, "only one whenNotMatchedInsert clause is supported")
     notMatchedInsert = Some((Option(condition), values)); this
   }
+  /** Merge-time schema evolution (the reference's autoMerge case,
+    * notes.md:102-105): update/insert assignments may name columns the
+    * target does not have yet — each becomes a new NULLABLE column whose
+    * type is resolved against the source frame, added to the table schema
+    * by this merge's commit. Untouched files are never rewritten; readers
+    * see NULL for the new column in pre-evolution files. Without this
+    * call, assignments to unknown columns are ignored (the target schema
+    * is the contract). */
+  def withSchemaEvolution(): MergeBuilder = { schemaEvolution = true; this }
+
   def execute(): Unit =
     table.executeMerge(targetAlias, source, condition, matchedUpdate,
-      notMatchedInsert, matchedDelete, deleteFirst)
+      notMatchedInsert, matchedDelete, deleteFirst, schemaEvolution)
 }
