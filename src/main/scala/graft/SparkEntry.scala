@@ -1562,6 +1562,30 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"), col("acctbal"),
           col("order_cnt"))
         .orderBy("c_custkey")
+    }),
+
+    // Sub-document (paragraph-level) dedup — the Dolma/RefinedWeb step
+    // that strips cross-document boilerplate while keeping unique
+    // content. The corpus has no paragraph breaks, so the query first
+    // restructures each document into 5-token paragraphs (deterministic,
+    // replayed identically by the oracle), then keeps only the globally
+    // first occurrence of each paragraph (lowest (doc_id, position)) and
+    // reassembles the survivors in order. ~6% of paragraphs are
+    // cross-document duplicates at this vocabulary, so the dedup
+    // provably bites. Two keyed shuffles, no all-pairs — corpus-linear
+    // at 100 TB.
+    "q67_paragraph_dedup" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val docs = tbl(s, dir, "documents")
+      val toks = split(col("text"), " ")
+      val paras = transform(
+        sequence(lit(0), ceil(size(toks).cast("double") / 5.0).cast("int") - 1),
+        g => concat_ws(" ", slice(toks, g * 5 + 1, lit(5))))
+      val structured = docs.select(col("doc_id"),
+        array_join(paras, "\n").as("text"))
+      graft.ops.TextDedup.paragraphDedup(structured, "doc_id", "text",
+          delim = "\n", joiner = "\n")
+        .orderBy("doc_id")
     })
   )
 
@@ -2548,6 +2572,28 @@ object SparkEntry {
         |SELECT s.o_custkey AS c_custkey, '(backfill)' AS c_name,
         |  NULL AS acctbal, s.order_cnt
         |FROM src s WHERE s.o_custkey < 0
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    // Replays the 5-token paragraph restructure, the global first-wins
+    // rule (row_number over the normalized paragraph, ordered by
+    // (doc_id, position)), and the in-order reassembly.
+    "q67_paragraph_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), paras AS (
+        |  SELECT doc_id, g,
+        |    array_to_string(list_slice(t, g*5 + 1, g*5 + 5), ' ') AS para
+        |  FROM toks, (SELECT unnest(generate_series(0, 200)) AS g) gs
+        |  WHERE g*5 < len(t)
+        |), first_wins AS (
+        |  SELECT doc_id, g, para,
+        |    row_number() OVER (PARTITION BY lower(trim(para))
+        |                       ORDER BY doc_id, g) AS rk
+        |  FROM paras
+        |)
+        |SELECT doc_id, string_agg(para, chr(10) ORDER BY g) AS text
+        |FROM first_wins WHERE rk = 1
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
   )
 }

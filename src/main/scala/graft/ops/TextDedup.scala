@@ -330,4 +330,44 @@ object TextDedup {
       .select(col("__id1").as(s"${idCol}_1"), col("__id2").as(s"${idCol}_2"),
         round(col("jaccard"), 3).as("jaccard"))
   }
+
+  /** Sub-document (paragraph-level) exact dedup — the Dolma/RefinedWeb
+    * pipeline step that removes boilerplate repeated ACROSS documents
+    * (headers, footers, licence blocks) while keeping each document's
+    * unique content: split every document on `delim`, keep only the
+    * globally FIRST occurrence of each normalized paragraph (first =
+    * lowest (`idCol`, position) — deterministic), drop empty paragraphs,
+    * and reassemble each document's surviving paragraphs in their
+    * original order, joined by `joiner`. Documents whose every paragraph
+    * was seen earlier vanish from the output entirely.
+    *
+    * Scale shape: two keyed shuffles, no all-pairs anywhere — a
+    * row_number window over the normalized-paragraph key picks winners,
+    * then one hash aggregation per document reassembles (collect_list of
+    * (pos, para) structs, sorted in the expression layer — per-document
+    * memory is bounded by that document's own paragraph count). At
+    * 100 TB both shuffles carry (paragraph, doc, pos) rows — proportional
+    * to corpus size, never to its square.
+    * @return (idCol, textCol) — callers re-join for other columns */
+  def paragraphDedup(df: DataFrame,
+                     idCol: String,
+                     textCol: String,
+                     delim: String = "\\n{2,}",
+                     joiner: String = "\n\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val paras = df
+      .select(col(idCol),
+        posexplode(split(col(textCol), delim)).as(Seq("__pos", "__para")))
+      .filter(trim(col("__para")) =!= "")
+    val w = Window.partitionBy(lower(trim(col("__para"))))
+      .orderBy(col(idCol), col("__pos"))
+    paras
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__para")))),
+          s => s.getField("__para")),
+        joiner).as(textCol))
+  }
 }

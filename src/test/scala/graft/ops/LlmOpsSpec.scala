@@ -296,4 +296,25 @@ class LlmOpsSpec extends AnyFunSuite {
     // all black: mean 0, std 0
     assert(d(1).features(0) == 0.0f && d(1).features(1) == 0.0f)
   }
+
+  test("paragraph dedup: cross-doc boilerplate removed first-wins, order kept") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "Alpha beta.\n\nSHARED licence text.\n\nGamma delta."),
+      // licence paragraph (case/space variant) first seen in doc 1 → dropped
+      (2L, "Epsilon.\n\n  shared LICENCE text.  "),
+      // every paragraph seen earlier → the whole document vanishes
+      (3L, "shared licence text.\n\nEpsilon."),
+      // intra-document repetition: second copy dropped too
+      (4L, "Zeta.\n\nZeta.\n\nEta.")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.paragraphDedup(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "Alpha beta.\n\nSHARED licence text.\n\nGamma delta.")
+    assert(out(2L) === "Epsilon.")
+    assert(!out.contains(3L), s"doc 3 must vanish entirely: $out")
+    assert(out(4L) === "Zeta.\n\nEta.")
+    // surviving paragraphs keep their ORIGINAL (un-normalized) text
+    assert(out(1L).contains("SHARED licence text."))
+  }
 }
