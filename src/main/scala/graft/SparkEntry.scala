@@ -1586,6 +1586,18 @@ object SparkEntry {
       graft.ops.TextDedup.paragraphDedup(structured, "doc_id", "text",
           delim = "\n", joiner = "\n")
         .orderBy("doc_id")
+    }),
+
+    // Corpus unigram surprisal — the perplexity-proxy quality filter:
+    // one shuffle builds the vocabulary, a bounded scalar reads the
+    // token total, and scoring is a broadcast join + per-doc agg. High
+    // scorers are corpus-rare-token outliers (prune by quantile
+    // downstream).
+    "q68_unigram_surprisal" -> ((s, dir) => {
+      GraftSession.tune(s)
+      graft.ops.TextAnalysis
+        .unigramSurprisal(tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     })
   )
 
@@ -2593,6 +2605,22 @@ object SparkEntry {
         |)
         |SELECT doc_id, string_agg(para, chr(10) ORDER BY g) AS text
         |FROM first_wins WHERE rk = 1
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // Replays the unigram distribution and the per-doc average negative
+    // log-probability.
+    "q68_unigram_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+        |  FROM documents
+        |), v AS (
+        |  SELECT w, CAST(count(*) AS DOUBLE) AS c
+        |  FROM toks WHERE w <> '' GROUP BY 1
+        |), tot AS (SELECT sum(c) AS t FROM v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(avg(-ln(c / t)), 4) AS surprisal
+        |FROM toks JOIN v USING (w), tot
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin
   )

@@ -115,6 +115,40 @@ object TextAnalysis {
         EmailPattern, "<EMAIL>"),
       LongNumberPattern, "<NUM>")
 
+  /** Corpus-level unigram surprisal per document — the classic
+    * perplexity-proxy quality filter (a cheap stand-in for an LM score):
+    * build the corpus unigram distribution, then score each document by
+    * the average negative log-probability of its tokens. Common-word
+    * documents score low; documents of corpus-rare tokens score high
+    * (gibberish, wrong-language and boilerplate-free outliers — prune by
+    * quantile downstream).
+    *
+    * Scale shape: ONE hash-agg shuffle builds the vocabulary counts; the
+    * corpus total rides a single bounded driver scalar; scoring is a
+    * BROADCAST join of tokens against the vocabulary (word-level unigram
+    * tables are millions of rows at worst — far under executor memory)
+    * followed by one per-doc hash agg. The corpus token stream itself is
+    * never shuffled twice and never collected.
+    * @return (idCol, n_tokens, surprisal) — natural-log, rounded to 4 */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("__w"))
+      .filter(col("__w") =!= "")
+    // persisted (and registered with [[Caches]] for release after the
+    // caller materializes): the total-count scalar materializes the
+    // vocabulary once, and the scoring join then probes the cached table
+    // instead of re-aggregating the token stream
+    val vocab = Caches.registered(
+      toks.groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // one bounded scalar (the corpus token total) — never row-scaled
+    val total = vocab.agg(sum(col("__c"))).collect()(0).getLong(0).toDouble
+    toks.join(broadcast(vocab), "__w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("__c") / lit(total))), 4).as("surprisal"))
+  }
+
   /** Convenience: attach all text-analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("lang_guess", languageId(textCol))

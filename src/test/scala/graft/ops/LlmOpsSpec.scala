@@ -317,4 +317,17 @@ class LlmOpsSpec extends AnyFunSuite {
     // surviving paragraphs keep their ORIGINAL (un-normalized) text
     assert(out(1L).contains("SHARED licence text."))
   }
+
+  test("unigram surprisal: rare-token docs score high, exact on a tiny corpus") {
+    import spark.implicits._
+    // corpus tokens: a a a b → p(a)=3/4, p(b)=1/4
+    val corpus = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramSurprisal(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) === (3L, BigDecimal(-math.log(0.75)).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(out(2L) === (1L, BigDecimal(-math.log(0.25)).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(out(2L)._2 > out(1L)._2, "rare-token doc must score higher")
+  }
 }
