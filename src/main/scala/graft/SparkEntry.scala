@@ -1598,6 +1598,30 @@ object SparkEntry {
       graft.ops.TextAnalysis
         .unigramSurprisal(tbl(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // Zero-copy SHALLOW CLONE drill (CloneSpec proves isolation both
+    // ways; this proves content through the clone): clone the part
+    // table (one metadata write, zero bytes copied — same cost at
+    // 100 TB), then DV-delete ~5% ON THE CLONE. The read mixes
+    // source-referenced files with the clone's own deletion-vector
+    // sidecar; the oracle is the predicate complement over the
+    // untouched source table.
+    "q69_shallow_clone" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val path = Files.createTempDirectory("graft-q69").toString
+      val part = tbl(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"),
+          round(col("p_retailprice"), 2).as("price"))
+      val src = VersionedTable.create(s, part.repartition(6), path + "/src")
+      val clone = src.shallowCloneTo(path + "/clone")
+      clone.delete("p_partkey % 20 = 0", deletionVectors = true)
+      graft.ops.Caches.registeredRelease { () =>
+        deleteRec(new java.io.File(path)); ()
+      }
+      clone.read
+        .select(col("p_partkey"), col("p_brand"), col("p_size"), col("price"))
+        .orderBy("p_partkey")
     })
   )
 
@@ -2622,6 +2646,15 @@ object SparkEntry {
         |  round(avg(-ln(c / t)), 4) AS surprisal
         |FROM toks JOIN v USING (w), tot
         |GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // The clone's DV'd read must be exactly the predicate complement of
+    // the (untouched) source.
+    "q69_shallow_clone" ->
+      """SELECT p_partkey, p_brand, p_size,
+        |  round(p_retailprice, 2) AS price
+        |FROM part
+        |WHERE p_partkey % 20 <> 0
+        |ORDER BY p_partkey""".stripMargin
   )
 }

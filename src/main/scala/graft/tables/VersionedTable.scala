@@ -477,6 +477,41 @@ class VersionedTable private (val spark: SparkSession,
     (toAdd.size, toRemove.size)
   }
 
+  /** Zero-copy SHALLOW CLONE (Delta's `CLONE ... SHALLOW`): create a new
+    * table at `destPath` whose first commit REFERENCES this table's
+    * current data files by fully-qualified URI — no data is read or
+    * copied, so cloning a 100 TB table is one driver-side metadata
+    * write. The clone is fully functional: reads mix referenced and own
+    * files transparently, writes (append/merge/DML/compact) land in the
+    * clone's OWN data dir and only drop references, and the clone's
+    * vacuum walks only its own dir — the source is never mutated by any
+    * clone operation. File stats ride along, so pruning on the clone is
+    * as sharp as on the source.
+    *
+    * Caveats (both Delta-shaped): vacuuming the SOURCE can delete files
+    * a shallow clone still references (document retention accordingly);
+    * and a table with LIVE deletion vectors refuses to clone — compact()
+    * first to materialize the deletes. */
+  def shallowCloneTo(destPath: String): VersionedTable = {
+    val (files, tableSchema, partCols) = snapshot(None)
+    val withDv = files.count(_.dv.nonEmpty)
+    require(withDv == 0,
+      s"cannot shallow-clone: $withDv file(s) carry live deletion vectors; " +
+        "compact() the source first to materialize them")
+    require(!VersionedTable.isTable(spark, destPath),
+      s"$destPath is already a graft table")
+    val dst = new VersionedTable(spark, destPath, None)
+    val referenced = files.map(fe =>
+      fe.copy(path = fs.makeQualified(new Path(dataDir, fe.path)).toString))
+    dst.commit(LogEntry(0L, now(), "CLONE", tableSchema.json, partCols,
+      referenced, Seq.empty,
+      Map("sourceTable" -> fs.makeQualified(new Path(root)).toString,
+        "sourceVersion" -> currentVersion.toString,
+        "numReferencedFiles" -> referenced.size.toString,
+        "numCopiedFiles" -> "0")))
+    dst
+  }
+
   // -------------------------------------------------------------- write --
 
   /** Append `df`. With `mergeSchema=true`, new nullable columns widen the
@@ -1107,7 +1142,7 @@ class VersionedTable private (val spark: SparkSession,
           .agg(count(lit(1)).as("__graft_n")).collect()
         if (perFile.isEmpty) return 0L
         val qualify = files.map(fe =>
-          new Path(dataDir, fe.path).toString -> fe.path).toMap
+          fs.makeQualified(new Path(dataDir, fe.path)).toString -> fe.path).toMap
         val known = files.map(_.path).toSet
         val relCounts: Map[String, Long] = perFile.map(r =>
           relativize(r.getString(0), qualify, known) -> r.getLong(1)).toMap
@@ -1191,7 +1226,7 @@ class VersionedTable private (val spark: SparkSession,
         .groupBy(col(FileCol)).agg(count(lit(1)).as("__graft_n")).collect()
       if (perFile.isEmpty) return 0L
       val qualify = files.map(fe =>
-        new Path(dataDir, fe.path).toString -> fe.path).toMap
+        fs.makeQualified(new Path(dataDir, fe.path)).toString -> fe.path).toMap
       val known = files.map(_.path).toSet
       val relCounts: Map[String, Long] = perFile.map(r =>
         relativize(r.getString(0), qualify, known) -> r.getLong(1)).toMap
@@ -1310,26 +1345,59 @@ class VersionedTable private (val spark: SparkSession,
     * correctness) already rests on. */
   private def readFileEntries(entries: Seq[FileEntry], tableSchema: StructType,
                               keepMeta: Boolean = false): DataFrame = {
-    if (entries.isEmpty)
+    if (entries.isEmpty) {
+      // keepMeta callers (DML probes) group on the file-identity columns
+      // even when pruning left zero candidates — the empty frame must
+      // still carry them
+      val sch = if (!keepMeta) tableSchema
+        else StructType(tableSchema.fields ++ Seq(
+          StructField(FileCol, StringType, nullable = true),
+          StructField(RowIdxCol, LongType, nullable = true)))
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
-    val base = spark.read.schema(tableSchema)
-      .option("basePath", dataDir.toString)
-      .parquet(entries.map(fe => new Path(dataDir, fe.path).toString): _*)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+    }
+    // A shallow clone's entries reference files OUTSIDE this table's data
+    // dir by qualified URI. Each scan's basePath must be an ancestor of
+    // every file it lists (and anchor hive partition-dir inference even
+    // when all listed files share one partition value), so entries are
+    // grouped by their owning data root — recovered for absolute paths by
+    // stripping the filename plus one component per partition level — and
+    // scanned per group, unioned. Local tables stay a single scan.
+    def ownerBase(fe: FileEntry): String = {
+      val p = new Path(fe.path)
+      if (p.toUri.getScheme == null && !p.isAbsolute) dataDir.toString
+      else (0 to fe.partitionValues.size).foldLeft(p)((q, _) => q.getParent).toString
+    }
     val dvPaths = entries.flatMap(_.dv).distinct
+    // _metadata does not propagate through a Union — project the file
+    // identity columns inside each per-base scan when they're needed
+    val needMeta = keepMeta || dvPaths.nonEmpty
+    val base = entries.groupBy(ownerBase).toSeq.sortBy(_._1)
+      .map { case (b, es) =>
+        val scan = spark.read.schema(tableSchema)
+          .option("basePath", b)
+          .parquet(es.map(fe => new Path(dataDir, fe.path).toString): _*)
+        if (!needMeta) scan
+        else scan
+          .withColumn(FileCol, col("_metadata.file_path"))
+          .withColumn(RowIdxCol, col("_metadata.row_index"))
+          .drop("_metadata")
+      }.reduce(_ unionByName _)
     if (dvPaths.isEmpty && !keepMeta) base
     else {
       val withMeta = base
-        .withColumn(FileCol, col("_metadata.file_path"))
-        .withColumn(RowIdxCol, col("_metadata.row_index"))
-        .drop("_metadata")
       val applied =
         if (dvPaths.isEmpty) withMeta
         else {
           val prefix = fs.makeQualified(dataDir).toString + "/"
           val dv = spark.read.schema(DvSchema)
             .parquet(dvPaths.map(p => new Path(dataDir, p).toString): _*)
-          val rel = substring(col(FileCol), prefix.length + 1, Int.MaxValue)
+          // log-relative for files under this table's data dir; for
+          // entries referencing files OUTSIDE it (a shallow clone), the
+          // log path IS the qualified URI, so the raw scan path matches
+          val rel = when(col(FileCol).startsWith(prefix),
+            substring(col(FileCol), prefix.length + 1, Int.MaxValue))
+            .otherwise(col(FileCol))
           withMeta.join(broadcast(dv),
             rel === dv("file") && col(RowIdxCol) === dv("row_idx"),
             "left_anti")
@@ -1490,7 +1558,8 @@ class VersionedTable private (val spark: SparkSession,
     // picks the join strategy — the source side of a batch merge is
     // typically small enough to broadcast.
     val needExactCardinality = checkCardinality && !srcKeysUnique
-    val qualify = files.map(fe => new Path(dataDir, fe.path).toString -> fe.path).toMap
+    val qualify = files.map(fe =>
+      fs.makeQualified(new Path(dataDir, fe.path)).toString -> fe.path).toMap
     val knownRel = files.map(_.path).toSet
     val touchedRel: Set[String] =
       if (matchCandidates.isEmpty) Set.empty

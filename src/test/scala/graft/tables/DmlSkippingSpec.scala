@@ -76,6 +76,15 @@ class DmlSkippingSpec extends AnyFunSuite {
     assert(t.read.count() === 19999)
   }
 
+  test("bounds that prune EVERY file are a clean no-op, nothing committed") {
+    val t = VersionedTable.create(spark, baseDf.repartition(8), tmpDir() + "/t")
+    val v = t.currentVersion
+    assert(t.delete("id = -5") === 0L)
+    assert(t.update("id > 1000000", Map("v" -> "0")) === 0L)
+    assert(t.currentVersion === v, "no-op DML must not commit")
+    assert(t.read.count() === 20000)
+  }
+
   test("skipping never loses matches: delete by range equals filter") {
     val t = VersionedTable.create(spark, baseDf.repartition(8), tmpDir() + "/t")
     t.compact(targetBytes = 48 * 1024, clusterBy = Seq("grp"))
