@@ -1622,6 +1622,16 @@ object SparkEntry {
       clone.read
         .select(col("p_partkey"), col("p_brand"), col("p_size"), col("price"))
         .orderBy("p_partkey")
+    }),
+
+    // Okapi BM25 lexical retrieval: postings are filtered to the query's
+    // terms BEFORE any shuffle, idf is a |terms|-row broadcast, and only
+    // one corpus-wide agg (document lengths) runs. Deterministic ties:
+    // (rounded score DESC, doc_id).
+    "q70_bm25" -> ((s, dir) => {
+      GraftSession.tune(s)
+      graft.ops.Retrieval.bm25TopK(tbl(s, dir, "documents"),
+        "doc_id", "text", "merge window sort", k = 15)
     })
   )
 
@@ -2655,6 +2665,35 @@ object SparkEntry {
         |  round(p_retailprice, 2) AS price
         |FROM part
         |WHERE p_partkey % 20 <> 0
-        |ORDER BY p_partkey""".stripMargin
+        |ORDER BY p_partkey""".stripMargin,
+
+    // Okapi BM25 replay: same idf form ln((N−df+0.5)/(df+0.5)+1),
+    // k1 = 1.2, b = 0.75, same deterministic tie-break.
+    "q70_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+        |  FROM documents
+        |), dl AS (
+        |  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+        |  FROM toks WHERE w <> '' GROUP BY 1
+        |), stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl
+        |), post AS (
+        |  SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM toks WHERE w IN ('merge', 'window', 'sort') GROUP BY 1, 2
+        |), idf AS (
+        |  SELECT d.w, ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf
+        |  FROM (SELECT w, CAST(count(*) AS DOUBLE) AS df
+        |        FROM post GROUP BY 1) d, stats s
+        |)
+        |SELECT p.doc_id,
+        |  round(sum(i.idf * p.tf * 2.2 /
+        |    (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))), 4) AS score
+        |FROM post p
+        |JOIN idf i USING (w)
+        |JOIN dl d USING (doc_id), stats s
+        |GROUP BY p.doc_id
+        |ORDER BY score DESC, doc_id
+        |LIMIT 15""".stripMargin
   )
 }

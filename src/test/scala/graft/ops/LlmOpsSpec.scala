@@ -330,4 +330,31 @@ class LlmOpsSpec extends AnyFunSuite {
       BigDecimal.RoundingMode.HALF_UP).toDouble))
     assert(out(2L)._2 > out(1L)._2, "rare-token doc must score higher")
   }
+
+  test("BM25: tf, idf and length normalization behave; exact on a tiny corpus") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "cat cat dog"),      // two query-term hits, short
+      (2L, "cat bird bird bird bird bird"), // one hit, long
+      (3L, "dog mouse"),        // one hit of the rarer term
+      (4L, "bird bird")         // no query terms → absent
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(corpus, "doc_id", "text", "cat dog", k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.map(_._1).toSet === Set(1L, 2L, 3L), "doc 4 has no query terms")
+
+    // closed-form replay of the same formula
+    val n = 4.0; val avgdl = (3 + 6 + 2 + 2) / 4.0
+    def idf(df: Double) = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    def part(tf: Double, dl: Double, idfV: Double) =
+      idfV * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = Map(
+      1L -> r4(part(2, 3, idf(2)) + part(1, 3, idf(2))),
+      2L -> r4(part(1, 6, idf(2))),
+      3L -> r4(part(1, 2, idf(2))))
+    got.foreach { case (id, s) => assert(s === exp(id), s"doc $id") }
+    // ranking: doc 1 (two hits, short) on top; doc 3 beats doc 2 (shorter)
+    assert(got.map(_._1).toSeq === Seq(1L, 3L, 2L))
+  }
 }
