@@ -125,12 +125,18 @@ object TextAnalysis {
     *
     * Scale shape: ONE hash-agg shuffle builds the vocabulary counts; the
     * corpus total rides a single bounded driver scalar; scoring is a
-    * BROADCAST join of tokens against the vocabulary (word-level unigram
-    * tables are millions of rows at worst — far under executor memory)
-    * followed by one per-doc hash agg. The corpus token stream itself is
-    * never shuffled twice and never collected.
+    * join of tokens against the vocabulary — BROADCAST while the vocab
+    * fits (`maxBroadcastVocab` rows; word-level unigram tables are
+    * usually millions of rows), falling back to a shuffled hash join
+    * past that bound (web-scale vocabularies — URLs, typos, code tokens —
+    * can exceed any broadcast limit) — followed by one per-doc hash agg.
+    * The corpus token stream itself is never shuffled twice and never
+    * collected.
+    * @param maxBroadcastVocab vocab-row bound for the broadcast plan;
+    *   above it the scoring join shuffles on the token instead
     * @return (idCol, n_tokens, surprisal) — natural-log, rounded to 4 */
-  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String,
+                       maxBroadcastVocab: Long = 4000000L): DataFrame = {
     val toks = df.select(col(idCol),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("__w"))
       .filter(col("__w") =!= "")
@@ -141,9 +147,14 @@ object TextAnalysis {
     val vocab = Caches.registered(
       toks.groupBy(col("__w")).agg(count(lit(1)).as("__c"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // one bounded scalar (the corpus token total) — never row-scaled
-    val total = vocab.agg(sum(col("__c"))).collect()(0).getLong(0).toDouble
-    toks.join(broadcast(vocab), "__w")
+    // one bounded 1-row collect (corpus token total + vocab size) —
+    // never row-scaled; it doubles as the broadcast-size guard
+    val stats = vocab.agg(sum(col("__c")), count(lit(1))).collect()(0)
+    val total = stats.getLong(0).toDouble
+    val scored =
+      if (stats.getLong(1) <= maxBroadcastVocab) toks.join(broadcast(vocab), "__w")
+      else toks.join(vocab, "__w")
+    scored
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(-log(col("__c") / lit(total))), 4).as("surprisal"))

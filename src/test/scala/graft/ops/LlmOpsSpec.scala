@@ -331,6 +331,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(2L)._2 > out(1L)._2, "rare-token doc must score higher")
   }
 
+  test("unigram surprisal: shuffle-join fallback past the broadcast bound " +
+    "matches the broadcast plan") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a a a b c"), (2L, "b d d"), (3L, "e")).toDF("doc_id", "text")
+    def run(bound: Long) =
+      TextAnalysis.unigramSurprisal(corpus, "doc_id", "text",
+        maxBroadcastVocab = bound)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // vocab here is 5 distinct tokens: bound=1 forces the shuffled join
+    assert(run(1L) === run(1000000L))
+  }
+
   test("BM25: tf, idf and length normalization behave; exact on a tiny corpus") {
     import spark.implicits._
     val corpus = Seq(
