@@ -569,7 +569,7 @@ class VersionedTable private (val spark: SparkSession,
       case Some(v) => spark.conf.set(TsConf, v)
       case None => spark.conf.unset(TsConf)
     }
-    val added = scala.collection.mutable.ArrayBuffer[FileEntry]()
+    val moved = scala.collection.mutable.ArrayBuffer[(String, Path, Long)]()
     def walk(dir: Path, rel: String): Unit =
       f.listStatus(dir).foreach { st =>
         val name = st.getPath.getName
@@ -580,14 +580,23 @@ class VersionedTable private (val spark: SparkSession,
           f.mkdirs(dest.getParent)
           if (!f.rename(st.getPath, dest))
             throw new IllegalStateException(s"failed to move $relPath into $dataDir")
-          val (stats, rowCount) = footerInfo(dest)
-          added += FileEntry(relPath, partitionValuesOf(relPath), st.getLen,
-            stats, rowCount)
+          moved += ((relPath, dest, st.getLen))
         }
       }
     walk(stage, "")
     f.delete(stage, true)
-    added.toSeq
+    // Footer stats are read in PARALLEL on the driver: each read is a
+    // bounded footer-only fetch, but a large commit writes thousands of
+    // files and doing them one-by-one would serialize the commit tail —
+    // this keeps it O(files / driver-cores). (Delta computes stats
+    // executor-side at write; the parallel driver read is the same
+    // metadata volume without a second job.) Order is restored from the
+    // walk so commit-log file order stays deterministic.
+    import scala.collection.parallel.CollectionConverters._
+    moved.toSeq.par.map { case (relPath, dest, len) =>
+      val (stats, rowCount) = footerInfo(dest)
+      FileEntry(relPath, partitionValuesOf(relPath), len, stats, rowCount)
+    }.seq
   }
 
   /** Column min/max/null stats AND row count from the parquet footer of
