@@ -63,14 +63,56 @@ object SparkEntry {
     }
   }
 
+  /** Normalize an events-shaped frame's `ts` to session-zone TIMESTAMP,
+    * whatever physical encoding the driver's testdata uses for it:
+    *  - parquet TIMESTAMP(NANOS), which Spark 4 only reads as a raw long
+    *    (nanosAsLong, set in GraftSession.tune) → ns÷1000 micros,
+    *    matching DuckDB's ns→µs truncation;
+    *  - parquet timestamp[us] without UTC adjustment, read as
+    *    TIMESTAMP_NTZ → cast to TIMESTAMP (value-preserving under the
+    *    pinned UTC session timezone; `unix_micros`/`withWatermark` reject
+    *    NTZ, so the cast is required, not cosmetic);
+    *  - already TIMESTAMP → untouched.
+    * Works on batch and streaming frames alike — use it at EVERY events
+    * read site so a future testdata re-encoding is a no-op here. */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
+  /** Far-future watermark sentinel row (~100 days past max(ts)) in the RAW
+    * events schema, whatever ts encoding it uses — appended to a temp
+    * stream dir by q57/q59 so a second drain flushes every real session.
+    * The 1-row max(ts) collect is bounded metadata, not a data-scaled
+    * collect. */
+  private def watermarkSentinel(s: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val maxTs = normalizeTs(s.read.parquet(s"$dir/events.parquet"))
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val sentinel = s.range(1).select(
+      lit(-999L).as("event_id"),
+      lit(new java.sql.Timestamp(maxTs.getTime + 8640000L * 1000L)).as("ts"),
+      lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+      lit(0.0).as("value"), lit(null).cast("string").as("props"))
+    // back to the raw encoding: a plain timestamp→long CAST would yield
+    // SECONDS, so the nanos-as-long arm converts explicitly
+    val raw = schema("ts").dataType match {
+      case LongType => sentinel.withColumn("ts", expr("unix_micros(ts) * 1000"))
+      case dt       => sentinel.withColumn("ts", col("ts").cast(dt))
+    }
+    raw.select(schema.fieldNames.map(c => col(c).cast(schema(c).dataType)): _*)
+  }
+
   private[graft] def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 only reads as a
-    // raw long (nanosAsLong, set in GraftSession.tune) — convert to a
-    // microsecond timestamp, matching DuckDB's ns→us truncation.
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") normalizeTs(df) else df
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -871,12 +913,8 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val sink = "q47_win_" + java.util.UUID.randomUUID.toString.replace("-", "")
       withStreamDir(dir, "events", "q47") { in =>
-        val raw = s.readStream.schema(schema).parquet(in)
-        // same TIMESTAMP(NANOS)→µs normalization tbl() applies to the batch read
-        val stream =
-          if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-            raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-          else raw
+        // same ts normalization tbl() applies to the batch read
+        val stream = normalizeTs(s.readStream.schema(schema).parquet(in))
         val q = graft.streaming.StreamingEventStats.windowedCounts(stream)
           .writeStream.format("memory").queryName(sink)
           .outputMode("complete")
@@ -960,13 +998,8 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val sink = "q51_state_" + java.util.UUID.randomUUID.toString.replace("-", "")
       withStreamDir(dir, "events", "q51") { in =>
-        val raw = s.readStream.schema(schema).parquet(in)
-        val tsCol =
-          if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-            expr("timestamp_micros(ts div 1000)")
-          else col("ts")
-        val events = raw
-          .select(col("user_id").as("userId"), tsCol.as("ts"), col("value"))
+        val events = normalizeTs(s.readStream.schema(schema).parquet(in))
+          .select(col("user_id").as("userId"), col("ts"), col("value"))
           .as[graft.streaming.StreamingEventStats.UserEvent]
         val q = graft.streaming.StreamingEventStats.runningUserStats(events)
           .writeStream.format("memory").queryName(sink)
@@ -1135,12 +1168,7 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val sink = "q56_ssj_" + java.util.UUID.randomUUID.toString.replace("-", "")
       withStreamDir(dir, "events", "q56") { in =>
-        def src = {
-          val raw = s.readStream.schema(schema).parquet(in)
-          if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-            raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-          else raw
-        }
+        def src = normalizeTs(s.readStream.schema(schema).parquet(in))
         val clicks = src.filter(col("event_type") === "click")
           .select(col("user_id"), col("ts").as("click_ts"),
             col("event_id").as("click_id"))
@@ -1179,18 +1207,13 @@ object SparkEntry {
     "q57_stream_session_window" -> ((s, dir) => {
       GraftSession.tune(s)
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val tsIsLong = schema("ts").dataType == org.apache.spark.sql.types.LongType
       val work = Files.createTempDirectory("graft-q57").toString
       val outDir = s"$work/out"
       withStreamDir(dir, "events", "q57") { in =>
         // foreachBatch parquet sink: unlike the memory sink it supports
         // RESTART from a checkpoint, which the two-drain flush needs
         def drain(): Unit = {
-          val raw = s.readStream.schema(schema).parquet(in)
-          val stream =
-            if (tsIsLong) raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-            else raw
-          val q = stream
+          val q = normalizeTs(s.readStream.schema(schema).parquet(in))
             .withWatermark("ts", "0 seconds")
             .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
             .agg(count(lit(1)).as("n_events"),
@@ -1216,19 +1239,8 @@ object SparkEntry {
         // appended INSIDE the withStreamDir temp dir (beside the symlink
         // to the real parquet, which is never followed for writes) — the
         // read-only corpus is never mutated, and the finally removes the
-        // whole dir. The 1-row max(ts) collect is bounded metadata.
-        val maxTs = s.read.parquet(s"$dir/events.parquet")
-          .agg(max(col("ts"))).collect()(0)
-        val sentinel = s.range(1).select(
-          lit(-999L).as("event_id"),
-          (if (tsIsLong) lit(maxTs.getLong(0) + 8640000L * 1000000000L)
-           else lit(new java.sql.Timestamp(
-             maxTs.getTimestamp(0).getTime + 8640000L * 1000L))).as("ts"),
-          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
-          lit(0.0).as("value"), lit(null).cast("string").as("props"))
-        sentinel.select(schema.fieldNames.map(c =>
-          col(c).cast(schema(c).dataType)): _*)
-          .write.mode("append").parquet(in)
+        // whole dir.
+        watermarkSentinel(s, dir, schema).write.mode("append").parquet(in)
         drain()
       }
       graft.ops.Caches.registeredRelease { () =>
@@ -1288,16 +1300,12 @@ object SparkEntry {
       GraftSession.tune(s)
       import s.implicits._
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val tsIsLong = schema("ts").dataType == org.apache.spark.sql.types.LongType
       val work = Files.createTempDirectory("graft-q59").toString
       val outDir = s"$work/out"
       withStreamDir(dir, "events", "q59") { in =>
         def drain(): Unit = {
-          val raw = s.readStream.schema(schema).parquet(in)
-          val tsCol =
-            if (tsIsLong) expr("timestamp_micros(ts div 1000)") else col("ts")
-          val events = raw
-            .select(col("user_id").as("userId"), tsCol.as("ts"), col("value"))
+          val events = normalizeTs(s.readStream.schema(schema).parquet(in))
+            .select(col("user_id").as("userId"), col("ts"), col("value"))
             .withWatermark("ts", "0 seconds")
             .as[graft.streaming.StreamingEventStats.UserEvent]
           val q = graft.streaming.StreamingEventStats
@@ -1316,18 +1324,7 @@ object SparkEntry {
         drain()
         // same far-future sentinel as q57 (see its comment: written into
         // the TEMP stream dir only, corpus untouched, bounded collect)
-        val maxTs = s.read.parquet(s"$dir/events.parquet")
-          .agg(max(col("ts"))).collect()(0)
-        val sentinel = s.range(1).select(
-          lit(-999L).as("event_id"),
-          (if (tsIsLong) lit(maxTs.getLong(0) + 8640000L * 1000000000L)
-           else lit(new java.sql.Timestamp(
-             maxTs.getTimestamp(0).getTime + 8640000L * 1000L))).as("ts"),
-          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
-          lit(0.0).as("value"), lit(null).cast("string").as("props"))
-        sentinel.select(schema.fieldNames.map(c =>
-          col(c).cast(schema(c).dataType)): _*)
-          .write.mode("append").parquet(in)
+        watermarkSentinel(s, dir, schema).write.mode("append").parquet(in)
         drain()
       }
       graft.ops.Caches.registeredRelease { () =>
