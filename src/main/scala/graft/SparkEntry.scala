@@ -369,13 +369,48 @@ object SparkEntry {
     }),
 
     // LLM-pipeline: LSH-bucketed approximate nearest neighbors (SURVEY
-    // §7.6) — the scale path of q14. Approximate by design → rows-only.
+    // §7.6) — the scale path of q14, at the production multi-table
+    // (OR-of-ANDs) operating point (48 tables × 8 bits; see
+    // Similarity.lshTopKMulti). The raw testdata embeddings are i.i.d.
+    // gaussians whose top-10 cosines are ≈0.27–0.41 — pure noise tail,
+    // a regime where NO sublinear ANN method has recall (the LSH
+    // ρ-exponent → 1 as the similarity gap → 0), so like q26 the query
+    // stages graded jittered copies of the query vector (cosines
+    // ≈0.8–0.999) to create real neighbor structure. The query then
+    // SELF-CHECKS: the LSH answer is joined against the exact
+    // brute-force top-10 on the same staged corpus and recall@10 ≥ 8/10
+    // is emitted as a checkable invariant (fixed seed → deterministic;
+    // expected recall at the weakest planted neighbor is ≥0.998, and
+    // the jitter derives from the query vector itself so the margin
+    // survives testdata regeneration). DuckDB cannot reproduce the LSH
+    // probe, so the Spark side computes the overlap and the oracle pins
+    // the claimed row (k=10, recall_ok=true). The single-table exact
+    // operating point (probeHamming=planes ≡ brute force) is fully
+    // oracle-checked on the raw corpus as q34; LlmOpsSpec asserts every
+    // LSH row carries the exact cosine.
     "q19_ann_lsh" -> ((s, dir) => {
       GraftSession.tune(s)
-      graft.ops.Similarity
-        .lshTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding",
-          queryId = 0, k = 10)
-        .select(col("vec_id"), round(col("cosine"), 4).as("cosine_sim"))
+      val base = tbl(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      // 15 graded near-neighbors of vector 0: v + 0.05k·rot(v), k=1..15
+      // (cosine ≈ 1/sqrt(1+(0.05k)²): ≈0.999 down to ≈0.8 — all far
+      // above the ≈0.4 noise ceiling, so the exact top-10 is exactly
+      // the 10 least-jittered plants)
+      val planted = base.filter(col("vec_id") === 0)
+        .select(explode(expr("sequence(1, 15)")).as("k"), col("v"))
+        .select((col("k") + 20000L).cast("long").as("vec_id"),
+          expr("transform(v, (x, i) -> x + 0.05 * k * element_at(v, 1 + ((i + 1) % size(v))))").as("v"))
+      val staged = base.unionByName(planted)
+      val approx = graft.ops.Similarity
+        .lshTopKMulti(staged, "vec_id", "v", queryId = 0, k = 10)
+        .select(col("vec_id"))
+      val exact = graft.ops.Similarity
+        .bruteForceTopK(staged, "vec_id", "v", queryId = 0, k = 10)
+        .select(col("vec_id"))
+      approx.join(exact, Seq("vec_id"))
+        .agg(count(lit(1)).as("__overlap"))
+        .select(lit(10L).as("k"), (col("__overlap") >= 8L).as("recall_ok"))
     }),
 
     // LLM-pipeline: multimodal binary-column plumbing (SURVEY §7.6) —
@@ -1658,11 +1693,10 @@ object SparkEntry {
       |ORDER BY user_id, session_start""".stripMargin
 
   /** Queries intentionally lacking a DuckDB oracle (non-SQL-expressible),
-    * so the driver records a rows-only check. Keep this set tight.
-    *  - q19_ann_lsh: approximate by construction (probes a bounded bucket
-    *    set); its exact twin q14_topk_cosine IS oracle-checked, and the
-    *    LlmOpsSpec asserts every LSH result carries the exact cosine. */
-  def rowsOnlyJustified: Set[String] = Set("q19_ann_lsh")
+    * so the driver records a rows-only check. Empty since round 7: the
+    * last member (q19_ann_lsh) now self-checks recall@k against the
+    * exact answer and carries a pinned oracle row. */
+  def rowsOnlyJustified: Set[String] = Set.empty
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -2011,6 +2045,15 @@ object SparkEntry {
         |      + 0.3 * (len(dt)::DOUBLE / len(wt)), 4) AS quality,
         |  md5(array_to_string(regexp_split_to_array(lower(trim(text)), '\s+'), ' ')) AS fingerprint
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // q19 self-checks: the Spark side computes recall@10 of the LSH
+    // answer against the exact brute-force top-k (both on the same data,
+    // fixed seed → deterministic); DuckDB cannot reproduce the LSH probe,
+    // so the oracle pins the claimed invariant row. A recall regression
+    // (bucketing, signature, or probe-set bug) flips recall_ok to false
+    // and hash-mismatches this row.
+    "q19_ann_lsh" ->
+      "SELECT CAST(10 AS BIGINT) AS k, true AS recall_ok",
 
     // same lang-ID + quality formulas as q18, ranked per language
     "q35_top_quality_per_lang" ->

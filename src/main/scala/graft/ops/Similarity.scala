@@ -209,4 +209,54 @@ object Similarity {
       .limit(k)
       .select(col(idCol), col("cosine"))
   }
+
+  /** Approximate top-k via MULTI-TABLE (OR-of-ANDs) random-hyperplane
+    * LSH — the production operating point. A single-table signature
+    * (`lshTopK`) needs neighbors to agree on most of one long signature,
+    * which collapses when the top-k live at moderate cosine (≈0.6, bit-
+    * agreement p ≈ 0.7): P(agree on 10 bits) ≈ 0.03. `tables`
+    * independent short signatures fix that the standard way (E2LSH,
+    * FAISS IndexLSH): a candidate only has to match the query in ANY one
+    * table, so recall per true neighbor is 1-(1-p^bits)^tables — the
+    * defaults (48×8) give ≈0.94 at c = 0.6 and ≈1 at c ≥ 0.8, while a
+    * random vector (p = 0.5) collides with probability
+    * 1-(1-2^-bits)^tables ≈ 0.17, so ~17% of the corpus is ever scored.
+    * Signatures come from the same codegen'd
+    * [[graft.expressions.RandProjBuckets]] expression the near-dup-pairs
+    * path uses (per-table seed baked into the hashed bucket, so one
+    * `arrays_overlap` against the query's bucket array is exactly
+    * per-table equality); candidate selection is MAP-ONLY — no shuffle,
+    * no explode, no dedup — followed by exact-cosine TakeOrdered.
+    *
+    * Scale: at 100 TB the bucket arrays are written once as an exploded
+    * (bucket, id) postings table bucketed by `bucket`; a query then
+    * equi-joins its `tables` buckets against the postings (partition-
+    * pruned, like the IVF cell layout) instead of re-scanning. Raise
+    * `bits` with corpus size to hold expected candidates constant; the
+    * only driver state is the query row's bucket array. */
+  def lshTopKMulti(emb: DataFrame, idCol: String, vecCol: String,
+                   queryId: Long, k: Int,
+                   tables: Int = 48, bits: Int = 8,
+                   seed: Long = 7L): DataFrame = {
+    val bucketsCol = GraftColumnBridge.column(RandProjBuckets(
+      GraftColumnBridge.expression(col(vecCol)), tables, bits, seed))
+    val bucketed = emb.withColumn("__buckets", bucketsCol)
+
+    // one tiny collect: the query row's per-table bucket array
+    val qRow = bucketed.filter(col(idCol) === queryId)
+      .select(col("__buckets")).collect()
+    require(qRow.nonEmpty, s"query id $queryId not found")
+    val qBuckets = qRow(0).getSeq[Long](0)
+
+    val query = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"))
+    bucketed
+      .filter(arrays_overlap(col("__buckets"),
+          array(qBuckets.map(lit): _*)) && col(idCol) =!= queryId)
+      .crossJoin(broadcast(query))
+      .withColumn("cosine", cosineExpr(vecCol, "__qvec"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("cosine"))
+  }
 }

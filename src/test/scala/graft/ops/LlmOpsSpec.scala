@@ -237,6 +237,30 @@ class LlmOpsSpec extends AnyFunSuite {
     lsh.foreach(r => assert(math.abs(brute(r.getLong(0)) - r.getDouble(1)) < 1e-9))
   }
 
+  test("multi-table LSH top-k recovers planted near-neighbors with high recall") {
+    import org.apache.spark.sql.functions.{expr, explode}
+    val base = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    // 15 graded jittered copies of vector 0 (cosine ≈0.8–0.999), the
+    // regime multi-table OR-of-ANDs LSH is designed for
+    val planted = base.filter(col("vec_id") === 0)
+      .select(explode(expr("sequence(1, 15)")).as("k"), col("v"))
+      .select((col("k") + 20000L).cast("long").as("vec_id"),
+        expr("transform(v, (x, i) -> x + 0.05 * k * element_at(v, 1 + ((i + 1) % size(v))))").as("v"))
+    val staged = base.unionByName(planted)
+    val approx = Similarity.lshTopKMulti(staged, "vec_id", "v", queryId = 0, k = 10)
+      .collect()
+    assert(approx.length == 10)
+    val exact = Similarity.bruteForceTopK(staged, "vec_id", "v", queryId = 0, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val overlap = approx.map(_.getLong(0)).count(exact)
+    assert(overlap >= 8, s"recall@10 too low: $overlap/10")
+    // precision is exact: each returned cosine equals the true cosine
+    val sims = approx.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (x, y) => x >= y }, "descending order")
+    assert(sims.head > 0.99, "least-jittered plant must rank first")
+  }
+
   test("multimodal stub pipeline: schema, determinism, partition parallelism") {
     import spark.implicits._
     val media = docs.limit(50)
