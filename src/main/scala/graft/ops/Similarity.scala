@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.expressions.{CosineSim, NearestCentroid, RandProjBuckets, RandProjSig}
+import graft.expressions.{CosineSim, NearestCentroid, PqAdcScore, PqEncode, RandProjBuckets, RandProjSig}
 import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
 import org.apache.spark.sql.functions._
 
@@ -253,6 +253,120 @@ object Similarity {
     bucketed
       .filter(arrays_overlap(col("__buckets"),
           array(qBuckets.map(lit): _*)) && col(idCol) =!= queryId)
+      .crossJoin(broadcast(query))
+      .withColumn("cosine", cosineExpr(vecCol, "__qvec"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("cosine"))
+  }
+
+  /** Deterministic PQ codebook: up to `sampleSize` vectors in id-hash
+    * order (the [[ivfAnchorFrame]] idiom — no stored state, same result
+    * every run), L2-normalized and split into `m` sub-vectors; per
+    * subspace, `kCent` centroids from `iters` Lloyd iterations seeded
+    * with the first `kCent` samples. All driver-side math is over a
+    * ≤ sampleSize × dim double matrix — bounded, like the IVF anchors.
+    * @return codebook(s)(c) = centroid c of subspace s */
+  private[graft] def pqTrainCodebook(emb: DataFrame, idCol: String, vecCol: String,
+                                     m: Int, kCent: Int,
+                                     sampleSize: Int = 256,
+                                     iters: Int = 5): Seq[Seq[Seq[Double]]] = {
+    val sample: Array[Array[Double]] =
+      ivfAnchorFrame(emb, idCol, vecCol, sampleSize).collect().map { r =>
+        val raw = r.getSeq[Any](0).map {
+          case f: java.lang.Float => f.toDouble
+          case d: java.lang.Double => d.doubleValue
+        }.toArray
+        val n = math.sqrt(raw.map(x => x * x).sum)
+        if (n > 0) raw.map(_ / n) else raw
+      }
+    require(sample.nonEmpty, "cannot train PQ on an empty frame")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+    val dsub = dim / m
+    (0 until m).map { s =>
+      val sub = sample.map(_.slice(s * dsub, (s + 1) * dsub))
+      var cents = sub.take(kCent).map(_.clone)
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](dsub))
+        val counts = new Array[Int](cents.length)
+        sub.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var d = 0.0; var i = 0
+            while (i < dsub) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < dsub) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+        }
+        it += 1
+      }
+      cents.map(_.toSeq).toSeq
+    }
+  }
+
+  /** Approximate top-k via product quantization with exact re-ranking —
+    * the compressed-scan ANN path: every vector is stored as `m` small
+    * ints (8 ints vs 64 floats here: 8–32× less data scanned), a query
+    * builds one m × kCent lookup table driver-side and ADC-scores the
+    * whole corpus as a MAP-ONLY codegen'd projection (one table lookup +
+    * add per subspace — no per-row dot product), the top `refine`·k ADC
+    * candidates are then re-ranked by exact cosine. Both top-k steps
+    * plan as TakeOrderedAndProject (per-partition heaps, no global
+    * sort).
+    *
+    * Scale: at 100 TB the code column is written once next to the
+    * embeddings (or replacing them, keeping a raw copy for refine-reads
+    * only of the candidate rows); the ADC scan reads m ints per row
+    * instead of the full vector, and composes with the IVF cell column
+    * (scan only probed cells) for sublinear candidates. Codebook and
+    * LUT are bounded plan state (m·kCent·dim/m and m·kCent doubles). */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+             queryId: Long, k: Int,
+             m: Int = 8, kCent: Int = 16, refine: Int = 8,
+             sampleSize: Int = 256): DataFrame = {
+    val codebook = pqTrainCodebook(emb, idCol, vecCol, m, kCent, sampleSize)
+
+    // one tiny collect: the query vector, normalized like the codes
+    val qRow = emb.filter(col(idCol) === queryId).select(col(vecCol)).collect()
+    require(qRow.nonEmpty, s"query id $queryId not found")
+    val qRaw = qRow(0).getSeq[Any](0).map {
+      case f: java.lang.Float => f.toDouble
+      case d: java.lang.Double => d.doubleValue
+    }.toArray
+    val qn = math.sqrt(qRaw.map(x => x * x).sum)
+    val q = if (qn > 0) qRaw.map(_ / qn) else qRaw
+    val dsub = q.length / m
+    // lut(s)(c) = q_sub(s) · centroid(s)(c)  ⇒  Σ_s lut ≈ q·v̂ = cosine
+    val lut: Seq[Seq[Double]] = (0 until m).map { s =>
+      codebook(s).map { cent =>
+        cent.zipWithIndex.map { case (x, i) => x * q(s * dsub + i) }.sum
+      }
+    }
+
+    val coded = emb.withColumn("__codes",
+      GraftColumnBridge.column(PqEncode(
+        GraftColumnBridge.expression(col(vecCol)), codebook)))
+    val scored = coded.withColumn("__adc",
+      GraftColumnBridge.column(PqAdcScore(
+        GraftColumnBridge.expression(col("__codes")), lut)))
+    val candidates = scored
+      .filter(col(idCol) =!= queryId)
+      .orderBy(col("__adc").desc, col(idCol).asc)
+      .limit(refine * k)
+      .select(col(idCol), col(vecCol))
+
+    val query = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"))
+    candidates
       .crossJoin(broadcast(query))
       .withColumn("cosine", cosineExpr(vecCol, "__qvec"))
       .orderBy(col("cosine").desc, col(idCol).asc)
