@@ -1664,6 +1664,73 @@ object SparkEntry {
       GraftSession.tune(s)
       graft.ops.Retrieval.bm25TopK(tbl(s, dir, "documents"),
         "doc_id", "text", "merge window sort", k = 15)
+    }),
+
+    // LLM-pipeline: product-quantized ANN (SURVEY §7.6 family) — the
+    // compressed-scan path: vectors stored as 8 small ints (vs 64
+    // floats), query = one codegen'd LUT-sum projection + exact re-rank
+    // of the top ADC candidates (see Similarity.pqTopK). Same self-check
+    // protocol as q19: the raw embeddings are i.i.d. noise, so graded
+    // jittered near-neighbors of the query vector are staged (cosine
+    // ≈0.8–0.999) and recall@10 vs the exact brute-force top-10 on the
+    // same staged corpus is pinned (deterministic: codebook trained on an
+    // id-hash-ordered sample, fixed Lloyd iterations, fixed seed).
+    "q71_pq_ann" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val base = tbl(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      val planted = base.filter(col("vec_id") === 0)
+        .select(explode(expr("sequence(1, 15)")).as("k"), col("v"))
+        .select((col("k") + 20000L).cast("long").as("vec_id"),
+          expr("transform(v, (x, i) -> x + 0.05 * k * element_at(v, 1 + ((i + 1) % size(v))))").as("v"))
+      val staged = base.unionByName(planted)
+      val approx = graft.ops.Similarity
+        .pqTopK(staged, "vec_id", "v", queryId = 0, k = 10)
+        .select(col("vec_id"))
+      val exact = graft.ops.Similarity
+        .bruteForceTopK(staged, "vec_id", "v", queryId = 0, k = 10)
+        .select(col("vec_id"))
+      approx.join(exact, Seq("vec_id"))
+        .agg(count(lit(1)).as("__overlap"))
+        .select(lit(10L).as("k"), (col("__overlap") >= 8L).as("recall_ok"))
+    }),
+
+    // LLM-pipeline: per-source quota cap (C4/RefinedWeb per-domain cap).
+    // The kept subset is a deterministic md5-ranked uniform sample within
+    // each source, so DuckDB replays it exactly.
+    "q72_source_cap" -> ((s, dir) => {
+      GraftSession.tune(s)
+      graft.ops.Sampling
+        .perGroupCap(tbl(s, dir, "documents"), "doc_id", "source", cap = 5)
+        .select(col("doc_id"), col("source"))
+        .orderBy("source", "doc_id")
+    }),
+
+    // LLM-pipeline: length-bucketed batching + padding-waste report —
+    // the padding-minimizing batch assignment (docs batched with
+    // similar-length docs pad at most bucketWidth-1 tokens each).
+    "q73_length_batches" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+      val batched = graft.ops.Packing
+        .lengthBucketBatches(docs, "doc_id", "n_tokens",
+          bucketWidth = 16L, batchSize = 8)
+      graft.ops.Packing.paddingStats(batched, "n_tokens")
+        .orderBy("bucket", "batch_idx")
+    }),
+
+    // LLM-pipeline: CCNet-style head/middle/tail quality tiers — per
+    // language stratum, ntile(3) over the corpus unigram surprisal
+    // (rank-based, so any engine replays the split exactly).
+    "q74_perplexity_buckets" -> ((s, dir) => {
+      GraftSession.tune(s)
+      graft.ops.TextAnalysis
+        .perplexityBuckets(tbl(s, dir, "documents"), "doc_id", "text",
+          "lang", buckets = 3)
+        .orderBy("doc_id")
     })
   )
 
@@ -2734,6 +2801,64 @@ object SparkEntry {
         |JOIN dl d USING (doc_id), stats s
         |GROUP BY p.doc_id
         |ORDER BY score DESC, doc_id
-        |LIMIT 15""".stripMargin
+        |LIMIT 15""".stripMargin,
+
+    // q71 self-checks like q19: DuckDB cannot reproduce the PQ probe, so
+    // the Spark side computes recall@10 vs the exact answer on the same
+    // staged corpus and the oracle pins the claimed invariant row.
+    "q71_pq_ann" ->
+      "SELECT CAST(10 AS BIGINT) AS k, true AS recall_ok",
+
+    // replay of the md5-ranked per-source quota (Spark md5 ≡ DuckDB md5
+    // on the same string bytes)
+    "q72_source_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5
+        |ORDER BY source, doc_id""".stripMargin,
+
+    // replay of bucket = tokens/16, batch = consecutive 8 docs per
+    // bucket in id order, padding waste vs batch max
+    "q73_length_batches" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, n_tokens, n_tokens // 16 AS bucket,
+        |    row_number() OVER (PARTITION BY n_tokens // 16 ORDER BY doc_id) - 1 AS rn
+        |  FROM t
+        |), a AS (
+        |  SELECT CAST(bucket AS BIGINT) AS bucket,
+        |         CAST(rn // 8 AS BIGINT) AS batch_idx, n_tokens
+        |  FROM r)
+        |SELECT bucket, batch_idx, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS real_tokens,
+        |  CAST(count(*) * max(n_tokens) AS BIGINT) AS padded_tokens,
+        |  round(100.0 * (count(*) * max(n_tokens) - sum(n_tokens)) /
+        |        (count(*) * max(n_tokens)), 2) AS waste_pct
+        |FROM a GROUP BY 1, 2
+        |ORDER BY bucket, batch_idx""".stripMargin,
+
+    // q68's surprisal replay + rank-based ntile(3) per language stratum
+    "q74_perplexity_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+        |  FROM documents
+        |), v AS (
+        |  SELECT w, CAST(count(*) AS DOUBLE) AS c
+        |  FROM toks WHERE w <> '' GROUP BY 1
+        |), tot AS (SELECT sum(c) AS t FROM v
+        |), s AS (
+        |  SELECT doc_id, round(avg(-ln(c / t)), 4) AS surprisal
+        |  FROM toks JOIN v USING (w), tot
+        |  GROUP BY doc_id)
+        |SELECT s.doc_id, d.lang, s.surprisal,
+        |  CAST(ntile(3) OVER (PARTITION BY d.lang
+        |    ORDER BY s.surprisal, s.doc_id) AS INT) AS bucket
+        |FROM s JOIN documents d ON s.doc_id = d.doc_id
+        |ORDER BY s.doc_id""".stripMargin
   )
 }

@@ -104,4 +104,39 @@ class PlanAuditSpec extends AnyFunSuite {
       s"partition pruning missing from versioned-table scan:\n$p")
     assert(q.count() == 100)
   }
+
+  test("PQ ADC scan is map-only with whole-stage codegen'd top-k heaps") {
+    // the production shape: PQ encodes the raw float column directly —
+    // a transform() cast lambda here would break whole-stage codegen
+    // (higher-order functions are CodegenFallback)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val df = graft.ops.Similarity.pqTopK(emb, "vec_id", "embedding",
+      queryId = 0, k = 10)
+    df.collect() // finalize AQE so codegen marks are visible in the plan
+    val p = df.queryExecution.executedPlan.toString
+    // both top-k steps must be per-partition heaps, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), "ADC/refine top-k must heap")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "PQ path must not shuffle-join the corpus")
+    // codegen'd operators carry a *(stage) mark; the ADC scoring
+    // projection must be inside one
+    assert(p.linesIterator.exists(l => l.contains("graft_pq_adc") && l.contains("*(")),
+      s"ADC projection must be whole-stage codegen'd:\n${p.take(2000)}")
+  }
+
+  test("per-source cap and length-batching are ONE keyed window shuffle each") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val capped = graft.ops.Sampling.perGroupCap(docs, "doc_id", "source", 5)
+    val pc = capped.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(pc).length == 1,
+      s"per-group cap must shuffle exactly once:\n$pc")
+    val toks = docs.selectExpr("doc_id",
+      "size(split(trim(text), '\\\\s+')) AS n_tokens")
+    val batched = graft.ops.Packing
+      .lengthBucketBatches(toks, "doc_id", "n_tokens", 16L, 8)
+    val pb = batched.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(pb).length == 1,
+      s"length-batching must shuffle exactly once:\n$pb")
+  }
 }

@@ -261,6 +261,96 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(sims.head > 0.99, "least-jittered plant must rank first")
   }
 
+  test("PQ top-k: code shape, ADC approximates cosine, planted recall") {
+    import org.apache.spark.sql.functions.{expr, explode}
+    import org.apache.spark.sql.GraftColumnBridge
+    val base = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    // codes: M ints in [0, kCent)
+    val book = Similarity.pqTrainCodebook(base, "vec_id", "v", m = 8, kCent = 16)
+    assert(book.length == 8 && book.forall(_.length == 16))
+    val codes = base.withColumn("c", GraftColumnBridge.column(
+        graft.expressions.PqEncode(GraftColumnBridge.expression(col("v")), book)))
+      .select("c").collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    // same planted-neighbor protocol as the LSH spec
+    val planted = base.filter(col("vec_id") === 0)
+      .select(explode(expr("sequence(1, 15)")).as("k"), col("v"))
+      .select((col("k") + 20000L).cast("long").as("vec_id"),
+        expr("transform(v, (x, i) -> x + 0.05 * k * element_at(v, 1 + ((i + 1) % size(v))))").as("v"))
+    val staged = base.unionByName(planted)
+    val approx = Similarity.pqTopK(staged, "vec_id", "v", queryId = 0, k = 10).collect()
+    assert(approx.length == 10)
+    val exact = Similarity.bruteForceTopK(staged, "vec_id", "v", queryId = 0, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val overlap = approx.map(_.getLong(0)).count(exact)
+    assert(overlap >= 8, s"PQ recall@10 too low: $overlap/10")
+    // returned cosines are EXACT (re-ranked), not ADC approximations
+    val brute = Similarity.bruteForceTopK(staged, "vec_id", "v", 0, 600)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    approx.foreach(r =>
+      assert(math.abs(brute(r.getLong(0)) - r.getDouble(1)) < 1e-9))
+  }
+
+  test("per-source quota cap: bound respected, deterministic, unbiased subset") {
+    val capped = Sampling.perGroupCap(docs, "doc_id", "source", cap = 3)
+    val perSrc = capped.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSrc.values.forall(_ <= 3))
+    val full = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every source with >= 3 docs is capped at exactly 3; smaller kept whole
+    full.foreach { case (s, n) =>
+      assert(perSrc(s) == math.min(n, 3L), s"source $s: ${perSrc(s)} of $n")
+    }
+    // deterministic across runs
+    val again = Sampling.perGroupCap(docs, "doc_id", "source", cap = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == capped.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // not the "first cap ids" — the md5 rank mixes the id space
+    val firstIds = docs.orderBy("doc_id").limit(60)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again != firstIds)
+  }
+
+  test("length-bucketed batching: width + size bounds hold, waste accounted") {
+    val toks = docs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+    val batched = Packing.lengthBucketBatches(toks, "doc_id", "n_tokens",
+      bucketWidth = 16L, batchSize = 8)
+    val rows = batched.collect()
+    // every doc's bucket matches its token count; every batch ≤ 8 docs
+    rows.foreach { r =>
+      val (t, b) = (r.getAs[Int]("n_tokens").toLong, r.getAs[Long]("bucket"))
+      assert(b == t / 16)
+    }
+    val sizes = batched.groupBy("bucket", "batch_idx").count().collect()
+    assert(sizes.forall(_.getLong(2) <= 8))
+    val stats = Packing.paddingStats(batched, "n_tokens").collect()
+    stats.foreach { r =>
+      assert(r.getAs[Long]("padded_tokens") >= r.getAs[Long]("real_tokens"))
+      val w = r.getAs[Double]("waste_pct")
+      assert(w >= 0.0 && w < 100.0)
+    }
+  }
+
+  test("perplexity buckets: per-stratum equal-count tiers ordered by surprisal") {
+    val b = TextAnalysis.perplexityBuckets(docs, "doc_id", "text", "lang", buckets = 3)
+      .collect()
+    assert(b.map(_.getInt(3)).toSet == Set(1, 2, 3))
+    // within a stratum: tier counts differ by at most 1, and every tier-1
+    // surprisal <= every tier-3 surprisal
+    b.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      val byTier = rows.groupBy(_.getInt(3)).view.mapValues(_.length)
+      if (rows.length >= 3) {
+        assert(byTier.values.max - byTier.values.min <= 1)
+        val t1max = rows.filter(_.getInt(3) == 1).map(_.getDouble(2)).max
+        val t3min = rows.filter(_.getInt(3) == 3).map(_.getDouble(2)).min
+        assert(t1max <= t3min)
+      }
+    }
+  }
+
   test("multimodal stub pipeline: schema, determinism, partition parallelism") {
     import spark.implicits._
     val media = docs.limit(50)
