@@ -41,4 +41,35 @@ object Packing {
   def binStats(packed: DataFrame, tokensCol: String): DataFrame =
     packed.groupBy("shard", "bin_id")
       .agg(count(lit(1)).as("n_docs"), sum(tokensCol).as("total_tokens"))
+
+  /** Length-bucketed batching: the padding-minimizing alternative to
+    * [[sequencePack]] for models that pad each batch to its longest
+    * member. Docs are grouped into token-length buckets of width
+    * `bucketWidth`, and within a bucket assigned to fixed-size batches
+    * of `batchSize` docs in `idCol` order — so a batch only ever pads
+    * up to `bucketWidth - 1` tokens per doc. Assignment is two pure
+    * expressions + ONE window rank per bucket (keyed shuffle on the
+    * bucket id, which has ~max_len/bucketWidth values — salt the rank
+    * by a shard column first at 100 TB, like [[sequencePack]] shards).
+    * @return input + (bucket, batch_idx) */
+  def lengthBucketBatches(df: DataFrame, idCol: String, tokensCol: String,
+                          bucketWidth: Long, batchSize: Int): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0, "bucketWidth and batchSize must be positive")
+    val w = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+    df.withColumn("bucket", floor(col(tokensCol) / bucketWidth).cast("long"))
+      .withColumn("batch_idx",
+        floor((row_number().over(w) - 1).cast("long") / batchSize).cast("long"))
+  }
+
+  /** Padding-efficiency report per (bucket, batch): tokens actually
+    * present vs tokens after padding every doc to the batch max —
+    * the number a pipeline owner watches to tune `bucketWidth`. */
+  def paddingStats(batched: DataFrame, tokensCol: String): DataFrame =
+    batched.groupBy("bucket", "batch_idx")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokensCol).as("real_tokens"),
+        (count(lit(1)) * max(col(tokensCol))).as("padded_tokens"))
+      .withColumn("waste_pct",
+        round(lit(100.0) * (col("padded_tokens") - col("real_tokens")) /
+          col("padded_tokens"), 2))
 }

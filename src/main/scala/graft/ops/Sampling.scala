@@ -67,4 +67,29 @@ object Sampling {
                      seed: Long = 42L): DataFrame =
     stratifiedSample(df, idCol, stratumCol,
       temperatureRates(df, stratumCol, temperature, targetRows), seed = seed)
+
+  /** Keep at most `cap` rows per group value — the C4/RefinedWeb
+    * per-domain quota that stops a handful of huge hosts from dominating
+    * a crawl-derived corpus. The kept subset is a deterministic uniform
+    * sample WITHIN each group: rows are ranked by `md5(id:seed)` (an
+    * order any engine can replay — unlike a partition-order `limit`,
+    * which is nondeterministic, and unlike "first cap by id", which
+    * biases toward old documents) and the first `cap` survive.
+    *
+    * Scale: ONE keyed shuffle (the window partition). The cap bounds
+    * every group's OUTPUT; a pathologically hot key still shuffles its
+    * input rows to one reducer and pays a per-group sort there, but the
+    * sort is Spark's spillable external sort — memory-safe, and AQE
+    * skew-split does not apply to windows, so for a truly degenerate
+    * key pre-aggregate with a salted two-level rank instead. */
+  def perGroupCap(df: DataFrame, idCol: String, groupCol: String,
+                  cap: Int, seed: Long = 42L): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val rank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(concat(col(idCol).cast("string"), lit(":" + seed))), col(idCol))
+    df.withColumn("__rk", row_number().over(rank))
+      .filter(col("__rk") <= cap)
+      .drop("__rk")
+  }
 }

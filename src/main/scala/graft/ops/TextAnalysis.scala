@@ -160,6 +160,33 @@ object TextAnalysis {
         round(avg(-log(col("__c") / lit(total))), 4).as("surprisal"))
   }
 
+  /** CCNet-style quality bucketing: per language stratum, split
+    * documents into `buckets` equal-count groups (1 = lowest surprisal
+    * "head" … `buckets` = "tail") by their [[unigramSurprisal]] score —
+    * the preprocessing rule behind head/middle/tail corpus tiers.
+    * `ntile` is rank-based, so the split is exactly reproducible in any
+    * engine (no quantile-interpolation arithmetic to disagree about);
+    * ties break on the id.
+    *
+    * Scale shape: scoring is [[unigramSurprisal]]'s shape; bucketing is
+    * ONE window shuffle keyed by the language stratum. A stratum's rank
+    * sorts on its reducer (spillable); at 100 TB replace the exact
+    * ntile with per-stratum approx-quantile cuts computed in one agg if
+    * single-key strata dominate.
+    * @return (idCol, stratumCol, surprisal, bucket) */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+                        stratumCol: String, buckets: Int = 3,
+                        maxBroadcastVocab: Long = 4000000L): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val scored = unigramSurprisal(df, idCol, textCol, maxBroadcastVocab)
+      .join(df.select(col(idCol), col(stratumCol)), idCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(col("surprisal"), col(idCol))
+    scored.withColumn("bucket", ntile(buckets).over(w))
+      .select(col(idCol), col(stratumCol), col("surprisal"), col("bucket"))
+  }
+
   /** Convenience: attach all text-analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("lang_guess", languageId(textCol))
