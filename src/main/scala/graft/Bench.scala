@@ -113,8 +113,18 @@ object Bench {
                 deleteRecursively(new java.io.File(s"$tmp/$d")))
               System.gc()
             }
+            // settle the page cache around the UNTIMED writes: the CSV
+            // generation, the previous rep's deletes, and above all the
+            // batch1 INIT LOAD (a multi-GB table write immediately
+            // before the measured run) leave dirty pages whose async
+            // writeback otherwise lands inside the measurement — reps
+            // measured swinging 13 s → 42 s (1M) and 20 s → 142 s (5M)
+            // purely from flush overlap; sync serializes that cost
+            // OUTSIDE the timed window
+            settle()
             HeaderEtlJob.run(spark, s"$tmp/crm/header_20230127.csv",
               s"$tmp/table", s"$tmp/discarded", s"$tmp/metrics")
+            settle()
             HeaderEtlJob.run(spark, s"$tmp/crm/header_20230228.csv",
               s"$tmp/table", s"$tmp/discarded", s"$tmp/metrics")
           }
@@ -361,5 +371,16 @@ object Bench {
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
+  }
+
+  /** Block until outstanding page-cache writeback is flushed (plus a GC):
+    * run between data generation and a timed rep so the flush of the
+    * GENERATOR's (or previous rep's) writes doesn't land inside the
+    * measurement. Best-effort — a missing /bin/sync degrades to gc+sleep. */
+  private def settle(): Unit = {
+    try Runtime.getRuntime.exec(Array("sync")).waitFor()
+    catch { case scala.util.control.NonFatal(_) => }
+    System.gc()
+    Thread.sleep(1000)
   }
 }
