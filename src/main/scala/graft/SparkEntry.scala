@@ -1731,6 +1731,33 @@ object SparkEntry {
         .perplexityBuckets(tbl(s, dir, "documents"), "doc_id", "text",
           "lang", buckets = 3)
         .orderBy("doc_id")
+    }),
+
+    // LLM-pipeline: IVF+PQ composed ANN (FAISS IVFADC shape) — coarse
+    // cells prune the corpus BEFORE the compressed ADC scan, the two
+    // prunings composing multiplicatively (see Similarity.ivfPqTopK).
+    // Same planted-neighbor self-check protocol as q19/q71; nProbe is
+    // widened to 8 of 16 cells because the jittered plants of a noise
+    // vector can straddle coarse cells — recall stays pinned ≥ 8/10.
+    "q75_ivfpq_ann" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val base = tbl(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      val planted = base.filter(col("vec_id") === 0)
+        .select(explode(expr("sequence(1, 15)")).as("k"), col("v"))
+        .select((col("k") + 20000L).cast("long").as("vec_id"),
+          expr("transform(v, (x, i) -> x + 0.05 * k * element_at(v, 1 + ((i + 1) % size(v))))").as("v"))
+      val staged = base.unionByName(planted)
+      val approx = graft.ops.Similarity
+        .ivfPqTopK(staged, "vec_id", "v", queryId = 0, k = 10, nProbe = 8)
+        .select(col("vec_id"))
+      val exact = graft.ops.Similarity
+        .bruteForceTopK(staged, "vec_id", "v", queryId = 0, k = 10)
+        .select(col("vec_id"))
+      approx.join(exact, Seq("vec_id"))
+        .agg(count(lit(1)).as("__overlap"))
+        .select(lit(10L).as("k"), (col("__overlap") >= 8L).as("recall_ok"))
     })
   )
 
@@ -2859,6 +2886,11 @@ object SparkEntry {
         |  CAST(ntile(3) OVER (PARTITION BY d.lang
         |    ORDER BY s.surprisal, s.doc_id) AS INT) AS bucket
         |FROM s JOIN documents d ON s.doc_id = d.doc_id
-        |ORDER BY s.doc_id""".stripMargin
+        |ORDER BY s.doc_id""".stripMargin,
+
+    // q75 self-checks like q19/q71: the oracle pins the claimed
+    // recall@10 invariant row computed Spark-side.
+    "q75_ivfpq_ann" ->
+      "SELECT CAST(10 AS BIGINT) AS k, true AS recall_ok"
   )
 }

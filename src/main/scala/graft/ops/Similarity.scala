@@ -332,8 +332,10 @@ object Similarity {
   def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
              queryId: Long, k: Int,
              m: Int = 8, kCent: Int = 16, refine: Int = 8,
-             sampleSize: Int = 256): DataFrame = {
-    val codebook = pqTrainCodebook(emb, idCol, vecCol, m, kCent, sampleSize)
+             sampleSize: Int = 256,
+             trainedCodebook: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+    val codebook = trainedCodebook.getOrElse(
+      pqTrainCodebook(emb, idCol, vecCol, m, kCent, sampleSize))
 
     // one tiny collect: the query vector, normalized like the codes
     val qRow = emb.filter(col(idCol) === queryId).select(col(vecCol)).collect()
@@ -372,5 +374,59 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("cosine"))
+  }
+
+  /** IVF + PQ composed (the FAISS IVFADC architecture, sans residual
+    * encoding): the coarse quantizer prunes the corpus to the `nProbe`
+    * cells nearest the query — at 100 TB a partition-pruned scan, since
+    * the cell is a plain int partition column — and only the surviving
+    * rows are ADC-scored against the PQ lookup table, then exact
+    * re-ranked. Candidate count is ~nProbe/nCentroids of the corpus and
+    * the scan reads m ints per surviving row: the two prunings compose
+    * multiplicatively, which is the production ANN shape for corpora too
+    * large to ADC-scan whole.
+    *
+    * The PQ codebook is trained on the full corpus sample (not per
+    * cell) so codes are globally comparable; in production both the
+    * cell column and the code column are written once at ingest and
+    * every query reuses them — here both are computed inline, keeping
+    * the query self-contained and deterministic. No residual encoding:
+    * codes quantize the vectors themselves, trading a little recall at
+    * equal m for not needing a per-cell recentering expression;
+    * `refine`-deep exact re-ranking recovers the ordering. */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, k: Int,
+                nCentroids: Int = 16, nProbe: Int = 4,
+                m: Int = 8, kCent: Int = 16, refine: Int = 8): DataFrame = {
+    val anchors = ivfAnchorFrame(emb, idCol, vecCol, nCentroids).collect()
+    val centroids: Seq[Seq[Double]] = anchors.map(
+      _.getSeq[Any](0).map {
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue
+      }.toSeq).toSeq
+    val qRow = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol)).collect()
+    require(qRow.nonEmpty, s"query id $queryId not found")
+    val qVec = qRow(0).getSeq[Any](0).map {
+      case f: java.lang.Float => f.toDouble
+      case d: java.lang.Double => d.doubleValue
+    }
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val probes = centroids.zipWithIndex
+      .sortBy { case (c, _) => -cos(c, qVec) }.take(nProbe).map(_._2)
+    val assignCol = GraftColumnBridge.column(
+      NearestCentroid(GraftColumnBridge.expression(col(vecCol)), centroids))
+    val probed = emb.withColumn("__cell", assignCol)
+      .filter(col("__cell").isin(probes: _*))
+      .drop("__cell")
+    // codebook trained on the FULL corpus sample (codes must be globally
+    // comparable across cells); the query row's own cell is always probed
+    // (it IS a nearest centroid's cell), so pqTopK finds it for the LUT
+    val codebook = pqTrainCodebook(emb, idCol, vecCol, m, kCent)
+    pqTopK(probed, idCol, vecCol, queryId, k, m, kCent, refine,
+      trainedCodebook = Some(codebook))
   }
 }

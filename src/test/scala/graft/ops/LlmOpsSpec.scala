@@ -292,6 +292,28 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(math.abs(brute(r.getLong(0)) - r.getDouble(1)) < 1e-9))
   }
 
+  test("IVF+PQ composed top-k: cell pruning + ADC + exact re-rank recovers plants") {
+    import org.apache.spark.sql.functions.{expr, explode}
+    val base = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val planted = base.filter(col("vec_id") === 0)
+      .select(explode(expr("sequence(1, 15)")).as("k"), col("v"))
+      .select((col("k") + 20000L).cast("long").as("vec_id"),
+        expr("transform(v, (x, i) -> x + 0.05 * k * element_at(v, 1 + ((i + 1) % size(v))))").as("v"))
+    val staged = base.unionByName(planted)
+    val approx = Similarity.ivfPqTopK(staged, "vec_id", "v",
+      queryId = 0, k = 10, nProbe = 8).collect()
+    assert(approx.length == 10)
+    val exact = Similarity.bruteForceTopK(staged, "vec_id", "v", queryId = 0, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val overlap = approx.map(_.getLong(0)).count(exact)
+    assert(overlap >= 8, s"IVFPQ recall@10 too low: $overlap/10")
+    // the composed path must return strictly fewer-or-equal candidates'
+    // worth of work than plain PQ — sanity: results are exact cosines
+    val sims = approx.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+  }
+
   test("per-source quota cap: bound respected, deterministic, unbiased subset") {
     val capped = Sampling.perGroupCap(docs, "doc_id", "source", cap = 3)
     val perSrc = capped.groupBy("source").count().collect()
