@@ -585,79 +585,53 @@ class VersionedTable private (val spark: SparkSession,
       }
     walk(stage, "")
     f.delete(stage, true)
-    // Footer stats are read in PARALLEL on the driver: each read is a
-    // bounded footer-only fetch, but a large commit writes thousands of
-    // files and doing them one-by-one would serialize the commit tail —
-    // this keeps it O(files / driver-cores). (Delta computes stats
-    // executor-side at write; the parallel driver read is the same
-    // metadata volume without a second job.) Order is restored from the
-    // walk so commit-log file order stays deterministic.
-    import scala.collection.parallel.CollectionConverters._
-    moved.toSeq.par.map { case (relPath, dest, len) =>
-      val (stats, rowCount) = footerInfo(dest)
-      FileEntry(relPath, partitionValuesOf(relPath), len, stats, rowCount)
-    }.seq
+    statsForMoved(moved.toSeq)
   }
 
-  /** Column min/max/null stats AND row count from the parquet footer of
-    * one written file — metadata-only, no data read. Only top-level
-    * primitive leaves are recorded; failures degrade to "no stats"
-    * (skipping is an optimization, never required for correctness). */
-  private def footerInfo(file: Path): (Option[Map[String, FileColStats]], Long) =
-    try {
-      import scala.jdk.CollectionConverters._
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(file, spark.sparkContext.hadoopConfiguration)
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try {
-        var rowCount = 0L
-        val acc = scala.collection.mutable.Map[String, FileColStats]()
-        // columns with any row group whose rows are NOT fully accounted
-        // for (min/max present, or provably all-NULL) must carry NO stats
-        // entry at all — e.g. INT96 timestamps, where parquet suppresses
-        // min/max but still reports numNulls=0: a naive reading would
-        // classify the file as all-NULL and wrongly skip it
-        val untracked = scala.collection.mutable.Set[String]()
-        reader.getFooter.getBlocks.asScala.foreach(b => rowCount += b.getRowCount)
-        for (block <- reader.getFooter.getBlocks.asScala;
-             c <- block.getColumns.asScala if c.getPath.size == 1) {
-          val name = c.getPath.toDotString
-          val st: org.apache.parquet.column.statistics.Statistics[_] = c.getStatistics
-          val covered = st != null && !st.isEmpty &&
-            (st.hasNonNullValue ||
-              (st.isNumNullsSet && st.getNumNulls == block.getRowCount))
-          if (!covered) untracked += name
-          else {
-            val has = st.hasNonNullValue
-            // getNumNulls is -1 when the null count wasn't recorded —
-            // clamp so a garbage negative never reaches the commit log
-            val nulls = math.max(0L, st.getNumNulls)
-            val cur = acc.get(name)
-            val next = cur match {
-              case None =>
-                FileColStats(if (has) st.minAsString else "",
-                  if (has) st.maxAsString else "", nulls, has)
-              case Some(p) =>
-                // merge across row groups: widen min/max, add nulls
-                val mn = (p.hasMinMax, has) match {
-                  case (true, true) => if (ordered(st.minAsString, p.min)) st.minAsString else p.min
-                  case (true, false) => p.min
-                  case (false, _) => if (has) st.minAsString else ""
-                }
-                val mx = (p.hasMinMax, has) match {
-                  case (true, true) => if (ordered(p.max, st.maxAsString)) st.maxAsString else p.max
-                  case (true, false) => p.max
-                  case (false, _) => if (has) st.maxAsString else ""
-                }
-                FileColStats(mn, mx, p.nullCount + nulls, p.hasMinMax || has)
-            }
-            acc(name) = next
-          }
+  /** Footer stats for a commit's written files, Delta-style: metadata-
+    * only footer fetches, parallelized two ways by file count.
+    *  - Small commits: a driver parallel collection — O(files /
+    *    driver-cores), no job-scheduling overhead.
+    *  - Past [[VersionedTable.ExecutorStatsFileThreshold]] files: ONE
+    *    Spark job over the paths, so a 100 TB commit writing tens of
+    *    thousands of files reads footers at CLUSTER parallelism instead
+    *    of serializing (even in parallel) on the driver — driver state
+    *    stays one small FileEntry per file, exactly what the commit log
+    *    stores anyway.
+    * Output order matches the walk order either way, keeping commit-log
+    * file order deterministic. */
+  private[tables] def statsForMoved(moved: Seq[(String, Path, Long)],
+      executorThreshold: Int = VersionedTable.ExecutorStatsFileThreshold): Seq[FileEntry] =
+    if (moved.size < executorThreshold) {
+      import scala.collection.parallel.CollectionConverters._
+      moved.par.map { case (relPath, dest, len) =>
+        val (stats, rowCount) = footerInfo(dest)
+        FileEntry(relPath, partitionValuesOf(relPath), len, stats, rowCount)
+      }.seq
+    } else {
+      val confThunk = org.apache.spark.GraftSparkBridge
+        .confFactory(spark.sparkContext.hadoopConfiguration)
+      val byPath = spark.sparkContext
+        .parallelize(moved.map(_._2.toString),
+          math.min(moved.size, spark.sparkContext.defaultParallelism * 2))
+        .map { p =>
+          val (stats, rowCount) =
+            VersionedTable.footerInfoAt(new Path(p), confThunk())
+          (p, (stats, rowCount))
         }
-        val ok = acc.toMap -- untracked
-        (if (ok.isEmpty) None else Some(ok), rowCount)
-      } finally reader.close()
-    } catch { case _: Throwable => (None, -1L) }
+        .collect().toMap
+      moved.map { case (relPath, dest, len) =>
+        val (stats, rowCount) = byPath(dest.toString)
+        FileEntry(relPath, partitionValuesOf(relPath), len, stats, rowCount)
+      }
+    }
+
+  /** Column min/max/null stats AND row count from the parquet footer of
+    * one written file — metadata-only, no data read. Delegates to the
+    * static [[VersionedTable.footerInfoAt]] (shared with the
+    * executor-side stats job). */
+  private def footerInfo(file: Path): (Option[Map[String, FileColStats]], Long) =
+    VersionedTable.footerInfoAt(file, spark.sparkContext.hadoopConfiguration)
 
   /** "a ≤ b" under numeric comparison when both sides parse as numbers,
     * lexical otherwise — only for merging SAME-column parquet stat
@@ -666,12 +640,9 @@ class VersionedTable private (val spark: SparkSession,
     * order there). NOT safe between a stat string and a caller bound —
     * that comparison must be type-aware ([[cmpTyped]]). */
   private def ordered(a: String, b: String): Boolean =
-    (toNum(a), toNum(b)) match {
-      case (Some(x), Some(y)) => x <= y
-      case _ => a <= b
-    }
+    VersionedTable.statOrdered(a, b)
   private def toNum(s: String): Option[BigDecimal] =
-    try Some(BigDecimal(s)) catch { case _: Throwable => None }
+    VersionedTable.statNum(s)
 
   /** Parquet's stat stringifier writes timestamps as ISO 'T' forms with
     * micros and an optional zone suffix; normalize to epoch micros. */
@@ -1745,6 +1716,10 @@ object VersionedTable {
   private val LogDirName = "_graft_log"
   /** Commits between snapshot checkpoints (Delta uses 10 as well). */
   private val CheckpointInterval = 10L
+  /** File count above which commit-time footer stats are computed by a
+    * Spark job instead of a driver parallel collection (see
+    * [[VersionedTable#statsForMoved]]). */
+  private[tables] val ExecutorStatsFileThreshold = 256
   /** Table property: comma-separated columns to write parquet bloom
     * filters on (see [[VersionedTable.create]] / readWhereEquals). */
   val BloomColsProp = "bloom.filter.columns"
@@ -1763,6 +1738,80 @@ object VersionedTable {
   private implicit val fmts: Formats = DefaultFormats
 
   private def now(): Long = System.currentTimeMillis()
+
+  /** "a ≤ b" under numeric comparison when both sides parse as numbers,
+    * lexical otherwise — only for merging SAME-column parquet stat
+    * strings (same stringifier on both sides; ISO date/timestamp forms
+    * are fixed-width, so lexical order is value order there). */
+  private[tables] def statOrdered(a: String, b: String): Boolean =
+    (statNum(a), statNum(b)) match {
+      case (Some(x), Some(y)) => x <= y
+      case _ => a <= b
+    }
+  private[tables] def statNum(s: String): Option[BigDecimal] =
+    try Some(BigDecimal(s)) catch { case _: Throwable => None }
+
+  /** Column min/max/null stats AND row count from the parquet footer of
+    * one file — metadata-only, no data read. STATIC (no session state)
+    * so the commit path can evaluate it on executors for large commits.
+    * Only top-level primitive leaves are recorded; failures degrade to
+    * "no stats" (skipping is an optimization, never required for
+    * correctness). */
+  private[tables] def footerInfoAt(file: Path,
+      conf: org.apache.hadoop.conf.Configuration): (Option[Map[String, FileColStats]], Long) =
+    try {
+      import scala.jdk.CollectionConverters._
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        var rowCount = 0L
+        val acc = scala.collection.mutable.Map[String, FileColStats]()
+        // columns with any row group whose rows are NOT fully accounted
+        // for (min/max present, or provably all-NULL) must carry NO stats
+        // entry at all — e.g. INT96 timestamps, where parquet suppresses
+        // min/max but still reports numNulls=0: a naive reading would
+        // classify the file as all-NULL and wrongly skip it
+        val untracked = scala.collection.mutable.Set[String]()
+        reader.getFooter.getBlocks.asScala.foreach(b => rowCount += b.getRowCount)
+        for (block <- reader.getFooter.getBlocks.asScala;
+             c <- block.getColumns.asScala if c.getPath.size == 1) {
+          val name = c.getPath.toDotString
+          val st: org.apache.parquet.column.statistics.Statistics[_] = c.getStatistics
+          val covered = st != null && !st.isEmpty &&
+            (st.hasNonNullValue ||
+              (st.isNumNullsSet && st.getNumNulls == block.getRowCount))
+          if (!covered) untracked += name
+          else {
+            val has = st.hasNonNullValue
+            // getNumNulls is -1 when the null count wasn't recorded —
+            // clamp so a garbage negative never reaches the commit log
+            val nulls = math.max(0L, st.getNumNulls)
+            val cur = acc.get(name)
+            val next = cur match {
+              case None =>
+                FileColStats(if (has) st.minAsString else "",
+                  if (has) st.maxAsString else "", nulls, has)
+              case Some(p) =>
+                // merge across row groups: widen min/max, add nulls
+                val mn = (p.hasMinMax, has) match {
+                  case (true, true) => if (statOrdered(st.minAsString, p.min)) st.minAsString else p.min
+                  case (true, false) => p.min
+                  case (false, _) => if (has) st.minAsString else ""
+                }
+                val mx = (p.hasMinMax, has) match {
+                  case (true, true) => if (statOrdered(p.max, st.maxAsString)) st.maxAsString else p.max
+                  case (true, false) => p.max
+                  case (false, _) => if (has) st.maxAsString else ""
+                }
+                FileColStats(mn, mx, p.nullCount + nulls, p.hasMinMax || has)
+            }
+            acc(name) = next
+          }
+        }
+        val ok = acc.toMap -- untracked
+        (if (ok.isEmpty) None else Some(ok), rowCount)
+      } finally reader.close()
+    } catch { case _: Throwable => (None, -1L) }
 
   /** Reference: DeltaTable.isDeltaTable (src/header_etl.py:157). */
   def isTable(spark: SparkSession, path: String): Boolean = {

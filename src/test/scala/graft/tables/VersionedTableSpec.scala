@@ -545,6 +545,31 @@ class VersionedTableSpec extends AnyFunSuite {
       "the recovered version slot is reused by the next commit")
   }
 
+  test("executor-side footer stats equal the driver path exactly") {
+    val path = tmpDir() + "/tstats"
+    val df = spark.range(0, 2000)
+      .selectExpr("id", "cast(id % 7 as int) AS p",
+        "cast(id as double) / 3.0 AS x",
+        "CASE WHEN id % 5 = 0 THEN NULL ELSE concat('v', id) END AS s")
+    val t = VersionedTable.create(spark, df.repartition(4), path, Seq("p"))
+    // re-derive the commit's file list from the log and compute stats
+    // both ways: threshold above (driver parallel collection) and
+    // threshold 1 (forced Spark job); entries must be IDENTICAL
+    val entries = t.liveEntries
+    assert(entries.size > 8, "partitioned write should produce many files")
+    val moved = entries.map(fe =>
+      (fe.path, new org.apache.hadoop.fs.Path(s"$path/data/${fe.path}"), fe.sizeBytes))
+    val viaDriver = t.statsForMoved(moved, executorThreshold = Int.MaxValue)
+    val viaExecutors = t.statsForMoved(moved, executorThreshold = 1)
+    assert(viaDriver == viaExecutors,
+      "executor-computed footer stats must match the driver path")
+    // and both match what the commit recorded at create time
+    assert(viaExecutors.sortBy(_.path) == entries.sortBy(_.path))
+    // stats are real: the partition files carry id min/max + null counts
+    val stats = viaExecutors.head.stats
+    assert(stats.nonEmpty && stats.get.contains("id") && stats.get.contains("s"))
+  }
+
   test("data contract check over an empty frame reports clean (no NPE)") {
     import graft.ops.DataContract
     val empty = spark.createDataFrame(
