@@ -1758,6 +1758,29 @@ object SparkEntry {
       approx.join(exact, Seq("vec_id"))
         .agg(count(lit(1)).as("__overlap"))
         .select(lit(10L).as("k"), (col("__overlap") >= 8L).as("recall_ok"))
+    }),
+
+    // LLM-pipeline: SemDeDup — semantic (embedding-level) near-dup
+    // REMOVAL, the q26 pair machinery carried through to the dedup
+    // decision: LSH pairs → connected components → keep min id. Same
+    // staged corpus as q26 (50 jittered copies planted at cosine
+    // ≈0.995); the oracle recomputes components over EXACT all-pairs
+    // cosine with a recursive CTE and keeps the same survivors, so a
+    // hash match proves recall, precision AND the component/survivor
+    // logic of the bucketed path.
+    "q76_semantic_dedup" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val base = tbl(s, dir, "embeddings").filter(col("vec_id") < 200)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      val jit = base.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          expr("transform(v, (x, i) -> x + 0.1 * element_at(v, 1 + ((i + 1) % size(v))))").as("v"))
+      val staged = base.unionByName(jit)
+      graft.ops.SemanticDedup
+        .semanticDedup(staged, "vec_id", "v", threshold = 0.9)
+        .select(col("vec_id"))
+        .orderBy("vec_id")
     })
   )
 
@@ -2891,6 +2914,34 @@ object SparkEntry {
     // q75 self-checks like q19/q71: the oracle pins the claimed
     // recall@10 invariant row computed Spark-side.
     "q75_ivfpq_ann" ->
-      "SELECT CAST(10 AS BIGINT) AS k, true AS recall_ok"
+      "SELECT CAST(10 AS BIGINT) AS k, true AS recall_ok",
+
+    // exact replay of SemDeDup: all-pairs cosine ≥ 0.9 on the staged
+    // corpus, recursive-CTE connected components, survivors = min id
+    // per component plus every unpaired id
+    "q76_semantic_dedup" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id < 200),
+        |jit AS (
+        |  SELECT vec_id + 10000 AS vec_id,
+        |         list_transform(generate_series(1, len(v)),
+        |                        i -> v[i] + 0.1 * v[1 + (i % len(v))]) AS v
+        |  FROM base WHERE vec_id < 50),
+        |st AS (SELECT * FROM base UNION ALL SELECT * FROM jit),
+        |p0 AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM st a JOIN st b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.9),
+        |edges AS (SELECT a, b FROM p0 UNION ALL SELECT b, a FROM p0),
+        |reach(id, lbl) AS (
+        |  SELECT vec_id, vec_id FROM st
+        |  UNION
+        |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id
+        |), comp AS (
+        |  SELECT id, min(lbl) AS cluster FROM reach GROUP BY id)
+        |SELECT id AS vec_id FROM comp
+        |WHERE id = cluster
+        |ORDER BY vec_id""".stripMargin
   )
 }

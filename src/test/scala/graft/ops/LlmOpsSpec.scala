@@ -314,6 +314,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
   }
 
+  test("semantic dedup: planted paraphrase groups collapse to min-id survivors") {
+    import org.apache.spark.sql.functions.expr
+    val base = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    // plant: two jittered copies of each of vectors 0..9 (cosine ≈0.995)
+    val jitA = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000).as("vec_id"),
+        expr("transform(v, (x, i) -> x + 0.1 * element_at(v, 1 + ((i + 1) % size(v))))").as("v"))
+    val jitB = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 2000).as("vec_id"),
+        expr("transform(v, (x, i) -> x + 0.1 * element_at(v, 1 + ((i + 2) % size(v))))").as("v"))
+    val staged = base.unionByName(jitA).unionByName(jitB)
+    val total = staged.count()
+    val kept = SemanticDedup.semanticDedup(staged, "vec_id", "v", threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val dropped = SemanticDedup.dropList(staged, "vec_id", "v", threshold = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.intersect(dropped).isEmpty)
+    assert(kept.size + dropped.size == total)
+    // each planted group keeps exactly its original (minimum) id
+    (0L until 10L).foreach { i =>
+      assert(kept.contains(i), s"original $i must survive")
+      assert(!kept.contains(i + 1000) && !kept.contains(i + 2000),
+        s"jittered copies of $i must drop")
+    }
+    graft.ops.Caches.releaseAll()
+  }
+
   test("per-source quota cap: bound respected, deterministic, unbiased subset") {
     val capped = Sampling.perGroupCap(docs, "doc_id", "source", cap = 3)
     val perSrc = capped.groupBy("source").count().collect()
