@@ -94,8 +94,11 @@ object SparkEntry {
   private def watermarkSentinel(s: SparkSession, dir: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
     import org.apache.spark.sql.types.LongType
-    val maxTs = normalizeTs(s.read.parquet(s"$dir/events.parquet"))
-      .agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val maxRow = normalizeTs(s.read.parquet(s"$dir/events.parquet"))
+      .agg(max(col("ts"))).collect()(0)
+    require(!maxRow.isNullAt(0),
+      s"$dir/events.parquet is empty — cannot place a watermark sentinel")
+    val maxTs = maxRow.getTimestamp(0)
     val sentinel = s.range(1).select(
       lit(-999L).as("event_id"),
       lit(new java.sql.Timestamp(maxTs.getTime + 8640000L * 1000L)).as("ts"),
@@ -114,6 +117,39 @@ object SparkEntry {
     val df = s.read.parquet(s"$dir/$name.parquet")
     if (name == "events") normalizeTs(df) else df
   }
+
+  /** The ANN self-check corpus: embeddings as doubles (`vec_id`, `v`)
+    * plus 15 GRADED jittered copies of vector 0 (v + 0.05k·rot(v),
+    * cosine ≈ 1/sqrt(1+(0.05k)²): ≈0.999 down to ≈0.8 — all far above
+    * the ≈0.4 noise ceiling of the raw testdata, so the exact top-10 is
+    * exactly the 10 least-jittered plants). ONE definition, shared by
+    * q19/q71/q75 and their specs: the jitter expression is the
+    * oracle-critical invariant behind every pinned recall row — editing
+    * it anywhere edits it everywhere. */
+  private[graft] def plantedNeighborCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = tbl(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    plantNeighbors(base)
+  }
+
+  /** Union `base` (`vec_id`, `v`) with the graded jittered plants of its
+    * vector 0 — see [[plantedNeighborCorpus]]. */
+  private[graft] def plantNeighbors(base: DataFrame): DataFrame = {
+    val planted = base.filter(col("vec_id") === 0)
+      .select(explode(expr("sequence(1, 15)")).as("k"), col("v"))
+      .select((col("k") + 20000L).cast("long").as("vec_id"),
+        expr("transform(v, (x, i) -> x + 0.05 * k * element_at(v, 1 + ((i + 1) % size(v))))").as("v"))
+    base.unionByName(planted)
+  }
+
+  /** The pinned ANN self-check row: recall@10 of `approx` vs `exact`
+    * (both id-only frames) asserted ≥ 8/10 — the `(k, recall_ok)` row
+    * every approximate-ANN oracle pins. */
+  private def recallPinned(approx: DataFrame, exact: DataFrame): DataFrame =
+    approx.join(exact, Seq("vec_id"))
+      .agg(count(lit(1)).as("__overlap"))
+      .select(lit(10L).as("k"), (col("__overlap") >= 8L).as("recall_ok"))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -390,27 +426,14 @@ object SparkEntry {
     // LSH row carries the exact cosine.
     "q19_ann_lsh" -> ((s, dir) => {
       GraftSession.tune(s)
-      val base = tbl(s, dir, "embeddings")
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> cast(x AS double))").as("v"))
-      // 15 graded near-neighbors of vector 0: v + 0.05k·rot(v), k=1..15
-      // (cosine ≈ 1/sqrt(1+(0.05k)²): ≈0.999 down to ≈0.8 — all far
-      // above the ≈0.4 noise ceiling, so the exact top-10 is exactly
-      // the 10 least-jittered plants)
-      val planted = base.filter(col("vec_id") === 0)
-        .select(explode(expr("sequence(1, 15)")).as("k"), col("v"))
-        .select((col("k") + 20000L).cast("long").as("vec_id"),
-          expr("transform(v, (x, i) -> x + 0.05 * k * element_at(v, 1 + ((i + 1) % size(v))))").as("v"))
-      val staged = base.unionByName(planted)
-      val approx = graft.ops.Similarity
-        .lshTopKMulti(staged, "vec_id", "v", queryId = 0, k = 10)
-        .select(col("vec_id"))
-      val exact = graft.ops.Similarity
-        .bruteForceTopK(staged, "vec_id", "v", queryId = 0, k = 10)
-        .select(col("vec_id"))
-      approx.join(exact, Seq("vec_id"))
-        .agg(count(lit(1)).as("__overlap"))
-        .select(lit(10L).as("k"), (col("__overlap") >= 8L).as("recall_ok"))
+      val staged = plantedNeighborCorpus(s, dir)
+      recallPinned(
+        graft.ops.Similarity
+          .lshTopKMulti(staged, "vec_id", "v", queryId = 0, k = 10)
+          .select(col("vec_id")),
+        graft.ops.Similarity
+          .bruteForceTopK(staged, "vec_id", "v", queryId = 0, k = 10)
+          .select(col("vec_id")))
     }),
 
     // LLM-pipeline: multimodal binary-column plumbing (SURVEY §7.6) —
@@ -1677,23 +1700,14 @@ object SparkEntry {
     // id-hash-ordered sample, fixed Lloyd iterations, fixed seed).
     "q71_pq_ann" -> ((s, dir) => {
       GraftSession.tune(s)
-      val base = tbl(s, dir, "embeddings")
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> cast(x AS double))").as("v"))
-      val planted = base.filter(col("vec_id") === 0)
-        .select(explode(expr("sequence(1, 15)")).as("k"), col("v"))
-        .select((col("k") + 20000L).cast("long").as("vec_id"),
-          expr("transform(v, (x, i) -> x + 0.05 * k * element_at(v, 1 + ((i + 1) % size(v))))").as("v"))
-      val staged = base.unionByName(planted)
-      val approx = graft.ops.Similarity
-        .pqTopK(staged, "vec_id", "v", queryId = 0, k = 10)
-        .select(col("vec_id"))
-      val exact = graft.ops.Similarity
-        .bruteForceTopK(staged, "vec_id", "v", queryId = 0, k = 10)
-        .select(col("vec_id"))
-      approx.join(exact, Seq("vec_id"))
-        .agg(count(lit(1)).as("__overlap"))
-        .select(lit(10L).as("k"), (col("__overlap") >= 8L).as("recall_ok"))
+      val staged = plantedNeighborCorpus(s, dir)
+      recallPinned(
+        graft.ops.Similarity
+          .pqTopK(staged, "vec_id", "v", queryId = 0, k = 10)
+          .select(col("vec_id")),
+        graft.ops.Similarity
+          .bruteForceTopK(staged, "vec_id", "v", queryId = 0, k = 10)
+          .select(col("vec_id")))
     }),
 
     // LLM-pipeline: per-source quota cap (C4/RefinedWeb per-domain cap).
@@ -1741,23 +1755,14 @@ object SparkEntry {
     // vector can straddle coarse cells — recall stays pinned ≥ 8/10.
     "q75_ivfpq_ann" -> ((s, dir) => {
       GraftSession.tune(s)
-      val base = tbl(s, dir, "embeddings")
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> cast(x AS double))").as("v"))
-      val planted = base.filter(col("vec_id") === 0)
-        .select(explode(expr("sequence(1, 15)")).as("k"), col("v"))
-        .select((col("k") + 20000L).cast("long").as("vec_id"),
-          expr("transform(v, (x, i) -> x + 0.05 * k * element_at(v, 1 + ((i + 1) % size(v))))").as("v"))
-      val staged = base.unionByName(planted)
-      val approx = graft.ops.Similarity
-        .ivfPqTopK(staged, "vec_id", "v", queryId = 0, k = 10, nProbe = 8)
-        .select(col("vec_id"))
-      val exact = graft.ops.Similarity
-        .bruteForceTopK(staged, "vec_id", "v", queryId = 0, k = 10)
-        .select(col("vec_id"))
-      approx.join(exact, Seq("vec_id"))
-        .agg(count(lit(1)).as("__overlap"))
-        .select(lit(10L).as("k"), (col("__overlap") >= 8L).as("recall_ok"))
+      val staged = plantedNeighborCorpus(s, dir)
+      recallPinned(
+        graft.ops.Similarity
+          .ivfPqTopK(staged, "vec_id", "v", queryId = 0, k = 10, nProbe = 8)
+          .select(col("vec_id")),
+        graft.ops.Similarity
+          .bruteForceTopK(staged, "vec_id", "v", queryId = 0, k = 10)
+          .select(col("vec_id")))
     }),
 
     // LLM-pipeline: SemDeDup — semantic (embedding-level) near-dup
@@ -2887,8 +2892,9 @@ object SparkEntry {
         |SELECT bucket, batch_idx, count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS real_tokens,
         |  CAST(count(*) * max(n_tokens) AS BIGINT) AS padded_tokens,
-        |  round(100.0 * (count(*) * max(n_tokens) - sum(n_tokens)) /
-        |        (count(*) * max(n_tokens)), 2) AS waste_pct
+        |  CASE WHEN count(*) * max(n_tokens) = 0 THEN 0.0
+        |       ELSE round(100.0 * (count(*) * max(n_tokens) - sum(n_tokens)) /
+        |                  (count(*) * max(n_tokens)), 2) END AS waste_pct
         |FROM a GROUP BY 1, 2
         |ORDER BY bucket, batch_idx""".stripMargin,
 

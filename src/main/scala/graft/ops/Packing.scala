@@ -70,6 +70,10 @@ object Packing {
         sum(tokensCol).as("real_tokens"),
         (count(lit(1)) * max(col(tokensCol))).as("padded_tokens"))
       .withColumn("waste_pct",
-        round(lit(100.0) * (col("padded_tokens") - col("real_tokens")) /
-          col("padded_tokens"), 2))
+        // a batch of all-zero-token docs pads nothing: 0 waste, not a
+        // NULL (non-ANSI) or error (ANSI) from the 0/0
+        when(col("padded_tokens") === 0L, lit(0.0))
+          .otherwise(round(lit(100.0) *
+            (col("padded_tokens") - col("real_tokens")) /
+            col("padded_tokens"), 2)))
 }

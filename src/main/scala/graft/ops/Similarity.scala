@@ -23,20 +23,38 @@ object Similarity {
     GraftColumnBridge.column(CosineSim(
       GraftColumnBridge.expression(col(a)), GraftColumnBridge.expression(col(b))))
 
-  /** Exact top-k by cosine against the vector of `queryId`. The query row
-    * is broadcast; every vector is scored (one scan), top-k via ordered
-    * limit. Deterministic tie-break on id. */
-  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
-                     queryId: Long, k: Int): DataFrame = {
+  /** Decode one collected row's array<float|double> column to doubles. */
+  private def vecOf(row: org.apache.spark.sql.Row, idx: Int = 0): Array[Double] =
+    row.getSeq[Any](idx).map {
+      case f: java.lang.Float => f.toDouble
+      case d: java.lang.Double => d.doubleValue
+    }.toArray
+
+  /** Shared exact-rank tail of every ANN path: score `candidates`
+    * against the broadcast query vector and keep the top k by exact
+    * cosine. The `(cosine DESC, id ASC)` tie-break is load-bearing —
+    * the pinned recall oracles (q19/q71/q75) and q14/q33/q34 all assume
+    * this deterministic order. Plans as TakeOrderedAndProject. */
+  private def rankExact(candidates: DataFrame, emb: DataFrame,
+                        idCol: String, vecCol: String,
+                        queryId: Long, k: Int): DataFrame = {
     val query = emb.filter(col(idCol) === queryId)
       .select(col(vecCol).as("__qvec"))
-    emb.filter(col(idCol) =!= queryId)
+    candidates
+      .filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(query))
       .withColumn("cosine", cosineExpr(vecCol, "__qvec"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("cosine"))
   }
+
+  /** Exact top-k by cosine against the vector of `queryId`. The query row
+    * is broadcast; every vector is scored (one scan), top-k via ordered
+    * limit. Deterministic tie-break on id. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     queryId: Long, k: Int): DataFrame =
+    rankExact(emb, emb, idCol, vecCol, queryId, k)
 
   /** Exact embedding near-duplicate pairs: every pair with cosine ≥
     * `threshold`. A distributed block self-join — O(n²) dot products
@@ -116,22 +134,18 @@ object Similarity {
       .orderBy(expr(s"xxhash64($idCol)"), col(idCol))
       .limit(nCentroids)
 
-  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
-              queryId: Long, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+  /** Coarse-quantizer probe: rows of `emb` whose nearest-centroid cell
+    * is among the `nProbe` cells closest (by cosine) to the query's
+    * vector. Shared by [[ivfTopK]] and [[ivfPqTopK]] — the one collected
+    * query row and the K-centroid set are the only driver state. In
+    * production the `__cell` int is written as a partition column once
+    * at ingest and this filter becomes a partition-pruned scan. */
+  private def probedCells(emb: DataFrame, idCol: String, vecCol: String,
+                          queryId: Long, nCentroids: Int,
+                          nProbe: Int): DataFrame = {
     // deterministic anchors: first K vectors in id-hash order
     val anchors = ivfAnchorFrame(emb, idCol, vecCol, nCentroids).collect()
-    val centroids: Seq[Seq[Double]] = anchors.map(
-      _.getSeq[Any](0).map {
-        case f: java.lang.Float => f.toDouble
-        case d: java.lang.Double => d.doubleValue
-      }.toSeq).toSeq
-
-    val assignCol = GraftColumnBridge.column(
-      NearestCentroid(GraftColumnBridge.expression(col(vecCol)), centroids))
-    // in production this frame is written partitionBy("__cell") once and
-    // reused across queries; here it is computed inline
-    val assigned = emb.withColumn("__cell", assignCol)
+    val centroids: Seq[Seq[Double]] = anchors.map(vecOf(_).toSeq)
 
     // the query-vector fetch never needs the __cell column — reading it
     // from the raw frame saves a full centroid-assignment pass (the probe
@@ -139,10 +153,7 @@ object Similarity {
     val qRow = emb.filter(col(idCol) === queryId)
       .select(col(vecCol)).collect()
     require(qRow.nonEmpty, s"query id $queryId not found")
-    val qVec = qRow(0).getSeq[Any](0).map {
-      case f: java.lang.Float => f.toDouble
-      case d: java.lang.Double => d.doubleValue
-    }
+    val qVec = vecOf(qRow(0)).toSeq
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum
       dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
@@ -150,16 +161,18 @@ object Similarity {
     val probes = centroids.zipWithIndex
       .sortBy { case (c, _) => -cos(c, qVec) }.take(nProbe).map(_._2)
 
-    val query = emb.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("__qvec"))
-    assigned
-      .filter(col("__cell").isin(probes: _*) && col(idCol) =!= queryId)
-      .crossJoin(broadcast(query))
-      .withColumn("cosine", cosineExpr(vecCol, "__qvec"))
-      .orderBy(col("cosine").desc, col(idCol).asc)
-      .limit(k)
-      .select(col(idCol), col("cosine"))
+    val assignCol = GraftColumnBridge.column(
+      NearestCentroid(GraftColumnBridge.expression(col(vecCol)), centroids))
+    emb.withColumn("__cell", assignCol)
+      .filter(col("__cell").isin(probes: _*))
+      .drop("__cell")
   }
+
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame =
+    rankExact(probedCells(emb, idCol, vecCol, queryId, nCentroids, nProbe),
+      emb, idCol, vecCol, queryId, k)
 
   /** Approximate top-k via random-hyperplane LSH: vectors are bucketed by
     * a `planes`-bit signature (the native codegen'd
@@ -199,15 +212,9 @@ object Similarity {
       flips.map(_.foldLeft(qBucket)((b, i) => b ^ (1 << i))).distinct
     }
 
-    val query = bucketed.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("__qvec"))
-    bucketed
-      .filter(col("__bucket").isin(probes: _*) && col(idCol) =!= queryId)
-      .crossJoin(broadcast(query))
-      .withColumn("cosine", cosineExpr(vecCol, "__qvec"))
-      .orderBy(col("cosine").desc, col(idCol).asc)
-      .limit(k)
-      .select(col(idCol), col("cosine"))
+    rankExact(
+      bucketed.filter(col("__bucket").isin(probes: _*)).drop("__bucket"),
+      emb, idCol, vecCol, queryId, k)
   }
 
   /** Approximate top-k via MULTI-TABLE (OR-of-ANDs) random-hyperplane
@@ -248,16 +255,10 @@ object Similarity {
     require(qRow.nonEmpty, s"query id $queryId not found")
     val qBuckets = qRow(0).getSeq[Long](0)
 
-    val query = emb.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("__qvec"))
-    bucketed
-      .filter(arrays_overlap(col("__buckets"),
-          array(qBuckets.map(lit): _*)) && col(idCol) =!= queryId)
-      .crossJoin(broadcast(query))
-      .withColumn("cosine", cosineExpr(vecCol, "__qvec"))
-      .orderBy(col("cosine").desc, col(idCol).asc)
-      .limit(k)
-      .select(col(idCol), col("cosine"))
+    rankExact(
+      bucketed.filter(arrays_overlap(col("__buckets"),
+        array(qBuckets.map(lit): _*))).drop("__buckets"),
+      emb, idCol, vecCol, queryId, k)
   }
 
   /** Deterministic PQ codebook: up to `sampleSize` vectors in id-hash
@@ -273,10 +274,7 @@ object Similarity {
                                      iters: Int = 5): Seq[Seq[Seq[Double]]] = {
     val sample: Array[Array[Double]] =
       ivfAnchorFrame(emb, idCol, vecCol, sampleSize).collect().map { r =>
-        val raw = r.getSeq[Any](0).map {
-          case f: java.lang.Float => f.toDouble
-          case d: java.lang.Double => d.doubleValue
-        }.toArray
+        val raw = vecOf(r)
         val n = math.sqrt(raw.map(x => x * x).sum)
         if (n > 0) raw.map(_ / n) else raw
       }
@@ -340,10 +338,7 @@ object Similarity {
     // one tiny collect: the query vector, normalized like the codes
     val qRow = emb.filter(col(idCol) === queryId).select(col(vecCol)).collect()
     require(qRow.nonEmpty, s"query id $queryId not found")
-    val qRaw = qRow(0).getSeq[Any](0).map {
-      case f: java.lang.Float => f.toDouble
-      case d: java.lang.Double => d.doubleValue
-    }.toArray
+    val qRaw = vecOf(qRow(0))
     val qn = math.sqrt(qRaw.map(x => x * x).sum)
     val q = if (qn > 0) qRaw.map(_ / qn) else qRaw
     val dsub = q.length / m
@@ -365,15 +360,7 @@ object Similarity {
       .orderBy(col("__adc").desc, col(idCol).asc)
       .limit(refine * k)
       .select(col(idCol), col(vecCol))
-
-    val query = emb.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("__qvec"))
-    candidates
-      .crossJoin(broadcast(query))
-      .withColumn("cosine", cosineExpr(vecCol, "__qvec"))
-      .orderBy(col("cosine").desc, col(idCol).asc)
-      .limit(k)
-      .select(col(idCol), col("cosine"))
+    rankExact(candidates, emb, idCol, vecCol, queryId, k)
   }
 
   /** IVF + PQ composed (the FAISS IVFADC architecture, sans residual
@@ -398,30 +385,7 @@ object Similarity {
                 queryId: Long, k: Int,
                 nCentroids: Int = 16, nProbe: Int = 4,
                 m: Int = 8, kCent: Int = 16, refine: Int = 8): DataFrame = {
-    val anchors = ivfAnchorFrame(emb, idCol, vecCol, nCentroids).collect()
-    val centroids: Seq[Seq[Double]] = anchors.map(
-      _.getSeq[Any](0).map {
-        case f: java.lang.Float => f.toDouble
-        case d: java.lang.Double => d.doubleValue
-      }.toSeq).toSeq
-    val qRow = emb.filter(col(idCol) === queryId)
-      .select(col(vecCol)).collect()
-    require(qRow.nonEmpty, s"query id $queryId not found")
-    val qVec = qRow(0).getSeq[Any](0).map {
-      case f: java.lang.Float => f.toDouble
-      case d: java.lang.Double => d.doubleValue
-    }
-    def cos(a: Seq[Double], b: Seq[Double]): Double = {
-      val dot = a.zip(b).map { case (x, y) => x * y }.sum
-      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
-    }
-    val probes = centroids.zipWithIndex
-      .sortBy { case (c, _) => -cos(c, qVec) }.take(nProbe).map(_._2)
-    val assignCol = GraftColumnBridge.column(
-      NearestCentroid(GraftColumnBridge.expression(col(vecCol)), centroids))
-    val probed = emb.withColumn("__cell", assignCol)
-      .filter(col("__cell").isin(probes: _*))
-      .drop("__cell")
+    val probed = probedCells(emb, idCol, vecCol, queryId, nCentroids, nProbe)
     // codebook trained on the FULL corpus sample (codes must be globally
     // comparable across cells); the query row's own cell is always probed
     // (it IS a nearest centroid's cell), so pqTopK finds it for the LUT

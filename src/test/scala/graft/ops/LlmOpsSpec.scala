@@ -242,12 +242,9 @@ class LlmOpsSpec extends AnyFunSuite {
     val base = emb.select(col("vec_id"),
       expr("transform(embedding, x -> cast(x AS double))").as("v"))
     // 15 graded jittered copies of vector 0 (cosine ≈0.8–0.999), the
-    // regime multi-table OR-of-ANDs LSH is designed for
-    val planted = base.filter(col("vec_id") === 0)
-      .select(explode(expr("sequence(1, 15)")).as("k"), col("v"))
-      .select((col("k") + 20000L).cast("long").as("vec_id"),
-        expr("transform(v, (x, i) -> x + 0.05 * k * element_at(v, 1 + ((i + 1) % size(v))))").as("v"))
-    val staged = base.unionByName(planted)
+    // regime multi-table OR-of-ANDs LSH is designed for — ONE shared
+    // definition with the q19/q71/q75 oracle queries
+    val staged = graft.SparkEntry.plantNeighbors(base)
     val approx = Similarity.lshTopKMulti(staged, "vec_id", "v", queryId = 0, k = 10)
       .collect()
     assert(approx.length == 10)
@@ -273,12 +270,8 @@ class LlmOpsSpec extends AnyFunSuite {
         graft.expressions.PqEncode(GraftColumnBridge.expression(col("v")), book)))
       .select("c").collect().map(_.getSeq[Int](0))
     assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
-    // same planted-neighbor protocol as the LSH spec
-    val planted = base.filter(col("vec_id") === 0)
-      .select(explode(expr("sequence(1, 15)")).as("k"), col("v"))
-      .select((col("k") + 20000L).cast("long").as("vec_id"),
-        expr("transform(v, (x, i) -> x + 0.05 * k * element_at(v, 1 + ((i + 1) % size(v))))").as("v"))
-    val staged = base.unionByName(planted)
+    // same planted-neighbor protocol as the LSH spec (shared definition)
+    val staged = graft.SparkEntry.plantNeighbors(base)
     val approx = Similarity.pqTopK(staged, "vec_id", "v", queryId = 0, k = 10).collect()
     assert(approx.length == 10)
     val exact = Similarity.bruteForceTopK(staged, "vec_id", "v", queryId = 0, k = 10)
@@ -296,11 +289,7 @@ class LlmOpsSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.{expr, explode}
     val base = emb.select(col("vec_id"),
       expr("transform(embedding, x -> cast(x AS double))").as("v"))
-    val planted = base.filter(col("vec_id") === 0)
-      .select(explode(expr("sequence(1, 15)")).as("k"), col("v"))
-      .select((col("k") + 20000L).cast("long").as("vec_id"),
-        expr("transform(v, (x, i) -> x + 0.05 * k * element_at(v, 1 + ((i + 1) % size(v))))").as("v"))
-    val staged = base.unionByName(planted)
+    val staged = graft.SparkEntry.plantNeighbors(base)
     val approx = Similarity.ivfPqTopK(staged, "vec_id", "v",
       queryId = 0, k = 10, nProbe = 8).collect()
     assert(approx.length == 10)
