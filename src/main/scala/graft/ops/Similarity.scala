@@ -261,6 +261,53 @@ object Similarity {
       emb, idCol, vecCol, queryId, k)
   }
 
+  /** The write-once POSTINGS layout behind [[lshTopKMulti]]'s scale
+    * story, concretely: one exploded (bucket, id) row per table per
+    * vector, computed in a single map-only pass. At 100 TB this frame
+    * is written `partitionBy("bucket")` (or bucketed) once at ingest;
+    * every query then touches only its `tables` buckets. */
+  def lshPostings(emb: DataFrame, idCol: String, vecCol: String,
+                  tables: Int = 48, bits: Int = 8,
+                  seed: Long = 7L): DataFrame =
+    emb.select(col(idCol),
+      explode(GraftColumnBridge.column(RandProjBuckets(
+        GraftColumnBridge.expression(col(vecCol)), tables, bits, seed)))
+        .as("bucket"))
+
+  /** [[lshTopKMulti]] served from a precomputed [[lshPostings]] frame:
+    * the query's bucket list prunes the postings (partition-pruned when
+    * the postings are written partitioned by bucket), matched ids are
+    * deduped (a vector can collide in several tables) and joined back
+    * to the vectors for the exact re-rank — equi-joins only, candidate-
+    * sized shuffles. Returns exactly what [[lshTopKMulti]] returns at
+    * the same parameters (spec-enforced). */
+  def lshTopKFromPostings(postings: DataFrame, emb: DataFrame,
+                          idCol: String, vecCol: String,
+                          queryId: Long, k: Int,
+                          tables: Int = 48, bits: Int = 8,
+                          seed: Long = 7L): DataFrame = {
+    val qRow = emb.filter(col(idCol) === queryId)
+      .select(GraftColumnBridge.column(RandProjBuckets(
+        GraftColumnBridge.expression(col(vecCol)), tables, bits, seed))).collect()
+    require(qRow.nonEmpty, s"query id $queryId not found")
+    val qBuckets = qRow(0).getSeq[Long](0)
+    val candidateIds = postings
+      .filter(col("bucket").isin(qBuckets: _*))
+      .select(col(idCol)).distinct()
+    rankExact(emb.join(candidateIds, Seq(idCol)),
+      emb, idCol, vecCol, queryId, k)
+  }
+
+  /** The write-once CODES column behind [[pqTopK]]'s scale story: the
+    * input frame plus an `__codes` array<int> column (m small ints per
+    * vector). Written once at ingest; queries ADC-scan the codes and
+    * only refine-read the raw vectors of the top candidates. */
+  def pqCodes(emb: DataFrame, vecCol: String,
+              codebook: Seq[Seq[Seq[Double]]]): DataFrame =
+    emb.withColumn("__codes",
+      GraftColumnBridge.column(PqEncode(
+        GraftColumnBridge.expression(col(vecCol)), codebook)))
+
   /** Deterministic PQ codebook: up to `sampleSize` vectors in id-hash
     * order (the [[ivfAnchorFrame]] idiom — no stored state, same result
     * every run), L2-normalized and split into `m` sub-vectors; per

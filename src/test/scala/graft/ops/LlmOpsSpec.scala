@@ -285,6 +285,33 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(math.abs(brute(r.getLong(0)) - r.getDouble(1)) < 1e-9))
   }
 
+  test("postings-layout LSH and precomputed PQ codes equal the inline paths") {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.GraftColumnBridge
+    val base = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val staged = graft.SparkEntry.plantNeighbors(base)
+    // the 100 TB layout: exploded postings, query prunes by bucket
+    val postings = Similarity.lshPostings(staged, "vec_id", "v")
+    assert(postings.columns.toSeq == Seq("vec_id", "bucket"))
+    val fromPostings = Similarity
+      .lshTopKFromPostings(postings, staged, "vec_id", "v", queryId = 0, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inline = Similarity
+      .lshTopKMulti(staged, "vec_id", "v", queryId = 0, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromPostings == inline,
+      "postings-served LSH must return exactly the inline answer")
+    // precomputed codes column = what PqEncode computes inline
+    val book = Similarity.pqTrainCodebook(staged, "vec_id", "v", m = 8, kCent = 16)
+    val coded = Similarity.pqCodes(staged, "v", book)
+    val inlineCodes = staged.withColumn("__codes",
+      GraftColumnBridge.column(graft.expressions.PqEncode(
+        GraftColumnBridge.expression(col("v")), book)))
+    assert(coded.select("vec_id", "__codes").exceptAll(
+      inlineCodes.select("vec_id", "__codes")).isEmpty)
+  }
+
   test("IVF+PQ composed top-k: cell pruning + ADC + exact re-rank recovers plants") {
     import org.apache.spark.sql.functions.{expr, explode}
     val base = emb.select(col("vec_id"),
