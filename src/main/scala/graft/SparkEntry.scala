@@ -110,7 +110,7 @@ object SparkEntry {
       case LongType => sentinel.withColumn("ts", expr("unix_micros(ts) * 1000"))
       case dt       => sentinel.withColumn("ts", col("ts").cast(dt))
     }
-    raw.select(schema.fieldNames.map(c => col(c).cast(schema(c).dataType)): _*)
+    raw.select(schema.fieldNames.toIndexedSeq.map(c => col(c).cast(schema(c).dataType)): _*)
   }
 
   private[graft] def tbl(s: SparkSession, dir: String, name: String): DataFrame = {

@@ -145,7 +145,7 @@ object Similarity {
                           nProbe: Int): DataFrame = {
     // deterministic anchors: first K vectors in id-hash order
     val anchors = ivfAnchorFrame(emb, idCol, vecCol, nCentroids).collect()
-    val centroids: Seq[Seq[Double]] = anchors.map(vecOf(_).toSeq)
+    val centroids: Seq[Seq[Double]] = anchors.toSeq.map(vecOf(_).toSeq)
 
     // the query-vector fetch never needs the __cell column — reading it
     // from the raw frame saves a full centroid-assignment pass (the probe

@@ -44,7 +44,7 @@ object SkewJoin {
       s"column $salt already exists")
     // deterministic per-row salt: hash of the whole probe row
     val salted = probe.withColumn(
-      salt, pmod(xxhash64(probe.columns.map(col): _*), lit(saltFactor)))
+      salt, pmod(xxhash64(probe.columns.toIndexedSeq.map(col): _*), lit(saltFactor)))
     val replicated = build.withColumn(
       salt, explode(array((0 until saltFactor).map(i => lit(i.toLong)): _*)))
     salted.join(replicated, keys :+ salt).drop(salt)

@@ -138,7 +138,7 @@ object StreamingEventStats {
             // keeps the operator safe either way, emitting an already-
             // expired session at the next watermark advance instead.
             val target = (cur.lastUs + gapUs) / 1000L
-            state.setTimeoutTimestamp(math.max(state.getCurrentWatermarkMs + 1L, target))
+            state.setTimeoutTimestamp(math.max(state.getCurrentWatermarkMs() + 1L, target))
             closed.iterator.map(s =>
               SessionOut(uid, fromMicros(s.startUs), s.n, s.total))
           }
