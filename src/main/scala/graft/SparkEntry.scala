@@ -1786,6 +1786,43 @@ object SparkEntry {
         .semanticDedup(staged, "vec_id", "v", threshold = 0.9)
         .select(col("vec_id"))
         .orderBy("vec_id")
+    }),
+
+    // LLM-pipeline COMPOSITE: the end-to-end curation pipeline a
+    // training-data run chains — quality floor → exact dedup
+    // (min-id representative per normalized fingerprint) → per-source
+    // quota → length-stratified sampling → corpus summary. The same
+    // composite-evidence pattern q24/q25 give the SCD2 pipelines: one
+    // DuckDB replay of the WHOLE chain, so stage boundaries (filter
+    // before dedup, dedup before cap, cap before sample) are all
+    // oracle-load-bearing. Every stage is an operator already
+    // oracle-checked alone (q15/q13/q72/q29); this proves they COMPOSE.
+    "q77_curation_pipeline" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val toks = tbl(s, dir, "documents")
+        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      // 1. quality floor
+      val quality = toks.filter(col("n_tokens") >= 20)
+      // 2. exact dedup: keep the min-id representative per fingerprint
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(graft.ops.TextAnalysis.fingerprint("text"))
+        .orderBy(col("doc_id"))
+      val deduped = quality.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1).drop("__rk")
+      // 3. per-source quota
+      val capped = graft.ops.Sampling.perGroupCap(deduped, "doc_id", "source", cap = 15)
+      // 4. deterministic length-stratified sample (q29's replayable variate)
+      val strat = capped.withColumn("stratum",
+        when(col("n_tokens") < 50, "short")
+          .when(col("n_tokens") < 200, "medium")
+          .otherwise("long"))
+      val sampled = graft.ops.Sampling.stratifiedSample(strat, "doc_id", "stratum",
+        rates = Map("short" -> 0.9, "medium" -> 0.6, "long" -> 0.3),
+        uniform = Some(pmod(col("doc_id") * 48271 + 11, lit(10007)).cast("double") / 10007.0))
+      // 5. corpus summary
+      sampled.groupBy("source", "stratum")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+        .orderBy("source", "stratum")
     })
   )
 
@@ -2948,6 +2985,42 @@ object SparkEntry {
         |  SELECT id, min(lbl) AS cluster FROM reach GROUP BY id)
         |SELECT id AS vec_id FROM comp
         |WHERE id = cluster
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+
+    // full-chain replay of the curation pipeline: every stage boundary
+    // (floor → dedup → cap → sample → summary) is in the hash
+    "q77_curation_pipeline" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |  FROM documents),
+        |q AS (SELECT * FROM t WHERE n_tokens >= 20),
+        |d AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY md5(array_to_string(
+        |        regexp_split_to_array(lower(trim(text)), '\s+'), ' '))
+        |      ORDER BY doc_id) AS rk
+        |    FROM q) WHERE rk = 1),
+        |c AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) AS rk2
+        |    FROM d) WHERE rk2 <= 15),
+        |s AS (
+        |  SELECT *, CASE WHEN n_tokens < 50 THEN 'short'
+        |                 WHEN n_tokens < 200 THEN 'medium'
+        |                 ELSE 'long' END AS stratum
+        |  FROM c),
+        |f AS (
+        |  SELECT * FROM s
+        |  WHERE ((doc_id * 48271 + 11) % 10007)::DOUBLE / 10007
+        |        < CASE stratum WHEN 'short' THEN 0.9
+        |                       WHEN 'medium' THEN 0.6 ELSE 0.3 END)
+        |SELECT source, stratum, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM f GROUP BY 1, 2
+        |ORDER BY source, stratum""".stripMargin
   )
 }
