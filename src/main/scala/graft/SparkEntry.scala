@@ -1823,6 +1823,88 @@ object SparkEntry {
       sampled.groupBy("source", "stratum")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
         .orderBy("source", "stratum")
+    }),
+
+    // Table-maintenance drill (VersionedTableSpec proves the mechanics;
+    // this proves read-after-maintenance fidelity vs the source of
+    // truth): documents lands in 4 commits × 8 partitions = many small
+    // files, OPTIMIZE bin-packs them, VACUUM(1) reclaims every
+    // superseded file, and the maintained table still reads back exactly
+    // the source rows. At 100 TB the same drill is bounded: bin-packing
+    // rewrites only files under targetBytes (never re-copies full-size
+    // files), and vacuum is a metadata walk + deletes.
+    "q78_maintenance" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val path = Files.createTempDirectory("graft-q78").toString
+      val docs = tbl(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source")
+      val t = VersionedTable.create(s,
+        docs.filter(col("doc_id") % 4 === 0).repartition(8), path + "/t")
+      (1 to 3).foreach { r =>
+        t.append(docs.filter(col("doc_id") % 4 === r).repartition(8)): Unit
+      }
+      val removed = t.compact(targetBytes = 256L * 1024 * 1024)
+      require(removed >= 8, s"expected the small commit files bin-packed, got $removed")
+      val reclaimed = t.vacuum(retainVersions = 1)
+      require(reclaimed >= removed,
+        s"vacuum should reclaim the $removed compacted-away files, got $reclaimed")
+      graft.ops.Caches.registeredRelease { () =>
+        deleteRec(new java.io.File(path)); ()
+      }
+      t.read.select(col("doc_id"), col("lang"), col("source")).orderBy("doc_id")
+    }),
+
+    // Training-export layout: deterministic seeded global shuffle into 8
+    // fixed shards (WebDataset-style loader shards). shard is a map-only
+    // md5-mod expression; pos ranks within the shard — both replayed
+    // bit-exactly by DuckDB from the same 15-hex-char md5 prefix, so the
+    // ENTIRE (shard, pos) permutation is oracle-checked row-exact.
+    "q79_shuffle_shards" -> ((s, dir) => {
+      GraftSession.tune(s)
+      graft.ops.Sampling
+        .shuffleShards(tbl(s, dir, "documents"), "doc_id", numShards = 8, seed = 7L)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("doc_id")
+    }),
+
+    // Commit-log CDC stream (GraftStreamSourceSpec proves offsets /
+    // restart / rewrite refusal; this proves end-to-end content +
+    // INCREMENTALITY against the oracle): documents lands in a table as
+    // two commits, drain 1 (fresh checkpoint) must emit both; a third
+    // commit lands, drain 2 (SAME checkpoint) must emit ONLY it. The
+    // phase column encodes which drain delivered each row, so the oracle
+    // replay checks the increment boundary, not just the union. Offsets
+    // are commit versions; a batch reads only the new commits' files —
+    // a 100 TB table streams at the cost of its changes.
+    "q80_cdc_stream" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val path = Files.createTempDirectory("graft-q80").toString
+      val (tablePath, ckpt, out) = (path + "/t", path + "/ckpt", path + "/out")
+      val docs = tbl(s, dir, "documents").select("doc_id", "lang", "source")
+      val t = VersionedTable.create(s,
+        docs.filter(col("doc_id") % 4 === 0).repartition(4), tablePath)
+      t.append(docs.filter(col("doc_id") % 4 === 1).repartition(4))
+      var phase = 1
+      def drain(): Unit = {
+        val q = s.readStream.format("graft").load(tablePath)
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val p = phase // capture per batch, not per closure
+            b.withColumn("phase", lit(p)).write.mode("append").parquet(out); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      drain() // phase 1: both initial commits
+      phase = 2
+      t.append(docs.filter(col("doc_id") % 4 === 2).repartition(4))
+      drain() // phase 2: only the new commit (checkpoint resume)
+      graft.ops.Caches.registeredRelease { () =>
+        deleteRec(new java.io.File(path)); ()
+      }
+      s.read.parquet(out)
+        .select(col("doc_id"), col("lang"), col("source"), col("phase"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3021,6 +3103,35 @@ object SparkEntry {
         |SELECT source, stratum, count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         |FROM f GROUP BY 1, 2
-        |ORDER BY source, stratum""".stripMargin
+        |ORDER BY source, stratum""".stripMargin,
+
+    // q78 detours through 4 commits + OPTIMIZE + VACUUM; the oracle
+    // never sees the maintenance — the table must read back as the
+    // source rows regardless.
+    "q78_maintenance" ->
+      "SELECT doc_id, lang, source FROM documents ORDER BY doc_id",
+
+    // replay of the md5-keyed shard permutation: same 15-hex-char md5
+    // prefix parsed base-16, same mod-8 shard, same in-shard rank
+    "q79_shuffle_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15))
+        |         AS BIGINT) AS k
+        |  FROM documents)
+        |SELECT doc_id, CAST(k % 8 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) - 1
+        |       AS BIGINT) AS pos
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // the CDC stream's two drains partition the table rows by WHICH
+    // commit range delivered them: the first drain covers the %4∈{0,1}
+    // commits, the resumed drain exactly the %4=2 append — the oracle
+    // checks the increment boundary row-for-row
+    "q80_cdc_stream" ->
+      """SELECT doc_id, lang, source,
+        |  CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 1 ELSE 2 END AS INT) AS phase
+        |FROM documents WHERE doc_id % 4 < 3
+        |ORDER BY doc_id""".stripMargin
   )
 }

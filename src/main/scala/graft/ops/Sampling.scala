@@ -92,4 +92,41 @@ object Sampling {
       .filter(col("__rk") <= cap)
       .drop("__rk")
   }
+
+  /** Deterministic global shuffle into a fixed number of output shards —
+    * the training-export layout step (WebDataset/TFRecord-style shard
+    * files consumed round-robin by data loaders). Every run, at any
+    * parallelism, assigns a row the SAME `(shard, pos)`, so an export is
+    * reproducible and resumable.
+    *
+    * The permutation key is the base-16 value of 15 hex chars of
+    * `md5(id:seed)` — 60 unbiased bits, and an order ANY engine can
+    * replay (DuckDB, Trino, plain SQL), unlike `rand()` or a hash whose
+    * implementation is engine-private. `shard = key % numShards` is a
+    * pure per-row expression (map-only, no shuffle); `pos` is the row's
+    * rank within its shard in key order, so concatenating shards
+    * `0..numShards-1` each in `pos` order replays ONE global seeded
+    * permutation restricted to shards — what a multi-worker loader reads.
+    *
+    * Scale: ONE keyed shuffle total (the per-shard window; the physical
+    * export is then `repartition(col("shard"))` +
+    * `sortWithinPartitions("pos")` + `write.partitionBy("shard")`,
+    * reusing the same partitioning). Pick `numShards` so a shard is
+    * output-file-sized (thousands of shards at 100 TB): the window
+    * groups scale with the shard count, the per-shard sort is Spark's
+    * spillable external sort, and the md5 key spreads rows uniformly so
+    * no shard is skewed by construction. */
+  def shuffleShards(df: DataFrame, idCol: String, numShards: Int,
+                    seed: Long = 42L): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val key = conv(substring(
+      md5(concat(col(idCol).cast("string"), lit(":" + seed))), 1, 15),
+      16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__key"), col(idCol))
+    df.withColumn("__key", key)
+      .withColumn("shard", pmod(col("__key"), lit(numShards.toLong)).cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__key")
+  }
 }

@@ -2,7 +2,8 @@ package graft.sources
 
 import graft.tables.VersionedTable
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext}
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => StreamingOffsetV1, Source => StreamingSource}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
@@ -14,6 +15,7 @@ import org.apache.spark.sql.types.StructType
   *   spark.read.format("graft").load(path)                       // current
   *   spark.read.format("graft").option("versionAsOf", 3).load(p) // time travel
   *   CREATE TABLE t USING graft OPTIONS (path '...');            -- SQL
+  *   spark.readStream.format("graft").load(path)                 // CDC stream
   * }}}
   *
   * Implemented on the stable DSv1 relation API as a thin shell: scans
@@ -23,17 +25,117 @@ import org.apache.spark.sql.types.StructType
   * relation boundary — performance-critical Scala/Java code should use
   * `VersionedTable.read` directly, which stays whole-stage-codegen'd
   * end to end.
-  */
-class GraftSource extends RelationProvider with DataSourceRegister {
+  *
+  * The STREAMING read is the Delta-source shape (DeltaSource is itself a
+  * DSv1 `Source`): the micro-batch offset IS the commit version, so a
+  * batch is exactly `readChanges(lastSeenVersion, latestVersion)` — the
+  * added files of the new commits, never a table rescan. Restarting from
+  * a checkpoint resumes at the logged version. Options:
+  * `startingVersion` (exclusive; default −1 = the whole history, Delta's
+  * `startingVersion 0`) and `includeRewrites` (read rewriting
+  * MERGE/UPDATE commits coarsely instead of failing — same contract and
+  * same wording as [[VersionedTable.readChanges]]). Scale: an offset is
+  * one long, a batch reads only the files the new commits added, and
+  * the no-change probe is a log listing — a 100 TB table streams at the
+  * cost of its CHANGES. */
+class GraftSource extends RelationProvider with DataSourceRegister
+    with StreamSourceProvider {
   override def shortName(): String = "graft"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft source requires a 'path' option"))
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
-    val path = parameters.getOrElse("path",
-      throw new IllegalArgumentException("graft source requires a 'path' option"))
     val versionAsOf = parameters.get("versionAsOf").map(_.toLong)
-    new GraftRelation(sqlContext, path, versionAsOf)
+    new GraftRelation(sqlContext, pathOf(parameters), versionAsOf)
   }
+
+  /** The stream's schema is the TABLE's schema — a user-supplied one is
+    * rejected rather than silently ignored (Delta does the same). */
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      "the graft streaming source reads the table's own schema; drop .schema(...)")
+    (shortName(),
+      VersionedTable.forPath(sqlContext.sparkSession, pathOf(parameters)).schema)
+  }
+
+  override def createSource(sqlContext: SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): StreamingSource =
+    new GraftStreamSource(sqlContext.sparkSession, pathOf(parameters),
+      startingVersion = parameters.get("startingVersion").map(_.toLong).getOrElse(-1L),
+      includeRewrites = parameters.get("includeRewrites").exists(_.toBoolean))
+}
+
+/** Micro-batch offset for [[GraftStreamSource]]: the highest table
+  * version this batch covers (inclusive). Serialized as the bare number,
+  * so a checkpoint-restored `SerializedOffset` round-trips via `json`. */
+case class GraftCdcOffset(version: Long) extends StreamingOffsetV1 {
+  override def json: String = version.toString
+}
+
+/** Structured-Streaming source over a [[VersionedTable]]'s commit log —
+  * see [[GraftSource]] for semantics. Cite: the reference consumes SCD2
+  * tables in whole-table batches; this is the incremental variant its
+  * notes sketch (reference notes.md:88-105 "bounded streaming"). */
+class GraftStreamSource(spark: SparkSession, path: String,
+                        startingVersion: Long,
+                        includeRewrites: Boolean) extends StreamingSource
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit}
+
+  private val table = VersionedTable.forPath(spark, path)
+
+  override val schema: StructType = table.schema
+
+  /** Version pinned by Trigger.AvailableNow at query start: the run
+    * drains up to here and stops, even if writers keep committing —
+    * the same contract DeltaSource implements. */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(table.currentVersion)
+
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val v = availableNowCap.fold(table.currentVersion)(
+      cap => math.min(cap, table.currentVersion))
+    if (v < 0) null else GraftCdcOffset(v)
+  }
+
+  override def reportLatestOffset(): OffsetV2 = {
+    val v = table.currentVersion
+    if (v < 0) null else GraftCdcOffset(v)
+  }
+
+  /** Latest committed version, or None before the first commit — a log
+    * listing, never a data read. */
+  override def getOffset: Option[StreamingOffsetV1] = {
+    val v = availableNowCap.fold(table.currentVersion)(
+      cap => math.min(cap, table.currentVersion))
+    if (v < 0) None else Some(GraftCdcOffset(v))
+  }
+
+  /** `(start, end]` in commit versions; `start=None` is the stream's
+    * very first batch, which begins after `startingVersion`. The frame
+    * is re-tagged streaming to satisfy the DSv1 getBatch contract. */
+  override def getBatch(start: Option[StreamingOffsetV1],
+                        end: StreamingOffsetV1): DataFrame =
+    org.apache.spark.sql.GraftColumnBridge.asStreamingBatch(
+      table.readChanges(start.map(version).getOrElse(startingVersion),
+        Some(version(end)), includeRewrites))
+
+  /** Both [[GraftCdcOffset]] and a checkpoint-log `SerializedOffset`
+    * carry the version as their `json` payload. */
+  private def version(o: StreamingOffsetV1): Long = o.json.trim.toLong
+
+  override def stop(): Unit = ()
 }
 
 class GraftRelation(val sqlContext: SQLContext,

@@ -24,4 +24,29 @@ object GraftColumnBridge {
         lr.rdd.unpersist(blocking)
       case _ => ()
     }
+
+  /** Re-tag a batch DataFrame's relation leaves as streaming. The DSv1
+    * `Source.getBatch` contract requires the returned plan to carry
+    * `isStreaming = true` (MicroBatchExecution asserts it); built-in
+    * DSv1 sources satisfy it by constructing their batch relations with
+    * the flag set (Spark's FileStreamSource builds
+    * `LogicalRelation(..., isStreaming = true)`), which is exactly what
+    * this does after the fact for a frame built through the normal
+    * reader. Handles the two leaf shapes graft change-frames produce:
+    * parquet scans (LogicalRelation, possibly several under a Union for
+    * multi-root clones) and the empty-batch frame (LogicalRDD). */
+  def asStreamingBatch(df: DataFrame): DataFrame = {
+    val plan = df.queryExecution.analyzed.transform {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+        if !lr.isStreaming => lr.copy(isStreaming = true)
+      case rdd: org.apache.spark.sql.execution.LogicalRDD
+        if !rdd.isStreaming && rdd.rdd.partitions.isEmpty =>
+        // the empty-batch frame: an empty streaming LocalRelation with
+        // the same output is the identical relation, flag included
+        org.apache.spark.sql.catalyst.plans.logical
+          .LocalRelation(rdd.output, Seq.empty, isStreaming = true)
+    }
+    classic.Dataset.ofRows(
+      df.sparkSession.asInstanceOf[classic.SparkSession], plan)
+  }
 }

@@ -549,4 +549,39 @@ class LlmOpsSpec extends AnyFunSuite {
     // ranking: doc 1 (two hits, short) on top; doc 3 beats doc 2 (shorter)
     assert(got.map(_._1).toSeq === Seq(1L, 3L, 2L))
   }
+
+  test("shuffle-shards export: partition of the corpus, contiguous pos, deterministic, seed-sensitive") {
+    val n = docs.count()
+    val sharded = Sampling.shuffleShards(docs, "doc_id", numShards = 8, seed = 7L)
+      .select("doc_id", "shard", "pos").cache()
+    try {
+      val rows = sharded.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      // a PARTITION: every row exactly once, shard within bounds
+      assert(rows.length.toLong == n)
+      assert(rows.map(_._1).distinct.length.toLong == n)
+      assert(rows.forall(r => r._2 >= 0 && r._2 < 8))
+      // pos is contiguous 0..size-1 within each shard (a loader can seek)
+      rows.groupBy(_._2).foreach { case (shard, g) =>
+        assert(g.map(_._3).sorted.toSeq == (0L until g.length.toLong),
+          s"shard $shard positions not contiguous")
+      }
+      // md5 key spreads uniformly: no shard hogs the corpus
+      val sizes = rows.groupBy(_._2).values.map(_.length)
+      assert(sizes.max < 2 * (n / 8 + 1).toInt, s"skewed shards: $sizes")
+      // deterministic: the same seed replays the identical permutation
+      val again = Sampling.shuffleShards(docs, "doc_id", numShards = 8, seed = 7L)
+        .select("doc_id", "shard", "pos").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      assert(again.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
+      // a different seed is a different permutation
+      val other = Sampling.shuffleShards(docs, "doc_id", numShards = 8, seed = 8L)
+        .select("doc_id", "shard", "pos").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      assert(other.sortBy(_._1).toSeq != rows.sortBy(_._1).toSeq)
+      // and NOT id order: the hash mixes the id space within shards
+      val shard0 = rows.filter(_._2 == 0).sortBy(_._3).map(_._1).toSeq
+      assert(shard0 != shard0.sorted, "in-shard order must be shuffled, not id order")
+    } finally { sharded.unpersist(): Unit }
+  }
 }
