@@ -1905,6 +1905,39 @@ object SparkEntry {
       s.read.parquet(out)
         .select(col("doc_id"), col("lang"), col("source"), col("phase"))
         .orderBy("doc_id")
+    }),
+
+    // Streaming table-to-table replication: the commit-log CDC source
+    // piped into the exactly-once graft SINK (writeStream.format("graft"),
+    // per-batch txn watermark — GraftStreamSinkSpec proves replayed
+    // batchIds are skipped). Two data drains + one idle drain over one
+    // checkpoint; the destination table must equal the source — the
+    // oracle never sees the streaming detour. At scale each drain moves
+    // only the new commits' files and the no-op drain costs a log probe.
+    "q81_stream_sink" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val path = Files.createTempDirectory("graft-q81").toString
+      val docs = tbl(s, dir, "documents").select("doc_id", "lang", "source")
+      val src = VersionedTable.create(s,
+        docs.filter(col("doc_id") % 3 === 0).repartition(4), path + "/src")
+      def drain(): Unit = {
+        val q = s.readStream.format("graft").load(path + "/src")
+          .writeStream.format("graft")
+          .option("checkpointLocation", path + "/ckpt")
+          .option("path", path + "/dst")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      drain() // replicates the initial commit
+      src.append(docs.filter(col("doc_id") % 3 === 1).repartition(4))
+      drain() // replicates ONLY the append
+      drain() // idle: no new commits, the txn watermark keeps it a no-op
+      graft.ops.Caches.registeredRelease { () =>
+        deleteRec(new java.io.File(path)); ()
+      }
+      VersionedTable.forPath(s, path + "/dst").read
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3132,6 +3165,14 @@ object SparkEntry {
       """SELECT doc_id, lang, source,
         |  CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 1 ELSE 2 END AS INT) AS phase
         |FROM documents WHERE doc_id % 4 < 3
+        |ORDER BY doc_id""".stripMargin,
+
+    // q81 replicates two source commits through the CDC stream into the
+    // sink table (plus an idle drain); the destination must read back as
+    // exactly the replicated subset
+    "q81_stream_sink" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id % 3 < 2
         |ORDER BY doc_id""".stripMargin
   )
 }

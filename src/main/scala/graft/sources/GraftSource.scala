@@ -3,9 +3,10 @@ package graft.sources
 import graft.tables.VersionedTable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset => StreamingOffsetV1, Source => StreamingSource}
+import org.apache.spark.sql.execution.streaming.{Offset => StreamingOffsetV1, Sink => StreamingSink, Source => StreamingSource}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources._
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** `spark.read.format("graft")` — the interop surface over
@@ -39,7 +40,7 @@ import org.apache.spark.sql.types.StructType
   * the no-change probe is a log listing — a 100 TB table streams at the
   * cost of its CHANGES. */
 class GraftSource extends RelationProvider with DataSourceRegister
-    with StreamSourceProvider {
+    with StreamSourceProvider with StreamSinkProvider {
   override def shortName(): String = "graft"
 
   private def pathOf(parameters: Map[String, String]): String =
@@ -72,6 +73,50 @@ class GraftSource extends RelationProvider with DataSourceRegister
     new GraftStreamSource(sqlContext.sparkSession, pathOf(parameters),
       startingVersion = parameters.get("startingVersion").map(_.toLong).getOrElse(-1L),
       includeRewrites = parameters.get("includeRewrites").exists(_.toBoolean))
+
+  /** `writeStream.format("graft")` — exactly-once append sink (the Delta
+    * sink shape). Idempotence app id: an explicit `txnAppId` option, else
+    * the query's checkpoint location (stable across restarts of the same
+    * logical query — two queries never share a checkpoint), else the
+    * table path. */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): StreamingSink = {
+    require(outputMode == OutputMode.Append(),
+      s"the graft sink appends new rows only; got OutputMode $outputMode " +
+        "(aggregate into a table with foreachBatch + merge instead)")
+    val appId = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(pathOf(parameters))
+    new GraftSink(sqlContext.sparkSession, pathOf(parameters),
+      partitionColumns, appId)
+  }
+}
+
+/** Streaming append sink over a [[VersionedTable]]: each micro-batch is
+  * one table commit carrying `(txnAppId, batchId)`, so a batch replayed
+  * after a crash-before-checkpoint is skipped by
+  * [[VersionedTable.append]]'s transaction watermark — exactly-once into
+  * the table, like Delta's streaming sink. A missing table is created
+  * EMPTY (schema from the first batch, partitioning from the writer's
+  * `partitionBy`) so even batch 0 flows through the guarded append.
+  * Scale: a batch writes only its own rows; the idempotence probe is a
+  * commit-log scan, no data read. */
+class GraftSink(spark: SparkSession, path: String,
+                partitionColumns: Seq[String], appId: String)
+    extends StreamingSink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val batch = org.apache.spark.sql.GraftColumnBridge.asBatchFrame(data)
+    val table =
+      if (VersionedTable.isTable(spark, path)) VersionedTable.forPath(spark, path)
+      else VersionedTable.create(spark,
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], batch.schema),
+        path, partitionBy = partitionColumns)
+    table.append(batch, txn = Some((appId, batchId)))
+  }
 }
 
 /** Micro-batch offset for [[GraftStreamSource]]: the highest table

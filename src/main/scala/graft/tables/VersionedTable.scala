@@ -515,29 +515,54 @@ class VersionedTable private (val spark: SparkSession,
   // -------------------------------------------------------------- write --
 
   /** Append `df`. With `mergeSchema=true`, new nullable columns widen the
-    * table schema (reference: schema_evolution_step1.py:139-144). */
-  def append(df: DataFrame, mergeSchema: Boolean = false): Unit = withCommitRetry {
-    val (_, cur, partCols) = snapshot(None)
-    val newSchema =
-      if (mergeSchema) widenSchema(cur, df.schema)
-      else {
-        val missing = cur.fieldNames.toSet -- df.schema.fieldNames.toSet
-        val extra = df.schema.fieldNames.toSet -- cur.fieldNames.toSet
-        require(extra.isEmpty, s"append schema has extra columns $extra (use mergeSchema)")
-        require(missing.isEmpty, s"append schema is missing columns $missing")
-        cur
-      }
-    val aligned = df.select(newSchema.fieldNames.toSeq.map { n =>
-      if (df.schema.fieldNames.contains(n))
-        col(n).cast(newSchema(n).dataType).as(n)
-      else lit(null).cast(newSchema(n).dataType).as(n)
-    }: _*)
-    val added = writeFiles(aligned, partCols)
-    commitOrClean(LogEntry(currentVersion + 1, now(), "WRITE",
-      newSchema.json, partCols, added, Seq.empty,
-      Map("numFiles" -> added.size.toString, "mode" -> "Append",
-        "mergeSchema" -> mergeSchema.toString)), added)
+    * table schema (reference: schema_evolution_step1.py:139-144).
+    *
+    * `txn = Some((appId, batchId))` makes the append IDEMPOTENT per
+    * writer application (Delta's SetTransaction shape, used by the
+    * streaming sink for exactly-once): the commit records the pair, and
+    * an append whose batchId is ≤ the last recorded one for the same
+    * appId is silently skipped. The check runs INSIDE the commit-retry
+    * loop, so losing a CAS race to a concurrent replay of the same
+    * batch re-checks before re-writing. */
+  def append(df: DataFrame, mergeSchema: Boolean = false,
+             txn: Option[(String, Long)] = None): Unit = withCommitRetry {
+    val alreadyCommitted = txn.exists { case (app, b) =>
+      lastTxnBatchId(app).exists(_ >= b)
+    }
+    if (!alreadyCommitted) {
+      val (_, cur, partCols) = snapshot(None)
+      val newSchema =
+        if (mergeSchema) widenSchema(cur, df.schema)
+        else {
+          val missing = cur.fieldNames.toSet -- df.schema.fieldNames.toSet
+          val extra = df.schema.fieldNames.toSet -- cur.fieldNames.toSet
+          require(extra.isEmpty, s"append schema has extra columns $extra (use mergeSchema)")
+          require(missing.isEmpty, s"append schema is missing columns $missing")
+          cur
+        }
+      val aligned = df.select(newSchema.fieldNames.toSeq.map { n =>
+        if (df.schema.fieldNames.contains(n))
+          col(n).cast(newSchema(n).dataType).as(n)
+        else lit(null).cast(newSchema(n).dataType).as(n)
+      }: _*)
+      val added = writeFiles(aligned, partCols)
+      commitOrClean(LogEntry(currentVersion + 1, now(), "WRITE",
+        newSchema.json, partCols, added, Seq.empty,
+        Map("numFiles" -> added.size.toString, "mode" -> "Append",
+          "mergeSchema" -> mergeSchema.toString) ++
+          txn.map { case (app, b) =>
+            Map("txnAppId" -> app, "txnBatchId" -> b.toString)
+          }.getOrElse(Map.empty)), added)
+    }
   }
+
+  /** Highest batchId committed with [[append]]'s `txn` for `appId`, or
+    * None — the idempotence watermark a restarted writer consults.
+    * Newest-first over the parsed log (bounded metadata, no data read). */
+  def lastTxnBatchId(appId: String): Option[Long] =
+    entries.reverseIterator
+      .find(_.operationMetrics.get("txnAppId").contains(appId))
+      .flatMap(_.operationMetrics.get("txnBatchId")).map(_.toLong)
 
   /** Physically write `df` partitioned by `partCols` into the data dir via
     * a staging dir + per-file rename; returns the added FileEntries. */

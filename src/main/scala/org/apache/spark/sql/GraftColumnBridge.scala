@@ -49,4 +49,18 @@ object GraftColumnBridge {
     classic.Dataset.ofRows(
       df.sparkSession.asInstanceOf[classic.SparkSession], plan)
   }
+
+  /** The inverse direction, for SINKS: re-materialize a micro-batch's
+    * streaming-planned frame as a writable batch frame. A sink's
+    * `addBatch` receives a frame carrying the incremental execution's
+    * plan, which batch writers refuse ("must be executed with
+    * writeStream.start()"); wrapping the already-planned physical RDD in
+    * a fresh batch frame is how built-in and Delta sinks hand the data
+    * to their writers. The RDD is the executed plan's output — no
+    * recomputation of upstream state. */
+  def asBatchFrame(df: DataFrame): DataFrame = {
+    val s = df.sparkSession.asInstanceOf[classic.SparkSession]
+    s.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = false)
+  }
 }

@@ -1,0 +1,89 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SharedSpark
+import graft.tables.VersionedTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `writeStream.format("graft")` — the exactly-once append sink. */
+class GraftStreamSinkSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag").toString
+
+  test("file stream lands in a graft table; a second drain appends only new input") {
+    val dir = freshDir("sink")
+    val (in, table, ckpt) = (dir + "/in", dir + "/t", dir + "/ckpt")
+    spark.range(0, 100).selectExpr("id", "concat('v', id) AS v")
+      .write.parquet(in)
+    def drain(): Unit = {
+      val q = spark.readStream.schema("id LONG, v STRING").parquet(in)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt).option("path", table)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    val t = VersionedTable.forPath(spark, table)
+    assert(t.read.count() == 100)
+    spark.range(100, 130).selectExpr("id", "concat('v', id) AS v")
+      .write.mode("append").parquet(in)
+    drain()
+    assert(t.read.count() == 130)
+    assert(t.read.exceptAll(
+      spark.range(0, 130).selectExpr("id", "concat('v', id) AS v")).isEmpty)
+  }
+
+  test("a replayed batchId is skipped: exactly-once via the txn watermark") {
+    val dir = freshDir("sink-replay")
+    val sink = new GraftSink(spark, dir + "/t", Nil, appId = "appA")
+    val batch = spark.range(0, 50).selectExpr("id", "id * 2 AS d").toDF()
+    sink.addBatch(0L, batch)
+    val t = VersionedTable.forPath(spark, dir + "/t")
+    val v = t.currentVersion
+    sink.addBatch(0L, batch) // crash-replay of the same micro-batch
+    assert(t.read.count() == 50, "replay must not duplicate rows")
+    assert(t.currentVersion == v, "replay must not even commit")
+    sink.addBatch(1L, batch) // the NEXT batch lands normally
+    assert(t.read.count() == 100)
+    assert(t.lastTxnBatchId("appA").contains(1L))
+    assert(t.lastTxnBatchId("appB").isEmpty)
+    // a different writer app has its own watermark
+    new GraftSink(spark, dir + "/t", Nil, appId = "appB").addBatch(0L, batch)
+    assert(t.read.count() == 150)
+  }
+
+  test("partitionBy flows to the created table; graft-to-graft streaming replication") {
+    val dir = freshDir("sink-part")
+    val src = VersionedTable.create(spark,
+      spark.range(0, 90).selectExpr("id", "cast(id % 3 AS int) AS p"),
+      dir + "/src")
+    val q = spark.readStream.format("graft").load(dir + "/src")
+      .writeStream.format("graft").partitionBy("p")
+      .option("checkpointLocation", dir + "/ckpt").option("path", dir + "/dst")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val dst = VersionedTable.forPath(spark, dir + "/dst")
+    assert(dst.partitionColumns == Seq("p"))
+    assert(dst.read.exceptAll(src.read).isEmpty && src.read.exceptAll(dst.read).isEmpty)
+    // partition values survived the roundtrip
+    assert(dst.read.filter($"p" === 1).count() == 30)
+  }
+
+  test("non-append output modes are rejected with guidance") {
+    val dir = freshDir("sink-mode")
+    val e = intercept[Exception] {
+      spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .groupBy("value").count()
+        .writeStream.format("graft").outputMode("complete")
+        .option("checkpointLocation", dir + "/ckpt").option("path", dir + "/t")
+        .start()
+    }
+    assert(e.getMessage.contains("foreachBatch"), e.getMessage)
+  }
+}
