@@ -1938,6 +1938,19 @@ object SparkEntry {
       VersionedTable.forPath(s, path + "/dst").read
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")
+    }),
+
+    // ExactSubstr repeated-span dedup (Lee et al.): every duplicated
+    // 6-token window keeps only its globally-first occurrence; DuckDB
+    // replays the full pipeline — tokenize, lead-built grams, dup
+    // marking over the gram hash, running-max coverage, reassembly —
+    // so the cleaned TEXT of every document is in the hash.
+    "q82_span_dedup" -> ((s, dir) => {
+      GraftSession.tune(s)
+      graft.ops.TextDedup
+        .repeatedSpanDedup(tbl(s, dir, "documents"), "doc_id", "text", k = 6)
+        .select(col("doc_id"), col("text"), col("n_kept"), col("n_removed"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3173,6 +3186,47 @@ object SparkEntry {
     "q81_stream_sink" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE doc_id % 3 < 2
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // full relational replay of the span dedup: same 0-based positions,
+    // same lead-built lowercased 6-grams, same (doc_id,pos)-first rule,
+    // same running-max coverage, same in-order reassembly
+    "q82_span_dedup" ->
+      """WITH raw AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, a[i+1] AS tok, i AS pos
+        |  FROM raw, (SELECT unnest(generate_series(0, 999)) AS i) gs
+        |  WHERE i < len(a) AND a[i+1] <> ''
+        |), g0 AS (
+        |  SELECT doc_id, pos,
+        |    count(*) OVER (PARTITION BY doc_id) AS n,
+        |    concat_ws(' ', lower(tok),
+        |      lead(lower(tok), 1) OVER w, lead(lower(tok), 2) OVER w,
+        |      lead(lower(tok), 3) OVER w, lead(lower(tok), 4) OVER w,
+        |      lead(lower(tok), 5) OVER w) AS gram
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |), g AS (
+        |  SELECT doc_id, pos, md5(gram) AS gh FROM g0 WHERE pos <= n - 6
+        |), d AS (
+        |  SELECT doc_id, pos, pos + 5 AS e
+        |  FROM (SELECT doc_id, pos,
+        |          count(*) OVER (PARTITION BY gh) AS cnt,
+        |          row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rk
+        |        FROM g)
+        |  WHERE cnt > 1 AND rk > 1
+        |), cov AS (
+        |  SELECT t.doc_id, t.pos, t.tok,
+        |    coalesce(max(d.e) OVER (PARTITION BY t.doc_id ORDER BY t.pos
+        |      ROWS UNBOUNDED PRECEDING) >= t.pos, false) AS covered
+        |  FROM toks t LEFT JOIN d ON t.doc_id = d.doc_id AND t.pos = d.pos
+        |)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN NOT covered THEN tok END, ' '
+        |                      ORDER BY pos), '') AS text,
+        |  CAST(sum(CASE WHEN NOT covered THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+        |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -370,4 +370,80 @@ object TextDedup {
           s => s.getField("__para")),
         joiner).as(textCol))
   }
+
+  /** ExactSubstr-style repeated-SPAN dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"): every corpus-wide
+    * duplicated token window of length `k` keeps ONLY its globally first
+    * occurrence (ordered by (id, position)); all other occurrences'
+    * tokens are removed and each document's surviving tokens are
+    * reassembled in order. Catches verbatim boilerplate *inside*
+    * otherwise-distinct documents — the spans paragraph dedup misses
+    * when the delimiters differ — and intra-document repetition past the
+    * first copy. Matching is case-insensitive; output keeps original
+    * casing.
+    *
+    * Scale shape — corpus-linear, no suffix array and no all-pairs:
+    *  1. tokenize with positions (map-side);
+    *  2. k-gram per position via k−1 `lead`s on ONE per-document window
+    *     (first keyed shuffle, by id);
+    *  3. `count(*)`/`row_number` over the gram hash mark every non-first
+    *     occurrence of a duplicated gram (second keyed shuffle, by the
+    *     8-byte hash — the token text never shuffles here);
+    *  4. covered positions come from a running `max(span end)` window
+    *     per document — an equality join of marked starts back onto the
+    *     token stream plus ONE more keyed window, NOT a range join and
+    *     NOT a k× position explosion (heavy duplication costs nothing
+    *     extra);
+    *  5. reassembly is [[paragraphDedup]]'s bounded collect_list shape.
+    * A hot duplicated gram (a million-occurrence boilerplate line) is
+    * one reducer's (id,pos) list in step 3 — Spark's spillable external
+    * sort bounds memory, and only (id,pos,hash) rows sit in it.
+    * Documents shorter than `k` tokens pass through untouched; a fully
+    * duplicated document survives as its empty string (filter on
+    * `n_kept > 0` to drop).
+    * @return (idCol, textCol, n_kept, n_removed) */
+  def repeatedSpanDedup(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8): DataFrame = {
+    require(k >= 2, "a span of fewer than 2 tokens is not a span")
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val toks = df
+      .select(col(idCol),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("__pos", "__tok")))
+      .filter(col("__tok") =!= "") // empty text explodes to one "" token
+    // k-gram starting at every position with k tokens left; the count
+    // window shares byDoc's partitioning, so steps 1-2 are ONE shuffle
+    val grams = toks
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(idCol))))
+      .withColumn("__gram", concat_ws(" ",
+        (0 until k).map(i =>
+          if (i == 0) lower(col("__tok"))
+          else lead(lower(col("__tok")), i).over(byDoc)): _*))
+      .filter(col("__pos") <= col("__n") - k)
+      .select(col(idCol), col("__pos"), md5(col("__gram")).as("__gh"))
+    val byGram = Window.partitionBy(col("__gh"))
+    val dupStarts = grams
+      .withColumn("__cnt", count(lit(1)).over(byGram))
+      .withColumn("__rk", row_number().over(
+        byGram.orderBy(col(idCol), col("__pos"))))
+      .filter(col("__cnt") > 1 && col("__rk") > 1)
+      .select(col(idCol), col("__pos"), (col("__pos") + k - 1).as("__end"))
+    val covered = toks
+      .join(dupStarts, Seq(idCol, "__pos"), "left")
+      .withColumn("__covEnd", max(col("__end")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__covered", coalesce(col("__covEnd") >= col("__pos"), lit(false)))
+    covered.groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(
+                struct(col("__pos"), col("__tok"), col("__covered")))),
+              s => !s.getField("__covered")),
+            s => s.getField("__tok")),
+          " ").as(textCol),
+        sum(when(!col("__covered"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__covered"), 1L).otherwise(0L)).as("n_removed"))
+  }
 }

@@ -550,6 +550,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq === Seq(1L, 3L, 2L))
   }
 
+  test("repeated-span dedup: cross-doc span, intra-doc repeat, case-fold, short docs, full wipe") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),             // owns the first "a b c d e"
+      (2L, "x y a b c d e z"),             // loses the shared 5-token span
+      (3L, "p q r s t u p q r s t u"),     // intra-doc: second copy removed
+      (4L, "A B C D E"),                   // case-folded full wipe
+      (5L, "hello world")                  // < k tokens: untouched
+    ).toDF("doc_id", "text")
+    val got = TextDedup.repeatedSpanDedup(corpus, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("a b c d e f g h", 8L, 0L)), "first occurrence keeps its span")
+    assert(got(2L) == (("x y z", 3L, 5L)), "non-first occurrence loses exactly the span")
+    assert(got(3L) == (("p q r s t u", 6L, 6L)), "intra-doc repeat keeps only the first copy")
+    assert(got(4L) == (("", 0L, 5L)), "case-insensitive match, original casing elsewhere")
+    assert(got(5L) == (("hello world", 2L, 0L)), "short docs pass through")
+    // idempotent: a deduped corpus (empty docs dropped, per the contract)
+    // has no duplicated spans left
+    val again = TextDedup.repeatedSpanDedup(
+      TextDedup.repeatedSpanDedup(corpus, "doc_id", "text", k = 5)
+        .filter(col("n_kept") > 0).select("doc_id", "text"),
+      "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == got.view.mapValues(_._1).toMap - 4L)
+  }
+
   test("shuffle-shards export: partition of the corpus, contiguous pos, deterministic, seed-sensitive") {
     val n = docs.count()
     val sharded = Sampling.shuffleShards(docs, "doc_id", numShards = 8, seed = 7L)
