@@ -1951,6 +1951,18 @@ object SparkEntry {
         .repeatedSpanDedup(tbl(s, dir, "documents"), "doc_id", "text", k = 6)
         .select(col("doc_id"), col("text"), col("n_kept"), col("n_removed"))
         .orderBy("doc_id")
+    }),
+
+    // Sliding-window token chunking (context-window prep): 40-token
+    // windows, 10 shared tokens between consecutive chunks, no
+    // fully-contained tail. MAP-ONLY — the plan has no exchange
+    // (asserted in LlmOpsSpec); a 100 TB corpus chunks at scan speed.
+    "q83_chunking" -> ((s, dir) => {
+      GraftSession.tune(s)
+      graft.ops.Packing
+        .chunkTokens(tbl(s, dir, "documents"), "doc_id", "text",
+          maxTokens = 40, overlap = 10)
+        .orderBy("doc_id", "chunk_idx")
     })
   )
 
@@ -3227,6 +3239,20 @@ object SparkEntry {
         |                      ORDER BY pos), '') AS text,
         |  CAST(sum(CASE WHEN NOT covered THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
-        |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // replay of the 40/10 sliding window: same 1-based list_slice
+    // bounds, same ceil-division chunk count, same tail rule
+    "q83_chunking" ->
+      """WITH raw AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  array_to_string(list_slice(a, i*30 + 1, i*30 + 40), ' ') AS chunk_text,
+        |  CAST(least(40, len(a) - i*30) AS BIGINT) AS n_tokens
+        |FROM raw, (SELECT unnest(generate_series(0, 9)) AS i) gs
+        |WHERE i < 1 + greatest(0, floor((len(a) - 40 + 29) / 30.0))
+        |ORDER BY doc_id, chunk_idx""".stripMargin
   )
 }

@@ -61,6 +61,41 @@ object Packing {
         floor((row_number().over(w) - 1).cast("long") / batchSize).cast("long"))
   }
 
+  /** Sliding-window token chunking — the context-window preprocessing
+    * step (pretraining long-doc splitting, RAG passage windows): each
+    * document becomes ceil-many chunks of at most `maxTokens` whitespace
+    * tokens, consecutive chunks sharing `overlap` tokens. A chunk past
+    * the first is emitted only if it adds tokens beyond the previous
+    * chunk's end, so short tails never produce a fully-contained chunk.
+    *
+    * Scale: MAP-ONLY — the chunk fan-out is `posexplode(sequence(...))`
+    * over pure expressions, no window, no shuffle, no state; a 100 TB
+    * corpus chunks at scan speed and the output is ~(1 + overlap/step)×
+    * the input tokens. Deterministic: (doc, chunk_idx) is a pure
+    * function of the text.
+    * @return (idCol, chunk_idx, chunk_text, n_tokens) */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  maxTokens: Int, overlap: Int): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(overlap >= 0 && overlap < maxTokens,
+      "overlap must be in [0, maxTokens)")
+    val step = maxTokens - overlap
+    val toks = split(trim(col(textCol)), "\\s+")
+    // ceil((n - maxTokens) / step) extra chunks after the first; the
+    // emit rule "adds tokens beyond the previous chunk" is exactly this
+    val nChunks = lit(1) + greatest(lit(0L),
+      floor((size(toks) - maxTokens + step - 1) / step))
+    df.select(col(idCol), toks.as("__toks"),
+        posexplode(sequence(lit(0L), nChunks - 1)).as(Seq("chunk_idx", "__c")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        array_join(slice(col("__toks"),
+          (col("chunk_idx") * step + 1).cast("int"), lit(maxTokens)), " ")
+          .as("chunk_text"),
+        least(lit(maxTokens),
+          size(col("__toks")) - col("chunk_idx") * step).cast("long")
+          .as("n_tokens"))
+  }
+
   /** Padding-efficiency report per (bucket, batch): tokens actually
     * present vs tokens after padding every doc to the batch max —
     * the number a pipeline owner watches to tune `bucketWidth`. */

@@ -576,6 +576,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(again == got.view.mapValues(_._1).toMap - 4L)
   }
 
+  test("token chunking: window bounds, overlap, tail rule, map-only plan") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 toks, max 4, ov 1 -> 3 chunks
+      (2L, "a b c d e"),                     // 5 toks, max 4, ov 2 -> 2 chunks
+      (3L, "x y")                            // under max -> 1 chunk
+    ).toDF("doc_id", "text")
+    val got = Packing.chunkTokens(corpus, "doc_id", "text", maxTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getString(2), r.getLong(3)))).toMap
+    assert(got((1L, 0L)) == (("t0 t1 t2 t3", 4L)))
+    assert(got((1L, 1L)) == (("t3 t4 t5 t6", 4L)), "consecutive chunks share `overlap` tokens")
+    assert(got((1L, 2L)) == (("t6 t7 t8 t9", 4L)))
+    assert(!got.contains((1L, 3L)), "no fully-contained tail chunk")
+    assert(got((3L, 0L)) == (("x y", 2L)), "short docs give one short chunk")
+    val ov2 = Packing.chunkTokens(corpus.filter($"doc_id" === 2), "doc_id", "text",
+      maxTokens = 4, overlap = 2).collect()
+      .map(r => r.getLong(1) -> ((r.getString(2), r.getLong(3)))).toMap
+    assert(ov2 == Map(0L -> (("a b c d", 4L)), 1L -> (("c d e", 3L))),
+      "tail chunk emitted only when it adds tokens; its n_tokens is the remainder")
+    // map-only: the chunking plan has no exchange
+    val plan = Packing.chunkTokens(corpus, "doc_id", "text", 4, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
   test("shuffle-shards export: partition of the corpus, contiguous pos, deterministic, seed-sensitive") {
     val n = docs.count()
     val sharded = Sampling.shuffleShards(docs, "doc_id", numShards = 8, seed = 7L)
