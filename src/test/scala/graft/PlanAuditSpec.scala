@@ -139,4 +139,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(pb).length == 1,
       s"length-batching must shuffle exactly once:\n$pb")
   }
+
+  test("q79: shuffle-shards export is ONE keyed window shuffle, shard assigned map-side") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ops.Sampling.shuffleShards(docs, "doc_id", numShards = 8, seed = 7L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"shuffle-shards must shuffle exactly once (the per-shard window):\n$p")
+    // the exchange key is the shard itself — the map-side hash expression,
+    // not a later-computed column (proves assignment happens pre-shuffle)
+    assert(p.contains("Exchange hashpartitioning(shard"),
+      s"the single shuffle must be keyed by the map-side shard column:\n$p")
+  }
+
+  test("q82: span dedup plans as equi-joins + keyed windows — no range join, no cross product") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.ops.TextDedup.repeatedSpanDedup(docs, "doc_id", "text", k = 6)
+    df.collect() // finalize AQE so the real join strategies are visible
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"span coverage must come from the running-max window, not a cross join:\n${p.take(2000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the (id,pos) start join must stay an equi-join:\n${p.take(2000)}")
+  }
+
+  test("q83: token chunking is map-only — zero exchanges in the plan") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ops.Packing.chunkTokens(docs, "doc_id", "text", 40, 10)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+  }
 }
