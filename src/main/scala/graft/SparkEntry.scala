@@ -1963,6 +1963,35 @@ object SparkEntry {
         .chunkTokens(tbl(s, dir, "documents"), "doc_id", "text",
           maxTokens = 40, overlap = 10)
         .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // Hard-negative mining for contrastive training: per anchor (every
+    // 100th vector), the 5 most-cosine-similar DIFFERENT-label vectors.
+    // Anchors broadcast, corpus streams one scan, per-anchor top-k is a
+    // keyed window; exact ranking on unrounded doubles in both engines
+    // (the q14-established cosine parity), rounded only for display.
+    "q84_hard_negatives" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val emb = tbl(s, dir, "embeddings")
+      graft.ops.Similarity
+        .hardNegatives(emb, emb.filter(col("vec_id") % 100 === 0),
+          "vec_id", "embedding", "label", k = 5)
+        .orderBy("anchor_id", "vec_id")
+    }),
+
+    // Epoch-weighted upsampling mixture: fr 2.5 epochs, de 1.25, zh 0.6,
+    // everything else 1.0 — fractional epochs decided by the same
+    // injectable LCG variate q77 replays, so every emitted copy is in
+    // the hash. Map-only (explode over a pure expression).
+    "q85_epoch_mix" -> ((s, dir) => {
+      GraftSession.tune(s)
+      graft.ops.Sampling
+        .epochMix(tbl(s, dir, "documents").select("doc_id", "lang"),
+          "doc_id", "lang",
+          epochs = Map("fr" -> 2.5, "de" -> 1.25, "zh" -> 0.6),
+          uniform = Some(
+            pmod(col("doc_id") * 48271 + 11, lit(10007)).cast("double") / 10007.0))
+        .orderBy("doc_id", "copy")
     })
   )
 
@@ -3253,6 +3282,40 @@ object SparkEntry {
         |  CAST(least(40, len(a) - i*30) AS BIGINT) AS n_tokens
         |FROM raw, (SELECT unnest(generate_series(0, 9)) AS i) gs
         |WHERE i < 1 + greatest(0, floor((len(a) - 40 + 29) / 30.0))
-        |ORDER BY doc_id, chunk_idx""".stripMargin
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // per-anchor different-label top-5 by exact cosine, same unrounded
+    // ranking and (cosine DESC, id) tie-break as the Spark window
+    "q84_hard_negatives" ->
+      """WITH a AS (
+        |  SELECT vec_id AS anchor_id, embedding AS avec, label AS albl
+        |  FROM embeddings WHERE vec_id % 100 = 0
+        |), s AS (
+        |  SELECT a.anchor_id, e.vec_id, e.label,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], a.avec::DOUBLE[]) AS c,
+        |    row_number() OVER (PARTITION BY a.anchor_id
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+        |                                      a.avec::DOUBLE[]) DESC,
+        |               e.vec_id) AS rk
+        |  FROM embeddings e, a
+        |  WHERE e.label <> a.albl AND e.vec_id <> a.anchor_id
+        |)
+        |SELECT anchor_id, vec_id, label, round(c, 4) AS cosine
+        |FROM s WHERE rk <= 5
+        |ORDER BY anchor_id, vec_id""".stripMargin,
+
+    // replay of the epoch fan-out: floor(epochs) copies plus one more
+    // when the LCG variate falls under the fractional part
+    "q85_epoch_mix" ->
+      """WITH e AS (
+        |  SELECT doc_id, lang,
+        |    CASE lang WHEN 'fr' THEN 2.5 WHEN 'de' THEN 1.25
+        |              WHEN 'zh' THEN 0.6 ELSE 1.0 END AS ep,
+        |    ((doc_id * 48271 + 11) % 10007)::DOUBLE / 10007 AS u
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(copy AS INT) AS copy
+        |FROM e, (SELECT unnest(generate_series(1, 3)) AS copy) g
+        |WHERE copy <= floor(ep) + CASE WHEN u < ep - floor(ep) THEN 1 ELSE 0 END
+        |ORDER BY doc_id, copy""".stripMargin
   )
 }

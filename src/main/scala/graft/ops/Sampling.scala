@@ -93,6 +93,38 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Epoch-weighted mixture with UPSAMPLING — the half of corpus mixing
+    * [[temperatureMix]] can't do (rates cap at 1.0): a stratum assigned
+    * `epochs = 2.3` emits every row 2 times plus a deterministic 30% of
+    * rows a 3rd time, so rare-but-valuable strata (curated books, low-
+    * resource languages) are seen fractional-epochs-many times per pass,
+    * the standard pretraining-mixture knob. Each emitted copy carries a
+    * 1-based `copy` index so downstream shuffling/sharding treats
+    * repetitions as distinct examples.
+    *
+    * Scale: MAP-ONLY — the copy count is a pure expression and the
+    * fan-out an `explode(sequence(...))`; output rows = Σ epochs(s)·|s|,
+    * no shuffle, no state. The fractional coin is the same injectable
+    * per-row variate as [[stratifiedSample]] (replayable externally).
+    * `epochs < 1` degrades gracefully to deterministic downsampling. */
+  def epochMix(df: DataFrame, idCol: String, stratumCol: String,
+               epochs: Map[String, Double], defaultEpochs: Double = 1.0,
+               seed: Long = 42L,
+               uniform: Option[Column] = None): DataFrame = {
+    require((epochs.values ++ Seq(defaultEpochs)).forall(_ >= 0.0),
+      "epochs must be non-negative")
+    val u = uniform.getOrElse(uniformHash(idCol, seed))
+    val e = epochs.foldLeft(lit(defaultEpochs)) { case (acc, (s, v)) =>
+      when(col(stratumCol) === s, lit(v)).otherwise(acc)
+    }
+    val copies = (floor(e) +
+      when(u < (e - floor(e)), lit(1L)).otherwise(lit(0L))).cast("int")
+    df.withColumn("__n", copies)
+      .filter(col("__n") >= 1)
+      .select(col("*"), explode(sequence(lit(1), col("__n"))).as("copy"))
+      .drop("__n")
+  }
+
   /** Deterministic global shuffle into a fixed number of output shards —
     * the training-export layout step (WebDataset/TFRecord-style shard
     * files consumed round-robin by data loaders). Every run, at any

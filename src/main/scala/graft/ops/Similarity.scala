@@ -440,4 +440,38 @@ object Similarity {
     pqTopK(probed, idCol, vecCol, queryId, k, m, kCent, refine,
       trainedCodebook = Some(codebook))
   }
+
+  /** Hard-negative mining for contrastive/embedding training: for every
+    * ANCHOR vector, the `k` corpus vectors most cosine-similar to it
+    * whose label DIFFERS — the "confusing" negatives that make a batch
+    * informative (the in-batch-negatives upgrade every retrieval
+    * training recipe reaches for).
+    *
+    * Scale shape: `anchors` must be batch-sized (a training batch's
+    * rows, NOT the corpus) — it is broadcast, the corpus side streams
+    * through ONE scan scoring |anchors| codegen'd cosines per row, and
+    * the per-anchor top-k is a keyed window over |anchors| groups. At
+    * 100 TB swap the scan for the ANN candidate paths ([[ivfTopK]] /
+    * [[lshTopKFromPostings]]) per anchor and re-rank the union — the
+    * exact scan here is the oracle shape. Deterministic
+    * (cosine DESC, id) ties.
+    * @param anchors frame of (idCol, vecCol, labelCol) anchor rows
+    * @return (anchor_id, idCol, labelCol, cosine) */
+  def hardNegatives(emb: DataFrame, anchors: DataFrame,
+                    idCol: String, vecCol: String, labelCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = anchors.select(
+      col(idCol).as("anchor_id"), col(vecCol).as("__avec"),
+      col(labelCol).as("__albl"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("__cos").desc, col(idCol).asc)
+    emb.crossJoin(broadcast(a))
+      .filter(col(labelCol) =!= col("__albl") && col(idCol) =!= col("anchor_id"))
+      .withColumn("__cos", cosineExpr(vecCol, "__avec"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("anchor_id"), col(idCol), col(labelCol),
+        round(col("__cos"), 4).as("cosine"))
+  }
 }

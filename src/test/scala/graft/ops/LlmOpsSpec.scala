@@ -576,6 +576,56 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(again == got.view.mapValues(_._1).toMap - 4L)
   }
 
+  test("hard negatives: different-label only, exact cosine order, bound k, anchor excluded") {
+    import spark.implicits._
+    // anchor (0, [1,0]) label 0; planted same/different-label neighbors
+    val corpus = Seq(
+      (0L, Array(1f, 0f), 0),    // anchor
+      (1L, Array(1f, 0.01f), 0), // nearest of all — but SAME label: excluded
+      (2L, Array(1f, 0.1f), 1),  // hardest negative
+      (3L, Array(1f, 0.4f), 1),  // second
+      (4L, Array(0f, 1f), 2),    // orthogonal: last
+      (5L, Array(-1f, 0f), 0)    // same label again: excluded
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(corpus,
+      corpus.filter($"vec_id" === 0), "vec_id", "embedding", "label", k = 2)
+      .orderBy($"cosine".desc).collect()
+      .map(r => (r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq((2L, 1), (3L, 1)),
+      s"expected the two hardest different-label negatives, got ${got.toSeq}")
+    // k bounds output per anchor even with more candidates
+    val all = Similarity.hardNegatives(corpus,
+      corpus.filter($"vec_id" === 0), "vec_id", "embedding", "label", k = 10)
+      .collect()
+    assert(all.length == 3 && !all.map(_.getLong(1)).contains(1L) &&
+      !all.map(_.getLong(1)).contains(5L) && !all.map(_.getLong(1)).contains(0L))
+  }
+
+  test("epoch mix: integer copies exact, fractional rate accurate, map-only, deterministic") {
+    import spark.implicits._
+    val n = 10000
+    val df = spark.range(0, n)
+      .withColumn("stratum", when(col("id") % 2 === 0, "a").otherwise("b"))
+    val mixed = Sampling.epochMix(df, "id", "stratum",
+      epochs = Map("a" -> 2.5, "b" -> 0.25))
+    val counts = mixed.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // stratum a: every row 2 or 3 times, mean 2.5
+    assert(math.abs(counts("a") - 2.5 * n / 2) < n * 0.02, counts.toString)
+    val perRow = mixed.filter($"stratum" === "a").groupBy("id").count()
+      .select("count").distinct().collect().map(_.getLong(0)).toSet
+    assert(perRow == Set(2L, 3L), "2.5 epochs = 2 or 3 copies per row, never else")
+    // stratum b: 25% of rows once, copy index always 1
+    assert(math.abs(counts("b") - 0.25 * n / 2) < n * 0.02, counts.toString)
+    assert(mixed.filter($"stratum" === "b").agg(max("copy")).head().getInt(0) == 1)
+    // deterministic across runs
+    val again = Sampling.epochMix(df, "id", "stratum", Map("a" -> 2.5, "b" -> 0.25))
+    assert(mixed.exceptAll(again).isEmpty && again.exceptAll(mixed).isEmpty)
+    // map-only: no exchange in the plan
+    val plan = mixed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"epoch mix must not shuffle:\n$plan")
+  }
+
   test("token chunking: window bounds, overlap, tail rule, map-only plan") {
     import spark.implicits._
     val corpus = Seq(
