@@ -1992,6 +1992,40 @@ object SparkEntry {
           uniform = Some(
             pmod(col("doc_id") * 48271 + 11, lit(10007)).cast("double") / 10007.0))
         .orderBy("doc_id", "copy")
+    }),
+
+    // Bucketed co-located join — the pre-partitioning pattern for
+    // repeated fact-fact joins at 100 TB: both sides written bucketBy(8)
+    // on the join key, so the sort-merge join consumes bucket layout
+    // directly and the ONLY exchange in the plan is the final
+    // aggregation's (asserted in PlanAuditSpec). The merge hint pins SMJ
+    // so the sf-small side can't broadcast and mask the property being
+    // exercised.
+    "q86_bucketed_join" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val wh = Files.createTempDirectory("graft-q86").toString
+      s.sql("DROP TABLE IF EXISTS q86_orders")
+      s.sql("DROP TABLE IF EXISTS q86_lineitem")
+      tbl(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", wh + "/orders").mode("overwrite")
+        .saveAsTable("q86_orders")
+      tbl(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", wh + "/lineitem").mode("overwrite")
+        .saveAsTable("q86_lineitem")
+      graft.ops.Caches.registeredRelease { () =>
+        s.sql("DROP TABLE IF EXISTS q86_orders")
+        s.sql("DROP TABLE IF EXISTS q86_lineitem")
+        deleteRec(new java.io.File(wh)); ()
+      }
+      val o = s.table("q86_orders")
+      val l = s.table("q86_lineitem").hint("merge")
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum("l_extendedprice"), 2).as("revenue"))
+        .orderBy("o_orderstatus")
     })
   )
 
@@ -3316,6 +3350,14 @@ object SparkEntry {
         |SELECT doc_id, lang, CAST(copy AS INT) AS copy
         |FROM e, (SELECT unnest(generate_series(1, 3)) AS copy) g
         |WHERE copy <= floor(ep) + CASE WHEN u < ep - floor(ep) THEN 1 ELSE 0 END
-        |ORDER BY doc_id, copy""".stripMargin
+        |ORDER BY doc_id, copy""".stripMargin,
+
+    // the bucketing detour is invisible to the oracle: a plain join-agg
+    "q86_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin
   )
 }

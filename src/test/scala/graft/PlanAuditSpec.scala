@@ -163,6 +163,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the (id,pos) start join must stay an equi-join:\n${p.take(2000)}")
   }
 
+  test("q86: bucketed co-located join — the ONLY exchange is the final aggregation's") {
+    val df = SparkEntry.queries("q86_bucketed_join")(spark, dir)
+    try {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"merge hint must pin SMJ:\n${p.take(1500)}")
+      assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+        s"bucket layout must feed the join directly — one exchange (the agg) only:\n$p")
+      assert(p.contains("Bucketed: true"), "scans must report consuming the bucket layout")
+    } finally graft.ops.Caches.releaseAll()
+  }
+
   test("q83: token chunking is map-only — zero exchanges in the plan") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = graft.ops.Packing.chunkTokens(docs, "doc_id", "text", 40, 10)
