@@ -2026,6 +2026,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"),
           round(sum("l_extendedprice"), 2).as("revenue"))
         .orderBy("o_orderstatus")
+    }),
+
+    // Event-time RANGE-frame rolling window (the W-family's last gap):
+    // per user, count and value-sum over the trailing hour ENDING AT
+    // each event — a RangeFrame on exact microseconds, so ties and
+    // boundary events resolve identically in both engines. ONE keyed
+    // shuffle; the frame is a sliding aggregate inside each partition.
+    "q87_rolling_window" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("__us"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      tbl(s, dir, "events")
+        .withColumn("__us", unix_micros(col("ts")))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          round(sum(col("value")).over(w), 2).as("sum_1h"))
+        .orderBy("event_id")
     })
   )
 
@@ -3358,6 +3376,16 @@ object SparkEntry {
         |  round(sum(l_extendedprice), 2) AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // identical RANGE frame on exact epoch-microseconds
+    "q87_rolling_window" ->
+      """SELECT event_id, user_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  round(sum(value) OVER w, 2) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin
   )
 }
