@@ -2044,6 +2044,34 @@ object SparkEntry {
           count(lit(1)).over(w).as("n_1h"),
           round(sum(col("value")).over(w), 2).as("sum_1h"))
         .orderBy("event_id")
+    }),
+
+    // The CDC source composed with STATEFUL event-time streaming: events
+    // staged into a graft table in two commits, streamed via
+    // readStream.format("graft") through q47's watermarked tumbling-
+    // window aggregation — proves the custom source's batches carry
+    // proper event-time semantics into watermark state, not just into
+    // foreachBatch passthroughs (q80/q81). Same batch oracle as q47.
+    "q88_cdc_window_agg" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val path = Files.createTempDirectory("graft-q88").toString
+      val ev = tbl(s, dir, "events")
+      val t = VersionedTable.create(s,
+        ev.filter(col("event_id") % 2 === 0).repartition(4), path + "/t")
+      t.append(ev.filter(col("event_id") % 2 === 1).repartition(4))
+      val sink = "q88_cw_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = graft.streaming.StreamingEventStats
+        .windowedCounts(s.readStream.format("graft").load(path + "/t"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.ops.Caches.registeredRelease { () =>
+        s.catalog.dropTempView(sink)
+        deleteRec(new java.io.File(path)); ()
+      }
+      s.table(sink).orderBy("window_start", "event_type")
     })
   )
 
@@ -3386,6 +3414,12 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    // q47's batch oracle — the CDC-source detour must be invisible
+    "q88_cdc_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
