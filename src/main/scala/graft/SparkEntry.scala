@@ -2072,6 +2072,54 @@ object SparkEntry {
         deleteRec(new java.io.File(path)); ()
       }
       s.table(sink).orderBy("window_start", "event_type")
+    }),
+
+    // The DSv1 interop RELATION end-to-end (GraftSourceSpec proves
+    // native-path equivalence; this puts the format("graft") read itself
+    // under the oracle): orders loaded as v0, corrupted by an append,
+    // then read back through spark.read.format("graft") with versionAsOf
+    // time travel AND a pushed filter — the oracle sees only the
+    // original filtered rows.
+    "q89_graft_relation" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val path = Files.createTempDirectory("graft-q89").toString
+      val orders = tbl(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val t = VersionedTable.create(s, orders.repartition(4), path + "/t")
+      t.append(s.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(-1L, -1L, "X", 0.0)),
+        t.schema)) // v1 corruption the versionAsOf read must not see
+      graft.ops.Caches.registeredRelease { () =>
+        deleteRec(new java.io.File(path)); ()
+      }
+      s.read.format("graft").option("versionAsOf", 0).load(path + "/t")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("total_price"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Single-file CSV sink roundtrip (S11 was spec-only): a per-lang
+    // report written through SingleFileCsv's write-then-rename, read
+    // back from the ONE file it produced — quoting, header and escaping
+    // must survive; the oracle recomputes the report relationally.
+    "q90_csv_single_file" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val path = Files.createTempDirectory("graft-q90").toString
+      val target = path + "/report.csv"
+      val report = tbl(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      val bytes = graft.sources.SingleFileCsv.write(report, target)
+      require(bytes > 0 && new java.io.File(target).isFile,
+        s"single-file sink must produce exactly $target")
+      graft.ops.Caches.registeredRelease { () =>
+        deleteRec(new java.io.File(path)); ()
+      }
+      s.read.option("header", "true")
+        .schema("lang STRING, n_docs BIGINT, total_chars BIGINT")
+        .csv(target)
+        .orderBy("lang")
     })
   )
 
@@ -3420,6 +3468,18 @@ object SparkEntry {
     "q88_cdc_window_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the versionAsOf relation read sees only the original rows
+    "q89_graft_relation" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price
+        |FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the CSV detour is invisible: the report recomputed relationally
+    "q90_csv_single_file" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   )
 }
