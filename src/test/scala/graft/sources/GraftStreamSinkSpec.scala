@@ -75,6 +75,38 @@ class GraftStreamSinkSpec extends AnyFunSuite {
     assert(dst.read.filter($"p" === 1).count() == 30)
   }
 
+  test("two concurrent sink writers: every batch lands exactly once through the commit CAS") {
+    val dir = freshDir("sink-conc")
+    VersionedTable.create(spark,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL("id LONG, app STRING")),
+      dir + "/t")
+    val apps = Seq("appX", "appY")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = apps.map { app =>
+      Future {
+        val sink = new GraftSink(spark, dir + "/t", Nil, appId = app)
+        (0 until 4).foreach { b =>
+          sink.addBatch(b.toLong,
+            spark.range(b * 10, b * 10 + 10).selectExpr("id", s"'$app' AS app"))
+        }
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    val t = VersionedTable.forPath(spark, dir + "/t")
+    assert(t.read.count() == 80, "2 apps x 4 batches x 10 rows, no loss, no dup")
+    apps.foreach { app =>
+      assert(t.read.filter(col("app") === app).count() == 40)
+      assert(t.lastTxnBatchId(app).contains(3L))
+    }
+    // watermarks are per-app: replaying either app's batch 3 is a no-op
+    new GraftSink(spark, dir + "/t", Nil, "appX")
+      .addBatch(3L, spark.range(30, 40).selectExpr("id", "'appX' AS app"))
+    assert(t.read.count() == 80)
+  }
+
   test("non-append output modes are rejected with guidance") {
     val dir = freshDir("sink-mode")
     val e = intercept[Exception] {
