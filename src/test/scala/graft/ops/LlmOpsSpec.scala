@@ -576,6 +576,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(again == got.view.mapValues(_._1).toMap - 4L)
   }
 
+  test("quality classifier: separable vocabularies learned exactly, deterministic, scoring map-shaped") {
+    import spark.implicits._
+    // two disjoint vocabularies: a trained filter must separate them fully
+    val hi = (0L until 60L).map(i => (i, s"insight analysis rigorous study method evidence v$i", 1.0))
+    val lo = (60L until 120L).map(i => (i, s"click spam free winner prize buy now v$i", 0.0))
+    val seed = (hi ++ lo).toDF("doc_id", "text", "label")
+    val train = seed.filter($"doc_id" % 2 === 0)
+    val eval = seed.filter($"doc_id" % 2 === 1)
+    val model = QualityClassifier.train(train, "text", "label")
+    val scored = QualityClassifier.score(model, eval, "doc_id", "text")
+      .join(eval.select($"doc_id", $"label"), "doc_id")
+    val acc = scored
+      .agg(avg(when(($"quality_prob" >= 0.5) === ($"label" === 1.0), 1.0)
+        .otherwise(0.0))).head().getDouble(0)
+    assert(acc == 1.0, s"disjoint vocabularies must separate perfectly, got $acc")
+    // deterministic: retraining yields identical probabilities
+    val again = QualityClassifier.score(
+      QualityClassifier.train(train, "text", "label"), eval, "doc_id", "text")
+    val diff = scored.select("doc_id", "quality_prob")
+      .join(again.withColumnRenamed("quality_prob", "p2"), "doc_id")
+      .agg(max(abs($"quality_prob" - $"p2"))).head().getDouble(0)
+    assert(diff == 0.0, s"training must be deterministic, max prob diff $diff")
+  }
+
   test("hard negatives: different-label only, exact cosine order, bound k, anchor excluded") {
     import spark.implicits._
     // anchor (0, [1,0]) label 0; planted same/different-label neighbors
