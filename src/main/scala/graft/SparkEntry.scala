@@ -1947,8 +1947,16 @@ object SparkEntry {
     // so the cleaned TEXT of every document is in the hash.
     "q82_span_dedup" -> ((s, dir) => {
       GraftSession.tune(s)
+      val docs = tbl(s, dir, "documents")
+      // the DuckDB replay indexes positions through generate_series —
+      // fail LOUDLY if a future testdata regeneration outgrows its
+      // bound instead of silently under-checking the tail
+      val maxTok = docs
+        .agg(max(size(split(trim(col("text")), "\\s+")))).head().getInt(0)
+      require(maxTok <= 5000,
+        s"q82 oracle caps positions at 5000; documents now reach $maxTok tokens")
       graft.ops.TextDedup
-        .repeatedSpanDedup(tbl(s, dir, "documents"), "doc_id", "text", k = 6)
+        .repeatedSpanDedup(docs, "doc_id", "text", k = 6)
         .select(col("doc_id"), col("text"), col("n_kept"), col("n_removed"))
         .orderBy("doc_id")
     }),
@@ -1959,9 +1967,15 @@ object SparkEntry {
     // (asserted in LlmOpsSpec); a 100 TB corpus chunks at scan speed.
     "q83_chunking" -> ((s, dir) => {
       GraftSession.tune(s)
+      val docs = tbl(s, dir, "documents")
+      // same loud-guard rule as q82: the oracle enumerates at most 200
+      // chunks per doc (covers docs to 40 + 199·30 = 6010 tokens)
+      val maxTok = docs
+        .agg(max(size(split(trim(col("text")), "\\s+")))).head().getInt(0)
+      require(maxTok <= 6010,
+        s"q83 oracle caps chunks at 200/doc; documents now reach $maxTok tokens")
       graft.ops.Packing
-        .chunkTokens(tbl(s, dir, "documents"), "doc_id", "text",
-          maxTokens = 40, overlap = 10)
+        .chunkTokens(docs, "doc_id", "text", maxTokens = 40, overlap = 10)
         .orderBy("doc_id", "chunk_idx")
     }),
 
@@ -3391,7 +3405,7 @@ object SparkEntry {
         |  FROM documents
         |), toks AS (
         |  SELECT doc_id, a[i+1] AS tok, i AS pos
-        |  FROM raw, (SELECT unnest(generate_series(0, 999)) AS i) gs
+        |  FROM raw, (SELECT unnest(generate_series(0, 4999)) AS i) gs
         |  WHERE i < len(a) AND a[i+1] <> ''
         |), g0 AS (
         |  SELECT doc_id, pos,
@@ -3427,13 +3441,15 @@ object SparkEntry {
     // bounds, same ceil-division chunk count, same tail rule
     "q83_chunking" ->
       """WITH raw AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                x -> x <> '') AS a
         |  FROM documents
         |)
         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
         |  array_to_string(list_slice(a, i*30 + 1, i*30 + 40), ' ') AS chunk_text,
         |  CAST(least(40, len(a) - i*30) AS BIGINT) AS n_tokens
-        |FROM raw, (SELECT unnest(generate_series(0, 9)) AS i) gs
+        |FROM raw, (SELECT unnest(generate_series(0, 199)) AS i) gs
         |WHERE i < 1 + greatest(0, floor((len(a) - 40 + 29) / 30.0))
         |ORDER BY doc_id, chunk_idx""".stripMargin,
 

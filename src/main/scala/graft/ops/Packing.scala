@@ -72,7 +72,10 @@ object Packing {
     * over pure expressions, no window, no shuffle, no state; a 100 TB
     * corpus chunks at scan speed and the output is ~(1 + overlap/step)×
     * the input tokens. Deterministic: (doc, chunk_idx) is a pure
-    * function of the text.
+    * function of the text. An empty or whitespace-only document yields
+    * exactly one empty chunk with `n_tokens = 0` (never a phantom
+    * 1-token chunk from the ""-token split artifact), so token-budget
+    * accounting downstream stays exact.
     * @return (idCol, chunk_idx, chunk_text, n_tokens) */
   def chunkTokens(df: DataFrame, idCol: String, textCol: String,
                   maxTokens: Int, overlap: Int): DataFrame = {
@@ -80,7 +83,7 @@ object Packing {
     require(overlap >= 0 && overlap < maxTokens,
       "overlap must be in [0, maxTokens)")
     val step = maxTokens - overlap
-    val toks = split(trim(col(textCol)), "\\s+")
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")
     // ceil((n - maxTokens) / step) extra chunks after the first; the
     // emit rule "adds tokens beyond the previous chunk" is exactly this
     val nChunks = lit(1) + greatest(lit(0L),

@@ -400,7 +400,9 @@ object TextDedup {
     * sort bounds memory, and only (id,pos,hash) rows sit in it.
     * Documents shorter than `k` tokens pass through untouched; a fully
     * duplicated document survives as its empty string (filter on
-    * `n_kept > 0` to drop).
+    * `n_kept > 0` to drop). Documents that were ALREADY empty or
+    * whitespace-only on input have no tokens at all and are absent from
+    * the output — re-join on the id column to carry them.
     * @return (idCol, textCol, n_kept, n_removed) */
   def repeatedSpanDedup(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 8): DataFrame = {

@@ -77,8 +77,11 @@ class GraftSource extends RelationProvider with DataSourceRegister
   /** `writeStream.format("graft")` — exactly-once append sink (the Delta
     * sink shape). Idempotence app id: an explicit `txnAppId` option, else
     * the query's checkpoint location (stable across restarts of the same
-    * logical query — two queries never share a checkpoint), else the
-    * table path. */
+    * logical query — two queries never share a checkpoint). There is
+    * deliberately NO fallback beyond that: batchIds are only meaningful
+    * per query, so a shared default (e.g. the table path) would let an
+    * unrelated second query's low batchIds be silently skipped by the
+    * first query's high watermark — data loss, not idempotence. */
   override def createSink(sqlContext: SQLContext,
                           parameters: Map[String, String],
                           partitionColumns: Seq[String],
@@ -88,7 +91,11 @@ class GraftSource extends RelationProvider with DataSourceRegister
         "(aggregate into a table with foreachBatch + merge instead)")
     val appId = parameters.get("txnAppId")
       .orElse(parameters.get("checkpointLocation"))
-      .getOrElse(pathOf(parameters))
+      .getOrElse(throw new IllegalArgumentException(
+        "the graft sink needs a per-query idempotence identity: pass " +
+          ".option(\"checkpointLocation\", ...) on the writer (a session-" +
+          "conf default checkpoint does not reach the sink) or an " +
+          "explicit .option(\"txnAppId\", ...)"))
     new GraftSink(sqlContext.sparkSession, pathOf(parameters),
       partitionColumns, appId)
   }
@@ -107,16 +114,35 @@ class GraftSink(spark: SparkSession, path: String,
                 partitionColumns: Seq[String], appId: String)
     extends StreamingSink {
 
-  override def addBatch(batchId: Long, data: DataFrame): Unit = {
-    val batch = org.apache.spark.sql.GraftColumnBridge.asBatchFrame(data)
-    val table =
-      if (VersionedTable.isTable(spark, path)) VersionedTable.forPath(spark, path)
-      else VersionedTable.create(spark,
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[Row], batch.schema),
-        path, partitionBy = partitionColumns)
-    table.append(batch, txn = Some((appId, batchId)))
-  }
+  /** Highest batchId THIS sink instance has landed — replays within one
+    * run short-circuit here; the authoritative cross-restart watermark
+    * stays the table's own `lastTxnBatchId` (consulted by `append`). */
+  @volatile private var landed: Long = -1L
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit =
+    if (batchId > landed) {
+      val batch = org.apache.spark.sql.GraftColumnBridge.asBatchFrame(data)
+      val table =
+        if (VersionedTable.isTable(spark, path)) VersionedTable.forPath(spark, path)
+        else try {
+          VersionedTable.create(spark,
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row], batch.schema),
+            path, partitionBy = partitionColumns)
+        } catch {
+          // check-then-create race: a concurrent first batch (another
+          // writer app) created the table between the probe and here —
+          // either the CAS loss or create's own existence guard lands
+          // us in the same place: the table exists, append to it
+          case e @ (_: graft.tables.ConcurrentCommitException |
+                    _: IllegalArgumentException)
+            if VersionedTable.isTable(spark, path) =>
+            val _ = e
+            VersionedTable.forPath(spark, path)
+        }
+      table.append(batch, txn = Some((appId, batchId)))
+      landed = batchId
+    }
 }
 
 /** Micro-batch offset for [[GraftStreamSource]]: the highest table
@@ -148,15 +174,20 @@ class GraftStreamSource(spark: SparkSession, path: String,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(table.currentVersion)
 
+  /** No offset until the table has commits PAST `startingVersion` — a
+    * startingVersion at or beyond the head simply waits for new commits
+    * instead of scheduling a batch whose range would be inverted. */
+  private def offerable(v: Long): Boolean = v >= 0 && v > startingVersion
+
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val v = availableNowCap.fold(table.currentVersion)(
       cap => math.min(cap, table.currentVersion))
-    if (v < 0) null else GraftCdcOffset(v)
+    if (!offerable(v)) null else GraftCdcOffset(v)
   }
 
   override def reportLatestOffset(): OffsetV2 = {
     val v = table.currentVersion
-    if (v < 0) null else GraftCdcOffset(v)
+    if (!offerable(v)) null else GraftCdcOffset(v)
   }
 
   /** Latest committed version, or None before the first commit — a log
@@ -164,7 +195,7 @@ class GraftStreamSource(spark: SparkSession, path: String,
   override def getOffset: Option[StreamingOffsetV1] = {
     val v = availableNowCap.fold(table.currentVersion)(
       cap => math.min(cap, table.currentVersion))
-    if (v < 0) None else Some(GraftCdcOffset(v))
+    if (!offerable(v)) None else Some(GraftCdcOffset(v))
   }
 
   /** `(start, end]` in commit versions; `start=None` is the stream's

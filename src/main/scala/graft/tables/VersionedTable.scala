@@ -266,8 +266,14 @@ class VersionedTable private (val spark: SparkSession,
     * retry (see the commit call sites), so retries don't accumulate
     * garbage. */
   private def withCommitRetry[T](body: => T): T = {
+    // 10 retries (was 3): txn-pinned appends turn EVERY intervening
+    // commit into a CAS loss by design (the pin is what makes replays
+    // exactly-once), so the budget must absorb a burst of interleaved
+    // writers, not just a rare collision. Linear backoff staggers the
+    // herd; each retry re-reads table state, so waiting is cheap and
+    // correct.
     val maxRetries =
-      spark.conf.get("spark.graft.commit.maxRetries", "3").trim.toInt
+      spark.conf.get("spark.graft.commit.maxRetries", "10").trim.toInt
     var attempt = 0
     while (true) {
       try return body
@@ -275,6 +281,7 @@ class VersionedTable private (val spark: SparkSession,
         case e: ConcurrentCommitException =>
           attempt += 1
           if (attempt > maxRetries) throw e
+          Thread.sleep(25L * attempt)
       }
     }
     throw new IllegalStateException("unreachable")
@@ -521,11 +528,21 @@ class VersionedTable private (val spark: SparkSession,
     * writer application (Delta's SetTransaction shape, used by the
     * streaming sink for exactly-once): the commit records the pair, and
     * an append whose batchId is ≤ the last recorded one for the same
-    * appId is silently skipped. The check runs INSIDE the commit-retry
-    * loop, so losing a CAS race to a concurrent replay of the same
-    * batch re-checks before re-writing. */
+    * appId is silently skipped. The commit version is PINNED to the
+    * version the watermark was checked at: a concurrent commit — in
+    * particular a zombie writer replaying the same batch — makes the
+    * pinned CAS lose rather than sliding to the next free version, and
+    * the retry loop re-checks the watermark before re-writing. (Without
+    * the pin, two replays of one batch could both observe no watermark
+    * and land in two different version slots — double-commit.) */
   def append(df: DataFrame, mergeSchema: Boolean = false,
              txn: Option[(String, Long)] = None): Unit = withCommitRetry {
+    // the pin comes from the raw log LISTING (a torn newest file still
+    // claims its slot — committing past it must keep refusing with the
+    // recovery guidance); the data snapshot stays the tolerant default,
+    // and any commit that lands between the two loses us the CAS below,
+    // which re-runs this whole body
+    val v0 = currentVersion
     val alreadyCommitted = txn.exists { case (app, b) =>
       lastTxnBatchId(app).exists(_ >= b)
     }
@@ -546,7 +563,7 @@ class VersionedTable private (val spark: SparkSession,
         else lit(null).cast(newSchema(n).dataType).as(n)
       }: _*)
       val added = writeFiles(aligned, partCols)
-      commitOrClean(LogEntry(currentVersion + 1, now(), "WRITE",
+      commitOrClean(LogEntry(v0 + 1, now(), "WRITE",
         newSchema.json, partCols, added, Seq.empty,
         Map("numFiles" -> added.size.toString, "mode" -> "Append",
           "mergeSchema" -> mergeSchema.toString) ++
@@ -558,11 +575,23 @@ class VersionedTable private (val spark: SparkSession,
 
   /** Highest batchId committed with [[append]]'s `txn` for `appId`, or
     * None — the idempotence watermark a restarted writer consults.
-    * Newest-first over the parsed log (bounded metadata, no data read). */
-  def lastTxnBatchId(appId: String): Option[Long] =
-    entries.reverseIterator
+    * Scans commit files NEWEST-FIRST and stops at the first match, so
+    * for a live streaming sink (whose own previous batch is usually the
+    * newest commit) the steady-state cost is one or two JSON reads, not
+    * the whole log; only an appId with NO commits ever pays a full
+    * backward scan (once per restart — the sink caches above this). */
+  def lastTxnBatchId(appId: String): Option[Long] = {
+    val f = fs
+    listLog()._1.reverseIterator
+      .flatMap { case (_, p) =>
+        // a torn newest commit is aborted-publish debris (same tolerance
+        // as entries/snapshot); torn-or-missing older files just skip
+        try Some(parseEntry(readFully(f, p)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
       .find(_.operationMetrics.get("txnAppId").contains(appId))
       .flatMap(_.operationMetrics.get("txnBatchId")).map(_.toLong)
+  }
 
   /** Physically write `df` partitioned by `partCols` into the data dir via
     * a staging dir + per-file rename; returns the added FileEntries. */

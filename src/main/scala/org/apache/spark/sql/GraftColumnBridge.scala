@@ -36,18 +36,27 @@ object GraftColumnBridge {
     * parquet scans (LogicalRelation, possibly several under a Union for
     * multi-root clones) and the empty-batch frame (LogicalRDD). */
   def asStreamingBatch(df: DataFrame): DataFrame = {
-    val plan = df.queryExecution.analyzed.transform {
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LocalRelation, LogicalPlan}
+    def retag(plan: LogicalPlan): LogicalPlan = plan match {
+      case j: Join if j.joinType == LeftAnti =>
+        // deletion-vector sidecars are applied as a LeftAnti against a
+        // broadcast dv scan (VersionedTable.readFileEntries): the dv
+        // side must STAY a batch relation — stream-STATIC left-anti is
+        // a supported streaming join, stream-stream left-anti is not
+        j.copy(left = retag(j.left))
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
         if !lr.isStreaming => lr.copy(isStreaming = true)
       case rdd: org.apache.spark.sql.execution.LogicalRDD
         if !rdd.isStreaming && rdd.rdd.partitions.isEmpty =>
         // the empty-batch frame: an empty streaming LocalRelation with
         // the same output is the identical relation, flag included
-        org.apache.spark.sql.catalyst.plans.logical
-          .LocalRelation(rdd.output, Seq.empty, isStreaming = true)
+        LocalRelation(rdd.output, Seq.empty, isStreaming = true)
+      case other => other.mapChildren(retag)
     }
     classic.Dataset.ofRows(
-      df.sparkSession.asInstanceOf[classic.SparkSession], plan)
+      df.sparkSession.asInstanceOf[classic.SparkSession],
+      retag(df.queryExecution.analyzed))
   }
 
   /** The inverse direction, for SINKS: re-materialize a micro-batch's

@@ -669,6 +669,12 @@ class LlmOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(1) -> ((r.getString(2), r.getLong(3)))).toMap
     assert(ov2 == Map(0L -> (("a b c d", 4L)), 1L -> (("c d e", 3L))),
       "tail chunk emitted only when it adds tokens; its n_tokens is the remainder")
+    // empty / whitespace-only docs: one empty chunk, ZERO tokens (no
+    // phantom ""-token), so downstream token budgets stay exact
+    val empties = Seq((7L, ""), (8L, "   ")).toDF("doc_id", "text")
+    val echunks = Packing.chunkTokens(empties, "doc_id", "text", 4, 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getLong(3))))
+    assert(echunks.toMap == Map(7L -> ((0L, "", 0L)), 8L -> ((0L, "", 0L))))
     // map-only: the chunking plan has no exchange
     val plan = Packing.chunkTokens(corpus, "doc_id", "text", 4, 1)
       .queryExecution.executedPlan.toString

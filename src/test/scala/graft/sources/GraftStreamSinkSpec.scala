@@ -107,6 +107,32 @@ class GraftStreamSinkSpec extends AnyFunSuite {
     assert(t.read.count() == 80)
   }
 
+  test("zombie replay: concurrent same-app same-batch appends land exactly once") {
+    // the double-commit scenario the pinned commit version closes: a
+    // zombie driver and its replacement replay ONE batch concurrently —
+    // without the pin both could observe no watermark and land in two
+    // different version slots
+    val dir = freshDir("sink-zombie")
+    val t = VersionedTable.create(spark,
+      spark.range(0, 1).selectExpr("id"), dir + "/t")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    (0 until 3).foreach { round =>
+      val batch = spark.range(100 * round, 100 * round + 25).selectExpr("id")
+      val replays = (0 until 2).map { _ =>
+        Future {
+          VersionedTable.forPath(spark, dir + "/t")
+            .append(batch, txn = Some(("appZ", round.toLong)))
+        }
+      }
+      Await.result(Future.sequence(replays), 120.seconds)
+    }
+    assert(t.read.count() == 1 + 3 * 25,
+      "each replayed batch must land exactly once across concurrent writers")
+    assert(t.lastTxnBatchId("appZ").contains(2L))
+  }
+
   test("non-append output modes are rejected with guidance") {
     val dir = freshDir("sink-mode")
     val e = intercept[Exception] {
