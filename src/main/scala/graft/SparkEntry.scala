@@ -1950,11 +1950,13 @@ object SparkEntry {
       val docs = tbl(s, dir, "documents")
       // the DuckDB replay indexes positions through generate_series —
       // fail LOUDLY if a future testdata regeneration outgrows its
-      // bound instead of silently under-checking the tail
-      val maxTok = docs
-        .agg(max(size(split(trim(col("text")), "\\s+")))).head().getInt(0)
-      require(maxTok <= 5000,
-        s"q82 oracle caps positions at 5000; documents now reach $maxTok tokens")
+      // bound instead of silently under-checking the tail. Bounded via
+      // the precomputed n_chars column (tokens ≤ (chars+1)/2): one
+      // single-column agg, null-safe on an empty table.
+      val maxChars = docs
+        .agg(coalesce(max("n_chars"), lit(0L))).head().getLong(0)
+      require((maxChars + 1) / 2 <= 5000,
+        s"q82 oracle caps positions at 5000; documents now reach $maxChars chars")
       graft.ops.TextDedup
         .repeatedSpanDedup(docs, "doc_id", "text", k = 6)
         .select(col("doc_id"), col("text"), col("n_kept"), col("n_removed"))
@@ -1969,11 +1971,12 @@ object SparkEntry {
       GraftSession.tune(s)
       val docs = tbl(s, dir, "documents")
       // same loud-guard rule as q82: the oracle enumerates at most 200
-      // chunks per doc (covers docs to 40 + 199·30 = 6010 tokens)
-      val maxTok = docs
-        .agg(max(size(split(trim(col("text")), "\\s+")))).head().getInt(0)
-      require(maxTok <= 6010,
-        s"q83 oracle caps chunks at 200/doc; documents now reach $maxTok tokens")
+      // chunks per doc (covers docs to 40 + 199·30 = 6010 tokens;
+      // tokens ≤ (n_chars+1)/2, so one cheap single-column agg suffices)
+      val maxChars = docs
+        .agg(coalesce(max("n_chars"), lit(0L))).head().getLong(0)
+      require((maxChars + 1) / 2 <= 6010,
+        s"q83 oracle caps chunks at 200/doc; documents now reach $maxChars chars")
       graft.ops.Packing
         .chunkTokens(docs, "doc_id", "text", maxTokens = 40, overlap = 10)
         .orderBy("doc_id", "chunk_idx")

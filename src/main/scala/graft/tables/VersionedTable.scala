@@ -537,12 +537,16 @@ class VersionedTable private (val spark: SparkSession,
     * and land in two different version slots — double-commit.) */
   def append(df: DataFrame, mergeSchema: Boolean = false,
              txn: Option[(String, Long)] = None): Unit = withCommitRetry {
-    // the pin comes from the raw log LISTING (a torn newest file still
-    // claims its slot — committing past it must keep refusing with the
-    // recovery guidance); the data snapshot stays the tolerant default,
-    // and any commit that lands between the two loses us the CAS below,
-    // which re-runs this whole body
-    val v0 = currentVersion
+    // TXN appends pin their commit version to the log listing read
+    // BEFORE the watermark check (a torn newest file still claims its
+    // slot — committing past it must keep refusing with the recovery
+    // guidance); the data snapshot stays the tolerant default, and any
+    // commit landing between the two loses us the pinned CAS below,
+    // which re-runs this whole body. Plain appends deliberately do NOT
+    // pin: they have no replay to defend against, and pinning would
+    // turn the whole writeFiles duration into a collision window where
+    // any concurrent commit forces a full data rewrite.
+    val v0 = if (txn.isDefined) currentVersion else -1L
     val alreadyCommitted = txn.exists { case (app, b) =>
       lastTxnBatchId(app).exists(_ >= b)
     }
@@ -563,7 +567,8 @@ class VersionedTable private (val spark: SparkSession,
         else lit(null).cast(newSchema(n).dataType).as(n)
       }: _*)
       val added = writeFiles(aligned, partCols)
-      commitOrClean(LogEntry(v0 + 1, now(), "WRITE",
+      commitOrClean(LogEntry((if (txn.isDefined) v0 else currentVersion) + 1,
+        now(), "WRITE",
         newSchema.json, partCols, added, Seq.empty,
         Map("numFiles" -> added.size.toString, "mode" -> "Append",
           "mergeSchema" -> mergeSchema.toString) ++
@@ -582,12 +587,18 @@ class VersionedTable private (val spark: SparkSession,
     * backward scan (once per restart — the sink caches above this). */
   def lastTxnBatchId(appId: String): Option[Long] = {
     val f = fs
-    listLog()._1.reverseIterator
-      .flatMap { case (_, p) =>
-        // a torn newest commit is aborted-publish debris (same tolerance
-        // as entries/snapshot); torn-or-missing older files just skip
+    val commits = listLog()._1
+    val newest = commits.lastOption.map(_._1)
+    commits.reverseIterator
+      .flatMap { case (v, p) =>
+        // a torn NEWEST commit is aborted-publish debris (same tolerance
+        // as entries/snapshot); an unparsable OLDER file is corruption —
+        // skipping it could hide this app's true watermark and let a
+        // replayed batch commit twice, so fail loudly instead
         try Some(parseEntry(readFully(f, p)))
-        catch { case scala.util.control.NonFatal(_) => None }
+        catch {
+          case scala.util.control.NonFatal(_) if newest.contains(v) => None
+        }
       }
       .find(_.operationMetrics.get("txnAppId").contains(appId))
       .flatMap(_.operationMetrics.get("txnBatchId")).map(_.toLong)
@@ -601,11 +612,14 @@ class VersionedTable private (val spark: SparkSession,
     // Table files are written as TIMESTAMP_MICROS, never the INT96
     // default: INT96 is deprecated and parquet suppresses its min/max
     // footer stats, which would silently disable file-level data skipping
-    // on every timestamp column. Scoped to table writes only (set/restore
-    // around the write) so query-result dumps keep the session's default.
-    val TsConf = "spark.sql.parquet.outputTimestampType"
-    val prevTs = spark.conf.getOption(TsConf)
-    spark.conf.set(TsConf, "TIMESTAMP_MICROS")
+    // on every timestamp column. Scoped to table writes only so
+    // query-result dumps keep the session's default — the scope is
+    // REFERENCE-COUNTED per session (VersionedTable.enterMicrosTsScope)
+    // because concurrent same-session table writes are a supported path
+    // (streaming sinks, CAS-retried appends): a naive set/restore pair
+    // interleaving across two writers would restore the OVERRIDE as the
+    // "previous" value and leak it into the session permanently.
+    VersionedTable.enterMicrosTsScope(spark)
     try {
       var writer = df.write.mode("overwrite")
       // per-column parquet bloom filters (table property): written into
@@ -619,10 +633,7 @@ class VersionedTable private (val spark: SparkSession,
       }
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
         .parquet(stage.toString)
-    } finally prevTs match {
-      case Some(v) => spark.conf.set(TsConf, v)
-      case None => spark.conf.unset(TsConf)
-    }
+    } finally VersionedTable.exitMicrosTsScope(spark)
     val moved = scala.collection.mutable.ArrayBuffer[(String, Path, Long)]()
     def walk(dir: Path, rel: String): Unit =
       f.listStatus(dir).foreach { st =>
@@ -1770,6 +1781,37 @@ object VersionedTable {
   private val LogDirName = "_graft_log"
   /** Commits between snapshot checkpoints (Delta uses 10 as well). */
   private val CheckpointInterval = 10L
+
+  /** Reference-counted per-session scope forcing
+    * `spark.sql.parquet.outputTimestampType = TIMESTAMP_MICROS` around
+    * table writes (see writeFiles). First enter per session saves the
+    * user's value; the LAST exit restores it — interleaved concurrent
+    * writers can no longer restore the override as the "previous" value
+    * and leak it into the session. */
+  private val TsConfKey = "spark.sql.parquet.outputTimestampType"
+  private val tsScopes =
+    scala.collection.mutable.Map[SparkSession, (Int, Option[String])]()
+  private[tables] def enterMicrosTsScope(spark: SparkSession): Unit =
+    tsScopes.synchronized {
+      tsScopes.get(spark) match {
+        case Some((depth, saved)) => tsScopes(spark) = (depth + 1, saved)
+        case None =>
+          tsScopes(spark) = (1, spark.conf.getOption(TsConfKey))
+          spark.conf.set(TsConfKey, "TIMESTAMP_MICROS")
+      }
+    }
+  private[tables] def exitMicrosTsScope(spark: SparkSession): Unit =
+    tsScopes.synchronized {
+      tsScopes(spark) match {
+        case (1, saved) =>
+          tsScopes.remove(spark)
+          saved match {
+            case Some(v) => spark.conf.set(TsConfKey, v)
+            case None => spark.conf.unset(TsConfKey)
+          }
+        case (depth, saved) => tsScopes(spark) = (depth - 1, saved)
+      }
+    }
   /** File count above which commit-time footer stats are computed by a
     * Spark job instead of a driver parallel collection (see
     * [[VersionedTable#statsForMoved]]). */

@@ -46,9 +46,15 @@ class GraftStreamSinkSpec extends AnyFunSuite {
     sink.addBatch(0L, batch)
     val t = VersionedTable.forPath(spark, dir + "/t")
     val v = t.currentVersion
-    sink.addBatch(0L, batch) // crash-replay of the same micro-batch
-    assert(t.read.count() == 50, "replay must not duplicate rows")
-    assert(t.currentVersion == v, "replay must not even commit")
+    // crash-replay across a RESTART: a fresh sink instance has no
+    // in-memory cache, so this must be stopped by the TABLE's txn
+    // watermark inside append
+    new GraftSink(spark, dir + "/t", Nil, appId = "appA").addBatch(0L, batch)
+    assert(t.read.count() == 50, "cross-restart replay must not duplicate rows")
+    assert(t.currentVersion == v, "cross-restart replay must not even commit")
+    // same-instance replay short-circuits on the landed cache
+    sink.addBatch(0L, batch)
+    assert(t.read.count() == 50 && t.currentVersion == v)
     sink.addBatch(1L, batch) // the NEXT batch lands normally
     assert(t.read.count() == 100)
     assert(t.lastTxnBatchId("appA").contains(1L))
