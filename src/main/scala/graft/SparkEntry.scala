@@ -2160,8 +2160,49 @@ object SparkEntry {
         .join(evalHalf.select("doc_id", "label"), "doc_id")
         .agg(avg(when((col("quality_prob") >= 0.5) === (col("label") === 1.0), 1.0)
           .otherwise(0.0))).head().getDouble(0) // bounded: one scalar
-      Seq((evalHalf.count(), acc >= 0.9)) // measured 0.976 at sf0.001 AND sf0.01
+      // the hashed pin uses a WIDE margin (measured 0.976 at sf0.001 AND
+      // sf0.01 vs 0.75 here): distributed L-BFGS is only spec-proven
+      // deterministic same-session; a different core count can shift
+      // treeAggregate ordering by float-noise, and a tight 0.9 pin would
+      // fail the BENCH run rather than a unit test. The ≥0.9 quality bar
+      // itself is asserted in SparkEntrySpec on the same fixture.
+      Seq((evalHalf.count(), acc >= 0.75))
         .toDF("n_eval", "acc_ok")
+    }),
+
+    // Concurrent-writer MERGE, the oracle-visible half of the CAS/retry
+    // story: two writers race on the SAME table from two threads, each
+    // merging a DISJOINT key half (evens/odds) — one loses the version
+    // CAS, rebases on the winner's commit and retries. Disjoint keys
+    // make the final state deterministic regardless of commit order, so
+    // DuckDB can replay both effects relationally; the race itself
+    // (interleaving, torn-commit recovery) stays covered by the
+    // VersionedTableSpec race tests where an oracle can't reach.
+    "q92_concurrent_merge" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val path = Files.createTempDirectory("graft-q92").toString + "/t"
+      val ev = tbl(s, dir, "events")
+      val base = ev.filter(col("user_id") < 10)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      VersionedTable.create(s, base, path)
+      val src = s.range(0, 20).select(col("id").as("u"),
+        (col("id") * 10 + col("id") % 2).as("delta"))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      def writer(parity: Int): Future[Unit] = Future {
+        VersionedTable.forPath(s, path).alias("e")
+          .merge(src.filter(col("u") % 2 === parity).alias("src"),
+            "e.user_id = src.u")
+          .whenMatchedUpdate(Map("n" -> "e.n + src.delta"))
+          .whenNotMatchedInsert(Map("user_id" -> "src.u", "n" -> "src.delta"))
+          .execute()
+      }
+      Await.result(Future.sequence(Seq(writer(0), writer(1))), 5.minutes)
+      graft.ops.Caches.registeredRelease { () =>
+        deleteRec(new java.io.File(path).getParentFile); ()
+      }
+      VersionedTable.forPath(s, path).read.orderBy("user_id")
     })
   )
 
@@ -3527,9 +3568,20 @@ object SparkEntry {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // the oracle computes the eval-set size itself and pins the
-    // held-out-accuracy invariant (pinned-row protocol, like q19/q71)
+    // held-out-accuracy invariant at a wide margin (pinned-row protocol,
+    // like q19/q71); the tight ≥0.9 bar lives in SparkEntrySpec
     "q91_quality_classifier" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_eval, true AS acc_ok
-        |FROM documents WHERE doc_id % 2 = 1""".stripMargin
+        |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
+
+    // both writers' effects replayed relationally: existing users (<10)
+    // get n += user_id*10 + parity, users 10..19 are pure inserts
+    "q92_concurrent_merge" ->
+      """SELECT user_id, count(*) + user_id*10 + user_id%2 AS n
+        |FROM events WHERE user_id < 10 GROUP BY user_id
+        |UNION ALL
+        |SELECT user_id, user_id*10 + user_id%2 AS n
+        |FROM range(10, 20) AS t(user_id)
+        |ORDER BY user_id""".stripMargin
   )
 }

@@ -89,8 +89,19 @@ class GraftSource extends RelationProvider with DataSourceRegister
     require(outputMode == OutputMode.Append(),
       s"the graft sink appends new rows only; got OutputMode $outputMode " +
         "(aggregate into a table with foreachBatch + merge instead)")
+    // The checkpoint fallback is CANONICALIZED (qualified against its
+    // filesystem, URI-normalized) before becoming the txn appId: a
+    // restart that spells the same checkpoint differently (relative vs
+    // absolute, file:// URI, trailing slash) must resolve to the SAME
+    // appId, or a crash-replayed batch would slip past the watermark and
+    // append twice. An explicit txnAppId option is taken verbatim and is
+    // the robust choice when the checkpoint may move.
     val appId = parameters.get("txnAppId")
-      .orElse(parameters.get("checkpointLocation"))
+      .orElse(parameters.get("checkpointLocation").map { loc =>
+        val p = new org.apache.hadoop.fs.Path(loc)
+        p.getFileSystem(sqlContext.sparkSession.sessionState.newHadoopConf())
+          .makeQualified(p).toUri.normalize().toString
+      })
       .getOrElse(throw new IllegalArgumentException(
         "the graft sink needs a per-query idempotence identity: pass " +
           ".option(\"checkpointLocation\", ...) on the writer (a session-" +

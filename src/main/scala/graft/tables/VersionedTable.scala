@@ -52,11 +52,19 @@ case class LogEntry(version: Long,
 /** Materialized snapshot of the live file set at `version`, written every
   * [[VersionedTable.CheckpointInterval]] commits so that computing a
   * snapshot replays O(interval) JSON files instead of O(versions) — the
-  * same role Delta's parquet checkpoints play. */
+  * same role Delta's parquet checkpoints play. `txns` carries the
+  * per-appId transaction watermark (max committed txnBatchId) as of
+  * `version` — the analog of Delta folding SetTransaction actions into
+  * its checkpoints — so [[VersionedTable.lastTxnBatchId]]'s backward scan
+  * stops at the newest checkpoint instead of walking the whole log for an
+  * appId with no commits. `Option` for back-compat: checkpoints written
+  * before the field existed deserialize as None and simply don't bound
+  * the scan. */
 case class Checkpoint(version: Long,
                       schemaJson: String,
                       partitionColumns: Seq[String],
-                      files: Seq[FileEntry])
+                      files: Seq[FileEntry],
+                      txns: Option[Map[String, Long]] = None)
 
 /** A versioned Parquet table with ACID-ish single-writer semantics:
   * Hive-partitioned parquet files under `<root>/data/` plus a JSON commit
@@ -203,7 +211,9 @@ class VersionedTable private (val spark: SparkSession,
       partCols)
   }
 
-  private def commit(entry: LogEntry): Unit = {
+  // private[tables] (not private) so the log-stress spec can drive
+  // metadata-only commits without paying a parquet write per version
+  private[tables] def commit(entry: LogEntry): Unit = {
     val f = fs
     f.mkdirs(logDir)
     val target = new Path(logDir, f"${entry.version}%020d.json")
@@ -281,7 +291,12 @@ class VersionedTable private (val spark: SparkSession,
         case e: ConcurrentCommitException =>
           attempt += 1
           if (attempt > maxRetries) throw e
-          Thread.sleep(25L * attempt)
+          // linear backoff + uniform jitter: symmetric writers that
+          // collide on attempt N would otherwise sleep identical
+          // durations and re-collide in lockstep, burning the whole
+          // retry budget under contention
+          Thread.sleep(13L * attempt +
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(25L * attempt + 1))
       }
     }
     throw new IllegalStateException("unreachable")
@@ -357,9 +372,37 @@ class VersionedTable private (val spark: SparkSession,
         val (files, schema, partCols) = snapshot(Some(version))
         val cpPath = new Path(logDir, f"$version%020d.checkpoint.json")
         atomicWrite(fs, cpPath,
-          renderCheckpoint(Checkpoint(version, schema.json, partCols, files)))
+          renderCheckpoint(Checkpoint(version, schema.json, partCols, files,
+            Some(txnWatermarksAt(version)))))
       } catch { case scala.util.control.NonFatal(_) => }
     }
+
+  /** Per-appId max committed txnBatchId as of `target`, built
+    * incrementally: previous checkpoint's `txns` map + the commits since
+    * it — O(CheckpointInterval) JSON reads at checkpoint time, never a
+    * full-log replay. Best-effort like the checkpoint itself (a torn
+    * commit is skipped; the backward scan in [[lastTxnBatchId]] still
+    * sees every PARSABLE commit newer than the checkpoint). */
+  private def txnWatermarksAt(target: Long): Map[String, Long] = {
+    val f = fs
+    val (commits, cps) = listLog()
+    val prev = cps.filter(_._1 < target).lastOption
+      .map { case (_, p) => parseCheckpoint(readFully(f, p)) }
+      .filter(_.txns.isDefined)
+    val acc = scala.collection.mutable.Map[String, Long]()
+    prev.flatMap(_.txns).foreach(acc ++= _)
+    val fromV = prev.map(_.version).getOrElse(-1L)
+    commits.filter { case (v, _) => v > fromV && v <= target }
+      .foreach { case (_, p) =>
+        try {
+          val e = parseEntry(readFully(f, p))
+          for (app <- e.operationMetrics.get("txnAppId");
+               b <- e.operationMetrics.get("txnBatchId"))
+            acc(app) = math.max(acc.getOrElse(app, Long.MinValue), b.toLong)
+        } catch { case scala.util.control.NonFatal(_) => }
+      }
+    acc.toMap
+  }
 
   private def atomicWrite(f: FileSystem, target: Path, content: String): Unit = {
     val tmp = new Path(target.getParent, s".tmp-${UUID.randomUUID()}.json")
@@ -583,13 +626,25 @@ class VersionedTable private (val spark: SparkSession,
     * Scans commit files NEWEST-FIRST and stops at the first match, so
     * for a live streaming sink (whose own previous batch is usually the
     * newest commit) the steady-state cost is one or two JSON reads, not
-    * the whole log; only an appId with NO commits ever pays a full
-    * backward scan (once per restart — the sink caches above this). */
+    * the whole log; an appId with NO commits stops at the newest
+    * checkpoint's folded `txns` watermark map (Delta's SetTransaction-in-
+    * checkpoint shape), so even the miss path is O(CheckpointInterval)
+    * reads — a full backward scan only ever happens on a legacy table
+    * whose newest checkpoint predates the `txns` field (and self-heals at
+    * its next checkpoint). */
   def lastTxnBatchId(appId: String): Option[Long] = {
     val f = fs
-    val commits = listLog()._1
+    val (commits, cps) = listLog()
     val newest = commits.lastOption.map(_._1)
+    // only the NEWEST checkpoint is consulted: older ones are strictly
+    // staler, and probing backward through txns-less legacy checkpoints
+    // would re-read large file-list JSONs for nothing
+    val cp = cps.lastOption
+      .map { case (_, p) => parseCheckpoint(readFully(f, p)) }
+      .filter(_.txns.isDefined)
+    val floor = cp.map(_.version).getOrElse(-1L)
     commits.reverseIterator
+      .takeWhile(_._1 > floor)
       .flatMap { case (v, p) =>
         // a torn NEWEST commit is aborted-publish debris (same tolerance
         // as entries/snapshot); an unparsable OLDER file is corruption —
@@ -602,6 +657,7 @@ class VersionedTable private (val spark: SparkSession,
       }
       .find(_.operationMetrics.get("txnAppId").contains(appId))
       .flatMap(_.operationMetrics.get("txnBatchId")).map(_.toLong)
+      .orElse(cp.flatMap(_.txns.flatMap(_.get(appId))))
   }
 
   /** Physically write `df` partitioned by `partCols` into the data dir via
@@ -1036,6 +1092,36 @@ class VersionedTable private (val spark: SparkSession,
         }
       }
     walk(dataDir, "")
+    deleted
+  }
+
+  /** Truncate the commit log: delete commit JSONs and checkpoints older
+    * than the newest checkpoint that still covers `retainVersions` of
+    * history — Delta's metadata-cleanup analog (`delta.logRetention`),
+    * so a long-lived table (streaming sink, frequent small merges) keeps
+    * a BOUNDED log dir instead of growing one JSON per commit forever.
+    * The anchor checkpoint and everything after it are untouched, so
+    * reads, time travel at/above the truncation point, txn watermarks
+    * and CDC over the surviving range all keep working; time travel
+    * BELOW it stops (as in Delta after metadata cleanup). Returns the
+    * number of files deleted; 0 when no checkpoint old enough exists. */
+  def cleanLog(retainVersions: Int = 2 * CheckpointInterval.toInt): Int = {
+    require(retainVersions >= 1, "must retain at least the current version")
+    val f = fs
+    val (commits, cps) = listLog()
+    if (commits.isEmpty) return 0
+    val floor = commits.last._1 - retainVersions + 1
+    val base = cps.map(_._1).filter(_ <= floor).lastOption match {
+      case None => return 0 // no anchor below the floor — nothing is safe to drop
+      case Some(v) => v
+    }
+    var deleted = 0
+    commits.filter(_._1 < base).foreach { case (_, p) =>
+      if (f.delete(p, false)) deleted += 1
+    }
+    cps.filter(_._1 < base).foreach { case (_, p) =>
+      if (f.delete(p, false)) deleted += 1
+    }
     deleted
   }
 
@@ -1780,7 +1866,7 @@ class VersionedTable private (val spark: SparkSession,
 object VersionedTable {
   private val LogDirName = "_graft_log"
   /** Commits between snapshot checkpoints (Delta uses 10 as well). */
-  private val CheckpointInterval = 10L
+  private[tables] val CheckpointInterval = 10L
 
   /** Reference-counted per-session scope forcing
     * `spark.sql.parquet.outputTimestampType = TIMESTAMP_MICROS` around
@@ -1969,7 +2055,15 @@ object VersionedTable {
   private def renderCheckpoint(c: Checkpoint): String =
     Serialization.write(c)
 
+  /** Diagnostic counter over the ONE funnel every log/checkpoint JSON
+    * read passes through — lets specs assert the O(CheckpointInterval)
+    * bound on snapshot/lastTxnBatchId cost empirically (count reads
+    * around an operation) instead of trusting the comment. Zero-cost in
+    * production paths (one atomic add per metadata file read). */
+  private[tables] val logJsonReads = new java.util.concurrent.atomic.AtomicLong(0)
+
   private def readFully(f: FileSystem, p: Path): String = {
+    logJsonReads.incrementAndGet()
     val in = f.open(p)
     try {
       val out = new java.io.ByteArrayOutputStream()
