@@ -397,10 +397,8 @@ object Bench {
     if (errors.nonEmpty) sys.exit(1)
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
-  }
+  private def deleteRecursively(f: java.io.File): Unit =
+    GraftSession.deleteRec(f)
 
   /** Block until outstanding page-cache writeback is flushed (plus a GC):
     * run between data generation and a timed rep so the flush of the

@@ -48,4 +48,11 @@ object GraftSession {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Recursive local-file delete — the ONE copy shared by the
+    * bench/verify mains, fixture-building queries and specs. */
+  private[graft] def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete(): Unit
+  }
 }

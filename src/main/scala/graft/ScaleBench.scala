@@ -77,7 +77,7 @@ object ScaleBench {
           .semanticDedup(embs, "vec_id", "embedding", threshold = 0.9,
             bits = 10 + (math.log(scale) / math.log(2)).ceil.toInt)),
       "curation_pipeline" -> ((docs, _, _) =>
-        curation(docs)),
+        graft.ops.Curation.chain(docs)), // the exact q77 chain, shared
       // shards scale with the corpus (the documented contract: a shard is
       // output-file-sized), so per-shard sort work stays constant
       "shuffle_shards" -> ((docs, _, scale) =>
@@ -128,8 +128,6 @@ object ScaleBench {
               Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         }
       }
-      // reclaim before the next size so page cache isn't polluted
-      if (scale != factor) () // keep 1× data until the end for debuggability
     }
 
     val ratios = ops.map(_._1).flatMap { name =>
@@ -149,40 +147,13 @@ object ScaleBench {
       Files.writeString(java.nio.file.Paths.get(dest), out.mkString("", "\n", "\n"))
     } catch { case scala.util.control.NonFatal(_) => }
     println(summary)
-    deleteRecursively(new java.io.File(root))
+    GraftSession.deleteRec(new java.io.File(root))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
-  }
-
-  /** q77's exact 5-step curation chain (quality floor → exact dedup →
-    * per-source quota → stratified sample → corpus summary). */
-  private def curation(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
-    val quality = toks.filter(col("n_tokens") >= 20)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(graft.ops.TextAnalysis.fingerprint("text"))
-      .orderBy(col("doc_id"))
-    val deduped = quality.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1).drop("__rk")
-    val capped = graft.ops.Sampling.perGroupCap(deduped, "doc_id", "source", cap = 15)
-    val strat = capped.withColumn("stratum",
-      when(col("n_tokens") < 50, "short")
-        .when(col("n_tokens") < 200, "medium")
-        .otherwise("long"))
-    val sampled = graft.ops.Sampling.stratifiedSample(strat, "doc_id", "stratum",
-      rates = Map("short" -> 0.9, "medium" -> 0.6, "long" -> 0.3),
-      uniform = Some(pmod(col("doc_id") * 48271 + 11, lit(10007)).cast("double") / 10007.0))
-    sampled.groupBy("source", "stratum")
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
   }
 
   private def r3(d: Double): Double = math.rint(d * 1000) / 1000
   private def esc(s: String): String =
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => " "
                 case '\r' => ""; case c if c < ' ' => " "; case c => c.toString }
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
-  }
 }

@@ -1799,29 +1799,10 @@ object SparkEntry {
     // oracle-checked alone (q15/q13/q72/q29); this proves they COMPOSE.
     "q77_curation_pipeline" -> ((s, dir) => {
       GraftSession.tune(s)
-      val toks = tbl(s, dir, "documents")
-        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
-      // 1. quality floor
-      val quality = toks.filter(col("n_tokens") >= 20)
-      // 2. exact dedup: keep the min-id representative per fingerprint
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(graft.ops.TextAnalysis.fingerprint("text"))
-        .orderBy(col("doc_id"))
-      val deduped = quality.withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") === 1).drop("__rk")
-      // 3. per-source quota
-      val capped = graft.ops.Sampling.perGroupCap(deduped, "doc_id", "source", cap = 15)
-      // 4. deterministic length-stratified sample (q29's replayable variate)
-      val strat = capped.withColumn("stratum",
-        when(col("n_tokens") < 50, "short")
-          .when(col("n_tokens") < 200, "medium")
-          .otherwise("long"))
-      val sampled = graft.ops.Sampling.stratifiedSample(strat, "doc_id", "stratum",
-        rates = Map("short" -> 0.9, "medium" -> 0.6, "long" -> 0.3),
-        uniform = Some(pmod(col("doc_id") * 48271 + 11, lit(10007)).cast("double") / 10007.0))
-      // 5. corpus summary
-      sampled.groupBy("source", "stratum")
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      // the 5-step chain lives in ops.Curation — ONE definition shared
+      // with ScaleBench, so the oracle-verified pipeline and the
+      // scale-measured pipeline cannot drift apart
+      graft.ops.Curation.chain(tbl(s, dir, "documents"))
         .orderBy("source", "stratum")
     }),
 
@@ -2206,10 +2187,8 @@ object SparkEntry {
     })
   )
 
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-    f.delete(): Unit
-  }
+  private def deleteRec(f: java.io.File): Unit =
+    GraftSession.deleteRec(f)
 
   /** Shared oracle for q57 (built-in session_window) and q59 (custom
     * flatMapGroupsWithState sessionizer): 30-minute-gap sessions with the

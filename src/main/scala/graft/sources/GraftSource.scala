@@ -96,19 +96,27 @@ class GraftSource extends RelationProvider with DataSourceRegister
     // appId, or a crash-replayed batch would slip past the watermark and
     // append twice. An explicit txnAppId option is taken verbatim and is
     // the robust choice when the checkpoint may move.
+    val canonicalCheckpoint = parameters.get("checkpointLocation").map { loc =>
+      val p = new org.apache.hadoop.fs.Path(loc)
+      p.getFileSystem(sqlContext.sparkSession.sessionState.newHadoopConf())
+        .makeQualified(p).toUri.normalize().toString
+    }
     val appId = parameters.get("txnAppId")
-      .orElse(parameters.get("checkpointLocation").map { loc =>
-        val p = new org.apache.hadoop.fs.Path(loc)
-        p.getFileSystem(sqlContext.sparkSession.sessionState.newHadoopConf())
-          .makeQualified(p).toUri.normalize().toString
-      })
+      .orElse(canonicalCheckpoint)
       .getOrElse(throw new IllegalArgumentException(
         "the graft sink needs a per-query idempotence identity: pass " +
           ".option(\"checkpointLocation\", ...) on the writer (a session-" +
           "conf default checkpoint does not reach the sink) or an " +
           "explicit .option(\"txnAppId\", ...)"))
+    // pre-canonicalization commits carry the RAW checkpoint spelling —
+    // hand it to the sink as a legacy identity so an upgrade boundary
+    // can't replay an already-landed batch (only when the checkpoint
+    // fallback is in play; an explicit txnAppId was always verbatim)
+    val legacy =
+      if (parameters.contains("txnAppId")) Nil
+      else parameters.get("checkpointLocation").filterNot(appId.==).toSeq
     new GraftSink(sqlContext.sparkSession, pathOf(parameters),
-      partitionColumns, appId)
+      partitionColumns, appId, legacy)
   }
 }
 
@@ -122,7 +130,8 @@ class GraftSource extends RelationProvider with DataSourceRegister
   * Scale: a batch writes only its own rows; the idempotence probe is a
   * commit-log scan, no data read. */
 class GraftSink(spark: SparkSession, path: String,
-                partitionColumns: Seq[String], appId: String)
+                partitionColumns: Seq[String], appId: String,
+                legacyAppIds: Seq[String] = Nil)
     extends StreamingSink {
 
   /** Highest batchId THIS sink instance has landed — replays within one
@@ -151,8 +160,19 @@ class GraftSink(spark: SparkSession, path: String,
             val _ = e
             VersionedTable.forPath(spark, path)
         }
-      table.append(batch, txn = Some((appId, batchId)))
-      landed = batchId
+      // Upgrade-boundary guard, probed only for this instance's FIRST
+      // batch (the only one a crash-replay can resurrect): commits
+      // written before the appId was canonicalized carry the RAW
+      // checkpoint spelling, so a watermark under a legacy spelling that
+      // already covers this batch means it landed pre-upgrade —
+      // appending it again under the new id would duplicate rows.
+      if (landed < 0 &&
+          legacyAppIds.exists(l => table.lastTxnBatchId(l).exists(_ >= batchId)))
+        landed = batchId
+      else {
+        table.append(batch, txn = Some((appId, batchId)))
+        landed = batchId
+      }
     }
 }
 

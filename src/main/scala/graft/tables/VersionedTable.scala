@@ -369,39 +369,57 @@ class VersionedTable private (val spark: SparkSession,
   private def maybeCheckpoint(version: Long): Unit =
     if (version > 0 && version % CheckpointInterval == 0) {
       try {
-        val (files, schema, partCols) = snapshot(Some(version))
         val cpPath = new Path(logDir, f"$version%020d.checkpoint.json")
-        atomicWrite(fs, cpPath,
-          renderCheckpoint(Checkpoint(version, schema.json, partCols, files,
-            Some(txnWatermarksAt(version)))))
+        atomicWrite(fs, cpPath, renderCheckpoint(buildCheckpoint(version)))
       } catch { case scala.util.control.NonFatal(_) => }
     }
 
-  /** Per-appId max committed txnBatchId as of `target`, built
-    * incrementally: previous checkpoint's `txns` map + the commits since
-    * it — O(CheckpointInterval) JSON reads at checkpoint time, never a
-    * full-log replay. Best-effort like the checkpoint itself (a torn
-    * commit is skipped; the backward scan in [[lastTxnBatchId]] still
-    * sees every PARSABLE commit newer than the checkpoint). */
-  private def txnWatermarksAt(target: Long): Map[String, Long] = {
+  /** ONE replay pass building the checkpoint at `target`: the previous
+    * checkpoint (file set + txn-watermark base) plus the interval's
+    * commits, each parsed once, accumulating files, schema, partitioning
+    * AND per-app txn watermarks together (a snapshot() + separate
+    * txn-map pass would read the same prev checkpoint and the same
+    * ~interval commits twice per checkpoint).
+    *
+    * An unparsable commit THROWS — never skipped: folding a checkpoint
+    * past a corrupt commit would silently freeze an app's watermark
+    * below its true value and let a replayed batch commit twice (the
+    * exact failure [[lastTxnBatchId]]'s fail-loud contract exists to
+    * prevent). [[maybeCheckpoint]]'s catch then skips this checkpoint;
+    * the log's ground truth stays intact and readers keep working.
+    *
+    * A previous checkpoint that predates the `txns` field rebuilds the
+    * watermark map from the WHOLE log prefix once (the self-heal
+    * moment): folding only the interval would publish an INCOMPLETE map
+    * that later truncation/bounded probes would treat as authoritative. */
+  private def buildCheckpoint(target: Long): Checkpoint = {
     val f = fs
     val (commits, cps) = listLog()
     val prev = cps.filter(_._1 < target).lastOption
       .map { case (_, p) => parseCheckpoint(readFully(f, p)) }
-      .filter(_.txns.isDefined)
-    val acc = scala.collection.mutable.Map[String, Long]()
-    prev.flatMap(_.txns).foreach(acc ++= _)
+    val files = scala.collection.mutable.LinkedHashMap[String, FileEntry]()
+    prev.foreach(_.files.foreach(fe => files(fe.path) = fe))
+    val txns = scala.collection.mutable.Map[String, Long]()
+    prev.flatMap(_.txns).foreach(txns ++= _)
     val fromV = prev.map(_.version).getOrElse(-1L)
-    commits.filter { case (v, _) => v > fromV && v <= target }
-      .foreach { case (_, p) =>
-        try {
-          val e = parseEntry(readFully(f, p))
-          for (app <- e.operationMetrics.get("txnAppId");
-               b <- e.operationMetrics.get("txnBatchId"))
-            acc(app) = math.max(acc.getOrElse(app, Long.MinValue), b.toLong)
-        } catch { case scala.util.control.NonFatal(_) => }
-      }
-    acc.toMap
+    def foldTxn(e: LogEntry): Unit =
+      for (app <- e.operationMetrics.get("txnAppId");
+           b <- e.operationMetrics.get("txnBatchId"))
+        txns(app) = math.max(txns.getOrElse(app, Long.MinValue), b.toLong)
+    if (prev.isDefined && prev.get.txns.isEmpty)
+      commits.filter(_._1 <= fromV)
+        .foreach { case (_, p) => foldTxn(parseEntry(readFully(f, p))) }
+    val replayed = commits
+      .filter { case (v, _) => v > fromV && v <= target }
+      .map { case (_, p) => parseEntry(readFully(f, p)) }
+    require(replayed.nonEmpty, s"no commits to replay for checkpoint $target")
+    replayed.foreach { e =>
+      e.remove.foreach(files.remove)
+      e.add.foreach(a => files(a.path) = a)
+      foldTxn(e)
+    }
+    Checkpoint(target, replayed.last.schemaJson, replayed.last.partitionColumns,
+      files.values.toSeq, Some(txns.toMap))
   }
 
   private def atomicWrite(f: FileSystem, target: Path, content: String): Unit = {
@@ -636,15 +654,7 @@ class VersionedTable private (val spark: SparkSession,
     val f = fs
     val (commits, cps) = listLog()
     val newest = commits.lastOption.map(_._1)
-    // only the NEWEST checkpoint is consulted: older ones are strictly
-    // staler, and probing backward through txns-less legacy checkpoints
-    // would re-read large file-list JSONs for nothing
-    val cp = cps.lastOption
-      .map { case (_, p) => parseCheckpoint(readFully(f, p)) }
-      .filter(_.txns.isDefined)
-    val floor = cp.map(_.version).getOrElse(-1L)
-    commits.reverseIterator
-      .takeWhile(_._1 > floor)
+    def scan(range: Iterator[(Long, Path)]): Option[Long] = range
       .flatMap { case (v, p) =>
         // a torn NEWEST commit is aborted-publish debris (same tolerance
         // as entries/snapshot); an unparsable OLDER file is corruption —
@@ -657,7 +667,22 @@ class VersionedTable private (val spark: SparkSession,
       }
       .find(_.operationMetrics.get("txnAppId").contains(appId))
       .flatMap(_.operationMetrics.get("txnBatchId")).map(_.toLong)
-      .orElse(cp.flatMap(_.txns.flatMap(_.get(appId))))
+    // the newest checkpoint's VERSION comes free from its filename; its
+    // BODY (the full live file set — large) is only parsed when the
+    // backward scan above it misses, so a live sink's steady state (own
+    // previous batch = the newest commit) stays 1-2 small commit reads
+    val floor = cps.lastOption.map(_._1).getOrElse(-1L)
+    scan(commits.reverseIterator.takeWhile(_._1 > floor)).orElse {
+      val cp = cps.lastOption.map { case (_, p) => parseCheckpoint(readFully(f, p)) }
+      cp.flatMap(_.txns) match {
+        case Some(txns) => txns.get(appId) // folded watermark (may miss)
+        case None =>
+          // legacy checkpoint without txns can't bound the scan: keep
+          // walking the rest of the log (self-heals at the next
+          // checkpoint, which folds the map)
+          scan(commits.reverseIterator.filter(_._1 <= floor))
+      }
+    }
   }
 
   /** Physically write `df` partitioned by `partCols` into the data dir via
@@ -1111,8 +1136,19 @@ class VersionedTable private (val spark: SparkSession,
     val (commits, cps) = listLog()
     if (commits.isEmpty) return 0
     val floor = commits.last._1 - retainVersions + 1
-    val base = cps.map(_._1).filter(_ <= floor).lastOption match {
-      case None => return 0 // no anchor below the floor — nothing is safe to drop
+    // The anchor must PROVE it can replace the commits being deleted:
+    // parse it now (deleting history below an unreadable checkpoint
+    // bricks the table) and require the folded txns map (a legacy
+    // pre-txns checkpoint would permanently destroy every watermark
+    // whose only record is a commit below it — wait one more checkpoint,
+    // which self-heals the map, then truncate).
+    val base = cps.filter(_._1 <= floor).lastOption
+      .filter { case (_, p) =>
+        try parseCheckpoint(readFully(f, p)).txns.isDefined
+        catch { case scala.util.control.NonFatal(_) => false }
+      }
+      .map(_._1) match {
+      case None => return 0 // no safe anchor below the floor — drop nothing
       case Some(v) => v
     }
     var deleted = 0

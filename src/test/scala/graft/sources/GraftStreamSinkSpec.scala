@@ -39,6 +39,29 @@ class GraftStreamSinkSpec extends AnyFunSuite {
       spark.range(0, 130).selectExpr("id", "concat('v', id) AS v")).isEmpty)
   }
 
+  test("upgrade boundary: a batch landed under the LEGACY raw-checkpoint appId is not replayed under the canonical one") {
+    val dir = freshDir("sink-legacy")
+    val batch = spark.range(0, 40).selectExpr("id", "id * 3 AS d").toDF()
+    // pre-upgrade history: batch 0 committed with the RAW checkpoint
+    // spelling as its appId (what the sink used before canonicalization)
+    new GraftSink(spark, dir + "/t", Nil, appId = "/tmp/ck-legacy")
+      .addBatch(0L, batch)
+    val t = VersionedTable.forPath(spark, dir + "/t")
+    val v = t.currentVersion
+    // post-upgrade crash-replay: the restarted sink derives the
+    // CANONICAL appId but carries the raw spelling as a legacy identity;
+    // the replayed batch 0 must be recognized as landed, not re-appended
+    val upgraded = new GraftSink(spark, dir + "/t", Nil,
+      appId = "file:/tmp/ck-legacy", legacyAppIds = Seq("/tmp/ck-legacy"))
+    upgraded.addBatch(0L, batch)
+    assert(t.read.count() == 40, "legacy-landed batch must not duplicate")
+    assert(t.currentVersion == v, "legacy-landed batch must not even commit")
+    // the NEXT batch lands normally under the canonical id
+    upgraded.addBatch(1L, batch)
+    assert(t.read.count() == 80)
+    assert(t.lastTxnBatchId("file:/tmp/ck-legacy").contains(1L))
+  }
+
   test("a replayed batchId is skipped: exactly-once via the txn watermark") {
     val dir = freshDir("sink-replay")
     val sink = new GraftSink(spark, dir + "/t", Nil, appId = "appA")

@@ -77,11 +77,49 @@ class LogStressSpec extends AnyFunSuite {
     // below the truncation point time travel is GONE, loudly (Delta shape)
     intercept[IllegalArgumentException](t2.readVersion(100L).count())
 
-    deleteRec(new java.io.File(dir))
+    graft.GraftSession.deleteRec(new java.io.File(dir))
   }
 
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-    f.delete(): Unit
+  test("legacy checkpoint without txns: probes fall back, cleanLog refuses, the next checkpoint self-heals the FULL map") {
+    val s = graft.SharedSpark.spark
+    val dir = Files.createTempDirectory("graft-legacycp").toString
+    VersionedTable.create(s, s.range(5).toDF("id"), s"$dir/t") // v0
+    val t = VersionedTable.forPath(s, s"$dir/t")
+    t.append(s.range(1).toDF("id"), txn = Some(("appL", 3L))) // v1: the ONLY commit record of appL
+    val schemaJson = t.read.schema.json
+    def drive(to: Long): Unit =
+      ((t.currentVersion + 1) to to).foreach { v =>
+        t.commit(LogEntry(v, System.currentTimeMillis(), "WRITE", schemaJson,
+          Seq.empty, Seq.empty, Seq.empty, Map("numFiles" -> "0")))
+      }
+    drive(10L) // checkpoint 10 written (with txns)
+    // simulate a checkpoint from BEFORE the txns field existed
+    val cp10 = new java.io.File(s"$dir/t/_graft_log/00000000000000000010.checkpoint.json")
+    assert(cp10.isFile)
+    val json = new String(java.nio.file.Files.readAllBytes(cp10.toPath), "UTF-8")
+    val stripped = json.replaceAll(""","txns":\{[^}]*\}""", "")
+    assert(stripped != json, "fixture must actually strip the txns field")
+    java.nio.file.Files.write(cp10.toPath, stripped.getBytes("UTF-8"))
+    // the raw rewrite bypassed ChecksumFileSystem — drop the stale sidecar
+    new java.io.File(cp10.getParent, s".${cp10.getName}.crc").delete()
+
+    // a txns-less checkpoint cannot bound the probe: the fallback legacy
+    // full scan must still find the true watermark below it
+    assert(t.lastTxnBatchId("appL").contains(3L))
+    // ...and cleanLog must REFUSE to anchor on it: truncating here would
+    // destroy commit 1, the only record of appL's watermark
+    assert(t.cleanLog(retainVersions = 1) == 0,
+      "cleanLog must not truncate behind a pre-txns legacy checkpoint")
+
+    drive(20L) // checkpoint 20: must self-heal by folding the WHOLE prefix
+    assert(t.cleanLog(retainVersions = 1) > 0,
+      "a txns-bearing checkpoint is a safe anchor")
+    assert(!new java.io.File(s"$dir/t/_graft_log/00000000000000000001.json").exists,
+      "the legacy watermark's commit is physically gone")
+    val fresh = VersionedTable.forPath(s, s"$dir/t")
+    assert(fresh.lastTxnBatchId("appL").contains(3L),
+      "the watermark must survive truncation via the healed checkpoint map")
+    assert(fresh.read.count() == 6L)
+    graft.GraftSession.deleteRec(new java.io.File(dir))
   }
 }
