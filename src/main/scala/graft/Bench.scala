@@ -74,7 +74,10 @@ object Bench {
     val repeatList: Seq[Int] = {
       val env = sys.env.getOrElse("SPARK_GRAFT_HEADER_REPEATS", "").trim
       if (env.isEmpty)
-        headerSizes.toSeq.map(n => if (headerSizes.nonEmpty && n == headerSizes.max) 3 else 2)
+        // 3 reps from 1M up (r8: the 1M point was the last one still
+        // spreading ~2× on n=2 — a median of 3 absorbs one bad rep), 2
+        // below it where a rep is cheap enough that spread never bit
+        headerSizes.toSeq.map(n => if (n >= 1000000L) 3 else 2)
       else {
         val parts = env.split(",").map(_.trim.toInt)
         if (parts.length == 1) Seq.fill(headerSizes.length)(parts(0))
