@@ -76,6 +76,35 @@ object CorpusDataGen {
       length(col("text")).cast("long").as("n_chars"))
   }
 
+  /** `n` events (event_id, ts, user_id, event_type, value) — the
+    * testdata events schema minus props — for STREAMING scale
+    * measurement. The timestamps span a fixed 24-hour window at every
+    * size (event density grows with n, window count does not), so a
+    * watermarked tumbling-window aggregation holds constant state
+    * across scales and its work per row is size-independent. ~10% of
+    * rows repeat their predecessor's event_id a fraction of a second
+    * later (well inside any dedup watermark horizon), giving
+    * first-arrival dedup a scale-independent planted duplicate rate.
+    * Monotonic ts-in-id: range-partitioning the write by event_id
+    * yields time-ordered files, so a file-source drain advances the
+    * watermark monotonically instead of dropping random late rows. */
+  def events(spark: SparkSession, n: Long, seed: Long = 11L,
+             partitions: Int = 32): DataFrame = {
+    val epoch = 1700000000L // fixed: determinism across runs
+    spark.range(0L, n, 1L, partitions)
+      .withColumn("__b",
+        when(col("id") % 10 === 1, col("id") - 1).otherwise(col("id")))
+      .select(
+        col("__b").as("event_id"),
+        timestamp_seconds(lit(epoch) + col("id") * 86400.0 / n).as("ts"),
+        pmod(hash(col("__b"), lit(seed)), lit(math.max(1L, n / 100)))
+          .cast("long").as("user_id"),
+        concat(lit("type"), pmod(hash(col("__b"), lit(seed + 1)), lit(5)))
+          .as("event_type"),
+        (pmod(hash(col("__b"), lit(seed + 2)), lit(100000)) / 100.0)
+          .as("value"))
+  }
+
   /** `n` embeddings (vec_id, embedding: array<float>, label) — the
     * testdata embeddings schema — with ~10% planted near-duplicates
     * (cosine ≈ 1 perturbations of the previous row). */
