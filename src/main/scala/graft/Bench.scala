@@ -65,19 +65,21 @@ object Bench {
     val headerSizes = sys.env.getOrElse("SPARK_GRAFT_HEADER_SIZES",
       "100000,1000000,5000000,10000000")
       .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong)
-    // Timed repetitions per size: 2 everywhere, 3 at the largest point,
-    // so every recorded number carries a spread — a single sample at 10M
-    // proved load-confounded (97.4 s recorded vs ~34.7 s quiet-host on
-    // identical code), and round-5 saw 1M swing 10.8→15.0 s on n=1.
+    // Timed repetitions per size: 3 from 1M up AND at the sweep's
+    // largest point, 2 for the remaining cheap sizes — every recorded
+    // number carries a spread, and the expensive points get a median of
+    // 3 that absorbs one bad rep. A single sample at 10M proved
+    // load-confounded (97.4 s recorded vs ~34.7 s quiet-host on
+    // identical code), round-5 saw 1M swing 10.8→15.0 s on n=1, and
+    // round-7's committed 1M spread ~2× on n=2.
     // Override with SPARK_GRAFT_HEADER_REPEATS: one int for all sizes, or
     // a comma list aligned with SPARK_GRAFT_HEADER_SIZES.
     val repeatList: Seq[Int] = {
       val env = sys.env.getOrElse("SPARK_GRAFT_HEADER_REPEATS", "").trim
       if (env.isEmpty)
-        // 3 reps from 1M up (r8: the 1M point was the last one still
-        // spreading ~2× on n=2 — a median of 3 absorbs one bad rep), 2
-        // below it where a rep is cheap enough that spread never bit
-        headerSizes.toSeq.map(n => if (n >= 1000000L) 3 else 2)
+        headerSizes.toSeq.map(n =>
+          if (n >= 1000000L || (headerSizes.nonEmpty && n == headerSizes.max)) 3
+          else 2)
       else {
         val parts = env.split(",").map(_.trim.toInt)
         if (parts.length == 1) Seq.fill(headerSizes.length)(parts(0))
