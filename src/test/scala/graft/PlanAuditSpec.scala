@@ -180,4 +180,33 @@ class PlanAuditSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
   }
+
+  test("ANN query from postings: the bucket IN-list is pushed into the postings scan") {
+    // the structural half of ScaleBench's measured-flat ann_query row:
+    // served from the write-once postings layout, a query's bucket list
+    // must reach the parquet reader as a pushed In filter (row-group
+    // stats skip everything else on a bucket-sorted layout; the 100 TB
+    // layout partitions by bucket and prunes whole directories)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val tmp = Files.createTempDirectory("graft-postings-plan").toString
+    graft.ops.Similarity
+      .lshPostings(emb, "vec_id", "embedding", tables = 8, bits = 8)
+      .repartitionByRange(4, col("bucket"))
+      .sortWithinPartitions("bucket")
+      .write.parquet(s"$tmp/p")
+    val postings = spark.read.parquet(s"$tmp/p")
+    val p = graft.ops.Similarity
+      .lshTopKFromPostings(postings, emb, "vec_id", "embedding",
+        queryId = 5L, k = 10, tables = 8, bits = 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [In(bucket"),
+      s"bucket IN-list must reach the postings parquet scan:\n$p")
+    // the one nested-loop in the plan is the documented 1-row query-
+    // vector crossJoin(broadcast) — the candidate FETCH itself must be
+    // a hash equi-join on the id, never a corpus-wide cross product
+    assert(p.contains("BroadcastHashJoin [vec_id"),
+      s"candidate fetch must be a hash equi-join on vec_id:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "no unbroadcast cartesian product anywhere in the query")
+  }
 }
