@@ -298,6 +298,91 @@ object Similarity {
       emb, idCol, vecCol, queryId, k)
   }
 
+  // ---- id-keyed vector LOOKUP layout --------------------------------------
+  // [[lshTopKFromPostings]]'s one remaining linear term was its exact
+  // re-rank: the candidate join scanned the vectors frame end-to-end. The
+  // layout below makes the candidate fetch a PRUNED POINT LOOKUP instead —
+  // the same pushed-IN-list pattern the postings bucket filter uses.
+
+  /** Bucket assignment of the id-keyed lookup layout:
+    * `pmod(xxhash64(id), nBuckets)`. Hash (not range) bucketing, so newly
+    * ingested ids spread uniformly with no re-balancing. */
+  private def idBucketCol(idCol: String, nBuckets: Int): Column =
+    pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)).cast("int")
+
+  /** Driver-side replica of [[idBucketCol]] for one literal id — the same
+    * Catalyst XxHash64 (seed 42) the distributed writer evaluated, so a
+    * query can name its candidates' buckets without touching the data. */
+  private[graft] def idBucketOf(id: Long, nBuckets: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = XxHash64(Seq(Literal(id)), 42L).eval(null).asInstanceOf[Long]
+    (((h % nBuckets) + nBuckets) % nBuckets).toInt
+  }
+
+  /** WRITE-ONCE id-keyed vector lookup layout: `nBuckets` hash partitions
+    * on the id (directory per bucket), rows sorted by id within each
+    * bucket's files. A candidate fetch ([[fetchVectorsById]]) then prunes
+    * to at most |ids| bucket directories — exact, metadata-only partition
+    * pruning — and pushes the id IN-list into the surviving parquet
+    * scans. With `nBuckets` raised ∝ corpus (rows per bucket held
+    * constant, like a file-sized Delta bucket), the fetch reads
+    * O(candidates) rows INDEPENDENT of corpus size — closing the last
+    * corpus-linear term on the postings ANN query path. Written once at
+    * ingest, alongside [[lshPostings]] / [[pqCodes]]. */
+  def writeVectorLookup(emb: DataFrame, idCol: String, dir: String,
+                        nBuckets: Int = 64): Unit =
+    emb.withColumn("id_bucket", idBucketCol(idCol, nBuckets))
+      .repartition(col("id_bucket"))
+      .sortWithinPartitions(col("id_bucket"), col(idCol))
+      .write.mode("overwrite").partitionBy("id_bucket").parquet(dir)
+
+  /** Point-fetch rows of a [[writeVectorLookup]] layout for a BOUNDED id
+    * list: the bucket IN-list (computed driver-side from the same hash)
+    * prunes partitions, the id IN-list is pushed into the scan.
+    * Plan-audited by PlanAuditSpec; the scan's input rows are measured
+    * sublinear-in-corpus by ScaleBench's ann fetch row. */
+  def fetchVectorsById(lookup: DataFrame, idCol: String, ids: Seq[Long],
+                       nBuckets: Int): DataFrame = {
+    require(ids.nonEmpty, "fetchVectorsById needs at least one id")
+    val buckets = ids.map(idBucketOf(_, nBuckets)).distinct
+    lookup
+      .filter(col("id_bucket").isin(buckets: _*))
+      .filter(col(idCol).isin(ids: _*))
+      .drop("id_bucket")
+  }
+
+  /** [[lshTopKFromPostings]] with BOTH halves served from write-once
+    * layouts — the production read path: the query's bucket IN-list
+    * prunes the postings scan (as before), and the exact re-rank fetches
+    * ONLY the candidate rows through the id-keyed lookup layout instead
+    * of scanning the vectors frame. The candidate id list crosses the
+    * driver; it is bounded BY DESIGN — raising `bits` with corpus size
+    * holds expected candidates constant (the documented postings
+    * contract) — and `maxCandidates` fails loudly rather than silently
+    * collecting a corpus (fall back to [[lshTopKFromPostings]]'s
+    * join-based fetch for wider probes). Returns exactly what
+    * [[lshTopKMulti]] returns at the same parameters (spec-enforced). */
+  def lshTopKFromPostingsLookup(postings: DataFrame, lookup: DataFrame,
+                                idCol: String, vecCol: String,
+                                queryId: Long, k: Int, nBuckets: Int,
+                                tables: Int = 48, bits: Int = 8,
+                                seed: Long = 7L,
+                                maxCandidates: Int = 65536): DataFrame = {
+    val qFrame = fetchVectorsById(lookup, idCol, Seq(queryId), nBuckets)
+    val qRow = qFrame.select(GraftColumnBridge.column(RandProjBuckets(
+      GraftColumnBridge.expression(col(vecCol)), tables, bits, seed))).collect()
+    require(qRow.nonEmpty, s"query id $queryId not found")
+    val qBuckets = qRow(0).getSeq[Long](0)
+    val cand = postings.filter(col("bucket").isin(qBuckets: _*))
+      .select(col(idCol)).distinct()
+      .limit(maxCandidates + 1).collect().map(_.getLong(0)).toSeq
+    require(cand.length <= maxCandidates,
+      s"candidate set exceeded maxCandidates=$maxCandidates — raise bits " +
+        "(buckets ∝ corpus) or use lshTopKFromPostings' join-based fetch")
+    rankExact(fetchVectorsById(lookup, idCol, cand, nBuckets),
+      qFrame, idCol, vecCol, queryId, k)
+  }
+
   /** The write-once CODES column behind [[pqTopK]]'s scale story: the
     * input frame plus an `__codes` array<int> column (m small ints per
     * vector). Written once at ingest; queries ADC-scan the codes and
@@ -374,6 +459,23 @@ object Similarity {
     * instead of the full vector, and composes with the IVF cell column
     * (scan only probed cells) for sublinear candidates. Codebook and
     * LUT are bounded plan state (m·kCent·dim/m and m·kCent doubles). */
+  /** The query-side ADC lookup table: normalize the raw query vector
+    * like the codes, then lut(s)(c) = q_sub(s) · centroid(s)(c)
+    * ⇒ Σ_s lut ≈ q·v̂ = cosine. Shared by [[pqTopK]] and
+    * [[pqTopKFromCodes]] so the two paths can't drift. */
+  private def adcLut(qRaw: Array[Double],
+                     codebook: Seq[Seq[Seq[Double]]]): Seq[Seq[Double]] = {
+    val qn = math.sqrt(qRaw.map(x => x * x).sum)
+    val q = if (qn > 0) qRaw.map(_ / qn) else qRaw
+    val m = codebook.length
+    val dsub = q.length / m
+    (0 until m).map { s =>
+      codebook(s).map { cent =>
+        cent.zipWithIndex.map { case (x, i) => x * q(s * dsub + i) }.sum
+      }
+    }
+  }
+
   def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
              queryId: Long, k: Int,
              m: Int = 8, kCent: Int = 16, refine: Int = 8,
@@ -385,16 +487,7 @@ object Similarity {
     // one tiny collect: the query vector, normalized like the codes
     val qRow = emb.filter(col(idCol) === queryId).select(col(vecCol)).collect()
     require(qRow.nonEmpty, s"query id $queryId not found")
-    val qRaw = vecOf(qRow(0))
-    val qn = math.sqrt(qRaw.map(x => x * x).sum)
-    val q = if (qn > 0) qRaw.map(_ / qn) else qRaw
-    val dsub = q.length / m
-    // lut(s)(c) = q_sub(s) · centroid(s)(c)  ⇒  Σ_s lut ≈ q·v̂ = cosine
-    val lut: Seq[Seq[Double]] = (0 until m).map { s =>
-      codebook(s).map { cent =>
-        cent.zipWithIndex.map { case (x, i) => x * q(s * dsub + i) }.sum
-      }
-    }
+    val lut = adcLut(vecOf(qRow(0)), codebook)
 
     val coded = emb.withColumn("__codes",
       GraftColumnBridge.column(PqEncode(
@@ -408,6 +501,37 @@ object Similarity {
       .limit(refine * k)
       .select(col(idCol), col(vecCol))
     rankExact(candidates, emb, idCol, vecCol, queryId, k)
+  }
+
+  /** [[pqTopK]] served from a precomputed CODES frame (`idCol`,
+    * `codesCol` — NO raw vectors) plus the id-keyed
+    * [[writeVectorLookup]] layout: the ADC scan reads m small ints per
+    * row, and the refine-read fetches only the top refine·k candidates'
+    * raw vectors through [[fetchVectorsById]]'s pruned point lookup —
+    * the production IVFADC read shape, where raw vectors never stream
+    * through a query. The refine·k id list crossing the driver is
+    * bounded by construction (a limit). Returns exactly what [[pqTopK]]
+    * returns with the same codebook (spec-enforced). */
+  def pqTopKFromCodes(codes: DataFrame, lookup: DataFrame,
+                      idCol: String, vecCol: String,
+                      queryId: Long, k: Int,
+                      codebook: Seq[Seq[Seq[Double]]],
+                      nBuckets: Int,
+                      refine: Int = 8,
+                      codesCol: String = "__codes"): DataFrame = {
+    val qFrame = fetchVectorsById(lookup, idCol, Seq(queryId), nBuckets)
+    val qRow = qFrame.select(col(vecCol)).collect()
+    require(qRow.nonEmpty, s"query id $queryId not found")
+    val lut = adcLut(vecOf(qRow(0)), codebook)
+    val candIds = codes
+      .withColumn("__adc", GraftColumnBridge.column(PqAdcScore(
+        GraftColumnBridge.expression(col(codesCol)), lut)))
+      .filter(col(idCol) =!= queryId)
+      .orderBy(col("__adc").desc, col(idCol).asc)
+      .limit(refine * k)
+      .select(col(idCol)).collect().map(_.getLong(0)).toSeq
+    rankExact(fetchVectorsById(lookup, idCol, candIds, nBuckets),
+      qFrame, idCol, vecCol, queryId, k)
   }
 
   /** IVF + PQ composed (the FAISS IVFADC architecture, sans residual

@@ -103,6 +103,7 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("PartitionFilters: [isnotnull(y") && p.contains("(y"),
       s"partition pruning missing from versioned-table scan:\n$p")
     assert(q.count() == 100)
+    GraftSession.deleteRec(new java.io.File(root))
   }
 
   test("PQ ADC scan is map-only with whole-stage codegen'd top-k heaps") {
@@ -208,5 +209,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"candidate fetch must be a hash equi-join on vec_id:\n$p")
     assert(!p.contains("CartesianProduct"),
       "no unbroadcast cartesian product anywhere in the query")
+    GraftSession.deleteRec(new java.io.File(tmp))
+  }
+
+  test("ANN lookup fetch: bucket IN-list prunes partitions AND the id IN-list is pushed to the scan") {
+    // the structural half of the id-keyed lookup layout (the fix for the
+    // candidate-fetch linear term): a fetch by candidate ids must prune
+    // to the candidates' bucket DIRECTORIES (exact, metadata-only) and
+    // push the id IN-list into the surviving parquet scans — never read
+    // the vectors frame end-to-end
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val tmp = Files.createTempDirectory("graft-lookup-plan").toString
+    graft.ops.Similarity.writeVectorLookup(emb, "vec_id", s"$tmp/l", nBuckets = 16)
+    val lookup = spark.read.parquet(s"$tmp/l")
+    val ids = Seq(3L, 17L, 42L)
+    val fetch = graft.ops.Similarity.fetchVectorsById(lookup, "vec_id", ids, nBuckets = 16)
+    val p = fetch.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters:") && p.contains("id_bucket"),
+      s"bucket IN-list must prune lookup partitions:\n$p")
+    assert(p.contains("PushedFilters: [In(vec_id"),
+      s"id IN-list must be pushed into the lookup parquet scan:\n$p")
+    // semantic check: the pruned fetch returns exactly the requested rows
+    assert(fetch.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq == ids)
+    GraftSession.deleteRec(new java.io.File(tmp))
   }
 }

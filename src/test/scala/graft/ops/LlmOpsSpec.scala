@@ -312,6 +312,50 @@ class LlmOpsSpec extends AnyFunSuite {
       inlineCodes.select("vec_id", "__codes")).isEmpty)
   }
 
+  test("id-keyed lookup layout: both layout-served ANN paths equal the inline answers") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.expr
+    val base = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val staged = graft.SparkEntry.plantNeighbors(base)
+    val root = Files.createTempDirectory("graft-lookup-eq").toString
+    try {
+      Similarity.lshPostings(staged, "vec_id", "v").write.parquet(s"$root/p")
+      Similarity.writeVectorLookup(staged, "vec_id", s"$root/l", nBuckets = 32)
+      val spark = staged.sparkSession
+      val postings = spark.read.parquet(s"$root/p")
+      val lookup = spark.read.parquet(s"$root/l")
+      // LSH: postings probe + pruned candidate fetch ≡ inline multi-table
+      val viaLookup = Similarity.lshTopKFromPostingsLookup(
+        postings, lookup, "vec_id", "v", queryId = 0, k = 10, nBuckets = 32)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val inline = Similarity
+        .lshTopKMulti(staged, "vec_id", "v", queryId = 0, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(viaLookup == inline,
+        "lookup-served LSH must return exactly the inline answer")
+      // PQ: codes-only ADC scan + lookup refine-read ≡ inline pqTopK
+      val book = Similarity.pqTrainCodebook(staged, "vec_id", "v", m = 8, kCent = 16)
+      Similarity.pqCodes(staged, "v", book).select("vec_id", "__codes")
+        .write.parquet(s"$root/c")
+      val viaCodes = Similarity.pqTopKFromCodes(
+        spark.read.parquet(s"$root/c"), lookup, "vec_id", "v",
+        queryId = 0, k = 10, book, nBuckets = 32)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val inlinePq = Similarity.pqTopK(staged, "vec_id", "v", queryId = 0,
+        k = 10, trainedCodebook = Some(book))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(viaCodes == inlinePq,
+        "codes+lookup PQ must return exactly the inline answer")
+      // the driver-side bucket hash names exactly the buckets the
+      // distributed writer produced (pruning correctness depends on it)
+      lookup.select("vec_id", "id_bucket").collect().take(50).foreach { r =>
+        assert(Similarity.idBucketOf(r.getLong(0), 32) == r.getInt(1),
+          s"driver/executor bucket hash mismatch for id ${r.getLong(0)}")
+      }
+    } finally graft.GraftSession.deleteRec(new java.io.File(root))
+  }
+
   test("IVF+PQ composed top-k: cell pruning + ADC + exact re-rank recovers plants") {
     import org.apache.spark.sql.functions.{expr, explode}
     val base = emb.select(col("vec_id"),
