@@ -159,6 +159,25 @@ class VersionedTable private (val spark: SparkSession,
     if (commits.isEmpty) -1L else commits.last._1
   }
 
+  /** Current state together with the version it reflects, for mutations
+    * that REMOVE files (merge/DML/compact): their commit must be pinned
+    * to this version + 1 so any commit landing after this read loses the
+    * CAS and [[withCommitRetry]] re-runs the operation on fresh state.
+    * An unpinned `currentVersion + 1` evaluated at COMMIT time would
+    * publish a rewrite of a STALE file set as the next free version — a
+    * silent lost update: two concurrent disjoint-key merges that each
+    * rewrite the same base file would BOTH land, duplicating every row
+    * of that file (caught by the q92 oracle). Reading the version first
+    * and the state AT that version is safe in the only racy direction: a
+    * commit between the two reads makes the pinned CAS fail spuriously
+    * (retry), never succeed wrongly. Add-only appends stay unpinned by
+    * design — see [[append]]. */
+  private def pinnedSnapshot(): (Long, Seq[FileEntry], StructType, Seq[String]) = {
+    val v = currentVersion
+    val (files, schema, partCols) = snapshot(Some(v))
+    (v, files, schema, partCols)
+  }
+
   /** Live file set at `asOf` (inclusive), with the schema of that version.
     * Starts from the newest checkpoint ≤ target and replays only the
     * commits after it — O(CheckpointInterval) JSON reads, not O(versions). */
@@ -391,7 +410,15 @@ class VersionedTable private (val spark: SparkSession,
     * A previous checkpoint that predates the `txns` field rebuilds the
     * watermark map from the WHOLE log prefix once (the self-heal
     * moment): folding only the interval would publish an INCOMPLETE map
-    * that later truncation/bounded probes would treat as authoritative. */
+    * that later truncation/bounded probes would treat as authoritative.
+    * The rebuild only publishes `Some(txns)` when the physical prefix is
+    * actually complete (the commit log reaches version 0): after a
+    * cleanLog truncation, a legacy (pre-txns) checkpoint can sit above
+    * physically-deleted commits, and folding the surviving suffix would
+    * publish a map silently missing any app whose only record was below
+    * the truncation point — a replayed batch would then commit twice.
+    * Emitting txns=None instead keeps probes on their fallback scan and
+    * keeps cleanLog refusing to anchor, exactly the legacy behavior. */
   private def buildCheckpoint(target: Long): Checkpoint = {
     val f = fs
     val (commits, cps) = listLog()
@@ -402,11 +429,19 @@ class VersionedTable private (val spark: SparkSession,
     val txns = scala.collection.mutable.Map[String, Long]()
     prev.flatMap(_.txns).foreach(txns ++= _)
     val fromV = prev.map(_.version).getOrElse(-1L)
+    // last-write-wins BY VERSION (folds run in ascending commit order),
+    // matching lastTxnBatchId's live scan, which answers with the NEWEST
+    // commit's batchId for the app — a max() here would diverge from the
+    // scan if an appId were ever reused with reset batchIds (a deleted-
+    // and-recreated streaming checkpoint), making the answer depend on
+    // whether a checkpoint had folded since
     def foldTxn(e: LogEntry): Unit =
       for (app <- e.operationMetrics.get("txnAppId");
            b <- e.operationMetrics.get("txnBatchId"))
-        txns(app) = math.max(txns.getOrElse(app, Long.MinValue), b.toLong)
-    if (prev.isDefined && prev.get.txns.isEmpty)
+        txns(app) = b.toLong
+    val prefixComplete = commits.headOption.exists(_._1 == 0L)
+    val txnsComplete = prev.exists(_.txns.isDefined) || prefixComplete
+    if (prev.isDefined && prev.get.txns.isEmpty && prefixComplete)
       commits.filter(_._1 <= fromV)
         .foreach { case (_, p) => foldTxn(parseEntry(readFully(f, p))) }
     val replayed = commits
@@ -419,7 +454,7 @@ class VersionedTable private (val spark: SparkSession,
       foldTxn(e)
     }
     Checkpoint(target, replayed.last.schemaJson, replayed.last.partitionColumns,
-      files.values.toSeq, Some(txns.toMap))
+      files.values.toSeq, if (txnsComplete) Some(txns.toMap) else None)
   }
 
   private def atomicWrite(f: FileSystem, target: Path, content: String): Unit = {
@@ -639,8 +674,13 @@ class VersionedTable private (val spark: SparkSession,
     }
   }
 
-  /** Highest batchId committed with [[append]]'s `txn` for `appId`, or
-    * None — the idempotence watermark a restarted writer consults.
+  /** BatchId of the NEWEST commit carrying [[append]]'s `txn` for
+    * `appId`, or None — the idempotence watermark a restarted writer
+    * consults. Both answer sources agree on that semantic: the live
+    * scan stops at the newest matching commit, and the checkpoint's
+    * folded map is last-write-wins by version ([[buildCheckpoint]]) —
+    * under the streaming contract (batchIds monotone per appId) this is
+    * also the highest batchId.
     * Scans commit files NEWEST-FIRST and stops at the first match, so
     * for a live streaming sink (whose own previous batch is usually the
     * newest commit) the steady-state cost is one or two JSON reads, not
@@ -1000,7 +1040,7 @@ class VersionedTable private (val spark: SparkSession,
               zOrderBy: Seq[String] = Seq.empty): Int = withCommitRetry {
     require(clusterBy.isEmpty || zOrderBy.isEmpty,
       "clusterBy and zOrderBy are mutually exclusive")
-    val (files, tableSchema, partCols) = snapshot(None)
+    val (pinnedV, files, tableSchema, partCols) = pinnedSnapshot()
     // only partitions with 2+ small files benefit — unless clustering was
     // requested, which re-sorts every small file even alone in its partition
     val reSort = clusterBy.nonEmpty || zOrderBy.nonEmpty
@@ -1031,7 +1071,7 @@ class VersionedTable private (val spark: SparkSession,
       else if (partCols.nonEmpty) df.repartition(nOut, partCols.map(col): _*)
       else df.repartition(nOut)
     val added = writeFiles(packed, partCols)
-    commitOrClean(LogEntry(currentVersion + 1, now(), "OPTIMIZE",
+    commitOrClean(LogEntry(pinnedV + 1, now(), "OPTIMIZE",
       tableSchema.json, partCols, added, toCompact.map(_.path),
       Map("numFilesRemoved" -> toCompact.size.toString,
         "numFilesAdded" -> added.size.toString,
@@ -1295,7 +1335,7 @@ class VersionedTable private (val spark: SparkSession,
     * @return number of rows deleted */
   def delete(condition: String, deletionVectors: Boolean = false): Long =
     withCommitRetry {
-      val (files, tableSchema, partCols) = snapshot(None)
+      val (pinnedV, files, tableSchema, partCols) = pinnedSnapshot()
       if (files.isEmpty) return 0L
       // stats/bloom skipping bounds the probe itself: a point delete on a
       // clustered or bloomed table reads candidate files, not the table
@@ -1345,7 +1385,7 @@ class VersionedTable private (val spark: SparkSession,
             dv = fe.dv ++ sidecars, dvRows = fe.dvRows + relCounts(fe.path)))
           // add-with-same-path REPLACES the entry on replay — the data
           // file stays live, only its DV reference set changes
-          try commit(LogEntry(currentVersion + 1, now(), "DELETE",
+          try commit(LogEntry(pinnedV + 1, now(), "DELETE",
             tableSchema.json, partCols, updated, Seq.empty, metrics))
           catch {
             case e: ConcurrentCommitException =>
@@ -1357,7 +1397,7 @@ class VersionedTable private (val spark: SparkSession,
           val keep = readFileEntries(touched, tableSchema)
             .filter(!coalesce(expr(condition), lit(false)))
           val added = writeFiles(keep, partCols)
-          commitOrClean(LogEntry(currentVersion + 1, now(), "DELETE",
+          commitOrClean(LogEntry(pinnedV + 1, now(), "DELETE",
             tableSchema.json, partCols, added, touched.map(_.path),
             metrics ++ Map(
               "numTargetFilesAdded" -> added.size.toString,
@@ -1382,7 +1422,7 @@ class VersionedTable private (val spark: SparkSession,
     * @return number of rows updated */
   def update(condition: String, set: Map[String, String]): Long =
     withCommitRetry {
-      val (files, tableSchema, partCols) = snapshot(None)
+      val (pinnedV, files, tableSchema, partCols) = pinnedSnapshot()
       if (files.isEmpty) return 0L
       val unknown = set.keySet.filterNot(tableSchema.fieldNames.contains)
       require(unknown.isEmpty, s"update sets unknown column(s): ${unknown.mkString(", ")}")
@@ -1407,7 +1447,7 @@ class VersionedTable private (val spark: SparkSession,
       }
       val rewritten = readFileEntries(touched, tableSchema).select(out: _*)
       val added = writeFiles(rewritten, partCols)
-      commitOrClean(LogEntry(currentVersion + 1, now(), "UPDATE",
+      commitOrClean(LogEntry(pinnedV + 1, now(), "UPDATE",
         tableSchema.json, partCols, added, touched.map(_.path),
         Map(
           "numUpdatedRows" -> updatedRows.toString,
@@ -1581,7 +1621,7 @@ class VersionedTable private (val spark: SparkSession,
                         matchedDelete: Option[Option[String]],
                         deleteFirst: Boolean,
                         schemaEvolution: Boolean): Unit = {
-    val (files, baseSchema, partCols) = snapshot(None)
+    val (pinnedV, files, baseSchema, partCols) = pinnedSnapshot()
     // Merge-time schema evolution (the reference's autoMerge case,
     // notes.md:102-105; Delta's spark.databricks.delta.schema.autoMerge):
     // columns ASSIGNED by an update/insert clause but absent from the
@@ -1697,7 +1737,7 @@ class VersionedTable private (val spark: SparkSession,
       // callers never need a post-merge table scan for accounting
       val inserted =
         if (added.forall(_.rows >= 0)) added.map(_.rows).sum else -1L
-      commitOrClean(LogEntry(currentVersion + 1, now(), "MERGE",
+      commitOrClean(LogEntry(pinnedV + 1, now(), "MERGE",
         tableSchema.json, partCols, added, Seq.empty,
         Map(
           "numTargetFilesAdded" -> added.size.toString,
@@ -1852,7 +1892,7 @@ class VersionedTable private (val spark: SparkSession,
         (cnt("u"), cnt("i"), deleted)
       } else (0L, 0L, 0L)
 
-    commitOrClean(LogEntry(currentVersion + 1, now(), "MERGE",
+    commitOrClean(LogEntry(pinnedV + 1, now(), "MERGE",
       tableSchema.json, partCols,
       added, touchedFiles.map(_.path),
       Map(

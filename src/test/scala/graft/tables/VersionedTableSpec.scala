@@ -515,6 +515,51 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(logged == 3, s"create + 2 merges, got $logged")
   }
 
+  test("merge commit is pinned to its snapshot: a commit landing mid-merge forces a retry, never a stale rewrite") {
+    // Deterministic interleaving (not a barrier race): the slow merge's
+    // SOURCE blocks inside its first materialization — which happens
+    // strictly AFTER mergeBody's snapshot — until the fast merge has
+    // fully committed. The slow body therefore straddles the fast commit,
+    // exactly the window where a commit version read at COMMIT time
+    // (instead of pinned at snapshot) would publish a rewrite of the
+    // stale base file as the next free version: both writers' rewrites
+    // of the SAME file land, and every row of it is duplicated. The pin
+    // turns that into a CAS loss + transparent retry on fresh state.
+    val path = tmpDir() + "/t12pin"
+    VersionedTable.create(spark,
+      Seq((1L, 0L), (2L, 0L)).toDF("k", "n").coalesce(1), path)
+    val unexpected = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val slowSrc = Seq((1L, 100L)).toDS()
+      .mapPartitions { it =>
+        VersionedTableSpec.pinEntered.countDown()
+        VersionedTableSpec.pinResume.await(60, java.util.concurrent.TimeUnit.SECONDS)
+        it
+      }.toDF("k", "delta")
+    val slow = new Thread(() => {
+      try VersionedTable.forPath(spark, path).alias("t")
+        .merge(slowSrc.alias("s"), "t.k = s.k")
+        .whenMatchedUpdate(set = Map("n" -> "t.n + s.delta"))
+        .execute()
+      catch { case e: Throwable => unexpected.add(e) }
+    })
+    slow.start()
+    // once the source is materializing, the slow merge's snapshot is taken
+    assert(VersionedTableSpec.pinEntered.await(60, java.util.concurrent.TimeUnit.SECONDS),
+      "slow merge never started materializing its source")
+    VersionedTable.forPath(spark, path).alias("t")
+      .merge(Seq((2L, 50L)).toDF("k", "delta").alias("s"), "t.k = s.k")
+      .whenMatchedUpdate(set = Map("n" -> "t.n + s.delta"))
+      .execute() // fast writer commits v1 while the slow body is in flight
+    VersionedTableSpec.pinResume.countDown()
+    slow.join(120000)
+    assert(unexpected.isEmpty, s"slow merge must retry and land: $unexpected")
+    val t = VersionedTable.forPath(spark, path)
+    assert(t.currentVersion == 2, "create + two serialized merges")
+    val rows = t.read.collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq.sorted
+    assert(rows == Seq(1L -> 100L, 2L -> 50L),
+      s"each key exactly once with both updates applied, got $rows")
+  }
+
   test("a torn newest commit: reads fall back, writes refuse, recovery unblocks") {
     val path = tmpDir() + "/t11torn"
     VersionedTable.create(spark, Seq((1L, "a")).toDF("k", "v"), path)
@@ -580,4 +625,12 @@ class VersionedTableSpec extends AnyFunSuite {
             org.apache.spark.sql.types.StringType))))
     assert(DataContract.check(empty, DataContract.HeaderContract).isEmpty)
   }
+}
+
+/** Latches for the pinned-merge interleaving test: held in a top-level
+  * object so the executor-side closure (same JVM under local[*]) and the
+  * driver coordinate without capturing test state. */
+object VersionedTableSpec {
+  val pinEntered = new java.util.concurrent.CountDownLatch(1)
+  val pinResume = new java.util.concurrent.CountDownLatch(1)
 }
