@@ -44,10 +44,38 @@ object ScaleBench {
 
     val baseDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "30000").toLong
     val baseVecs = sys.env.getOrElse("SPARK_GRAFT_SCALE_VECS", "20000").toLong
-    val baseEvents = sys.env.getOrElse("SPARK_GRAFT_SCALE_EVENTS", "100000").toLong
+    // 1M base × factor 10 = 10M events at top scale: the drain is then
+    // ROW-dominated (tens of seconds) rather than micro-batch-machinery
+    // dominated, so the ratio measures per-row cost, not fixed overhead
+    // (r8's 1M drains finished in ~6 s, mostly setup)
+    val baseEvents = sys.env.getOrElse("SPARK_GRAFT_SCALE_EVENTS", "1000000").toLong
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+    // comma list restricting which rows run (empty = all): the 100× run
+    // re-measures only the cheap flagships at 3M docs / 2M vectors —
+    // where shuffles actually spill — without paying the quadratic-ish
+    // small-corpus tools (exact n-gram Jaccard oracle etc.) at that size
+    val opFilter: String => Boolean = {
+      val s = sys.env.getOrElse("SPARK_GRAFT_SCALE_OPS", "").trim
+      if (s.isEmpty) _ => true
+      else s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+    }
     val root = Files.createTempDirectory("graft-scale").toString
+
+    // task-level input metrics (records/bytes actually READ by executors,
+    // post partition-pruning and row-group skipping) — the evidence the
+    // ann_fetch_lookup row's sublinearity claim rests on. The listener is
+    // async; readers drain the bus through the bridge before reading.
+    val inRecords = new java.util.concurrent.atomic.AtomicLong()
+    val inBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val im = te.taskMetrics.inputMetrics
+        inRecords.addAndGet(im.recordsRead)
+        inBytes.addAndGet(im.bytesRead): Unit
+      }
+    })
 
     // between reps: release registered caches, then force-drop ANY block
     // still held (iterative ops leave truncated-lineage localCheckpoint
@@ -75,6 +103,28 @@ object ScaleBench {
     // turning the measurement into a scan count).
     def log2ceil(scale: Int): Int =
       (math.log(scale) / math.log(2)).ceil.toInt
+    // id-lookup buckets ∝ corpus (rows per bucket constant) — the same
+    // "layout grows with the data, per-query work doesn't" rule the
+    // postings' bits follow
+    def lookupBuckets(scale: Int): Int = 32 * scale
+    // write the two ANN layouts for a scale once (setup, untimed) —
+    // shared by the query row and the fetch row, whichever runs first
+    def ensureAnnLayouts(scale: Int, embs: DataFrame): Unit = {
+      val pDir = s"$root/postings_$scale"
+      if (!new java.io.File(pDir).exists()) {
+        graft.ops.Similarity
+          .lshPostings(embs, "vec_id", "embedding",
+            tables = 8, bits = 8 + log2ceil(scale))
+          .repartitionByRange(cpus.toInt, col("bucket"))
+          .sortWithinPartitions("bucket")
+          .write.parquet(pDir)
+      }
+      val lDir = s"$root/lookup_$scale"
+      if (!new java.io.File(lDir).exists()) {
+        graft.ops.Similarity.writeVectorLookup(embs, "vec_id", lDir,
+          nBuckets = lookupBuckets(scale))
+      }
+    }
     val ops: Seq[(String, (DataFrame, DataFrame, Int) => () => DataFrame)] = Seq(
       "minhash_lsh_pairs" -> ((docs, _, _) => () =>
         graft.ops.TextDedup.minHashLshPairs(docs, "doc_id", "text")),
@@ -115,28 +165,26 @@ object ScaleBench {
       "ann_ingest_postings" -> ((_, embs, scale) => () =>
         graft.ops.Similarity.lshPostings(embs, "vec_id", "embedding",
           tables = 8, bits = 8 + log2ceil(scale))),
-      // query: top-k served from the PREBUILT postings layout (setup
-      // writes it range-partitioned + sorted by bucket, so the query's
-      // IN-list prunes parquet row groups via min/max stats — the local
-      // stand-in for the documented partitionBy("bucket") layout at
-      // 100 TB). The candidate fetch is bucket-pruned; the exact re-rank
-      // join re-scans the vectors frame, which is the measured linear
-      // term a 100 TB deployment would replace with an id-keyed lookup
-      // layout. Claim: ratio well under the corpus factor — the query
-      // must NOT pay corpus-linear postings cost.
+      // query: top-k served ENTIRELY from prebuilt write-once layouts —
+      // the postings (range-partitioned + sorted by bucket, so the
+      // query's bucket IN-list prunes row groups via min/max stats — the
+      // local stand-in for the documented partitionBy("bucket") layout
+      // at 100 TB) AND the id-keyed vector lookup (hash-bucketed by id,
+      // buckets ∝ corpus), through which the exact re-rank fetches ONLY
+      // the candidates' rows. This closes r8's one remaining linear
+      // term: the re-rank no longer scans the vectors frame end-to-end.
+      // Claim: ratio well under the corpus factor — a query must not pay
+      // ANY corpus-linear cost. The fetch half's read volume is measured
+      // separately (ann_fetch_lookup below).
       "ann_query_postings" -> ((_, embs, scale) => {
-        val bits = 8 + log2ceil(scale)
-        val pDir = s"$root/postings_$scale"
-        graft.ops.Similarity
-          .lshPostings(embs, "vec_id", "embedding", tables = 8, bits = bits)
-          .repartitionByRange(cpus.toInt, col("bucket"))
-          .sortWithinPartitions("bucket")
-          .write.mode("overwrite").parquet(pDir)
-        val postings = spark.read.parquet(pDir)
+        ensureAnnLayouts(scale, embs)
+        val postings = spark.read.parquet(s"$root/postings_$scale")
+        val lookup = spark.read.parquet(s"$root/lookup_$scale")
         () =>
-          graft.ops.Similarity.lshTopKFromPostings(postings, embs,
+          graft.ops.Similarity.lshTopKFromPostingsLookup(postings, lookup,
             "vec_id", "embedding", queryId = 5L, k = 10,
-            tables = 8, bits = bits)
+            nBuckets = lookupBuckets(scale),
+            tables = 8, bits = 8 + log2ceil(scale))
       }),
       // ingest: the write-once PQ codes column (FAISS IVFADC's storage
       // half) — codebook trained once in setup on a fixed-size sample
@@ -174,6 +222,8 @@ object ScaleBench {
     // op -> scale -> median seconds
     val med = scala.collection.mutable.LinkedHashMap[(String, Int), Double]()
     val counts = scala.collection.mutable.LinkedHashMap[(String, Int), Long]()
+    // scale -> bytesRead of the last ann_fetch_lookup rep (claim evidence)
+    val fetchBytes = scala.collection.mutable.LinkedHashMap[Int, Long]()
 
     // shared protocol: `setup` runs once untimed (builds the thunk —
     // e.g. writes the ANN postings layout), then one untimed warmup
@@ -219,10 +269,37 @@ object ScaleBench {
         .write.parquet(eDir)
       val docs = spark.read.parquet(dDir)
       val embs = spark.read.parquet(eDir)
-      ops.foreach { case (name, fn) =>
+      ops.filter(o => opFilter(o._1)).foreach { case (name, fn) =>
         measure(name, scale, nd, nv) {
           val thunk = fn(docs, embs, scale) // setup: untimed, once per size
           () => thunk().queryExecution.toRdd.count()
+        }
+      }
+
+      // the candidate-fetch half of the lookup-served ANN query, measured
+      // on its own with a FIXED-width id list (64 ids at every scale —
+      // a bounded probe's shape doesn't grow with the corpus): rows_out
+      // records the executors' ACTUAL recordsRead for the fetch (drained
+      // task InputMetrics, post partition-pruning + row-group skipping),
+      // and the summary asserts that read volume stays ~FLAT across
+      // scales — the direct measurement that the re-rank's data access
+      // is corpus-independent, not merely that its wall time hides
+      // inside job-launch overhead.
+      if (opFilter("ann_fetch_lookup")) {
+        measure("ann_fetch_lookup", scale, nd, nv) {
+          ensureAnnLayouts(scale, embs)
+          val lookup = spark.read.parquet(s"$root/lookup_$scale")
+          val stride = math.max(1L, nv / 64)
+          val ids = (0 until 64).map(_ * stride)
+          () => {
+            inRecords.set(0); inBytes.set(0)
+            graft.ops.Similarity
+              .fetchVectorsById(lookup, "vec_id", ids, lookupBuckets(scale))
+              .queryExecution.toRdd.count(): Unit
+            org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
+            fetchBytes(scale) = inBytes.get()
+            inRecords.get() // → rows_out: records actually read
+          }
         }
       }
 
@@ -238,6 +315,8 @@ object ScaleBench {
       // not the operator.
       val nEvents = baseEvents * scale
       val vDir = s"$root/events_$scale"
+      val streamActive = streamOps.filter(o => opFilter(o._1))
+      if (streamActive.nonEmpty) {
       CorpusDataGen.events(spark, nEvents, partitions = cpus.toInt)
         .repartitionByRange(32, col("event_id"))
         .sortWithinPartitions("event_id")
@@ -248,7 +327,7 @@ object ScaleBench {
         .zipWithIndex
         .foreach { case (f, i) => f.setLastModified(evBase + i * 1000L) }
       val evSchema = spark.read.parquet(vDir).schema
-      streamOps.foreach { case (name, fn) =>
+      streamActive.foreach { case (name, fn) =>
         measure(name, scale, nd, nv, extra = s""""events":$nEvents,""") {
           () => {
             // fresh checkpoint per drain, under root: never deleted
@@ -271,6 +350,7 @@ object ScaleBench {
           }
         }
       }
+      }
     }
 
     // per-op pass bar: corpus-linear rows allow factor × 1.5 (shuffle
@@ -280,15 +360,43 @@ object ScaleBench {
     // ann_query must stay far under the factor (flat query cost), the
     // streaming drains at most the factor (constant per-row cost)
     def bar(name: String): Double = name match {
-      case "ann_query_postings" => math.max(2.0, factor * 0.3)
+      case "ann_query_postings" | "ann_fetch_lookup" => math.max(2.0, factor * 0.3)
       case n if n.startsWith("stream_") => factor.toDouble
       case _ => factor * 1.5
     }
-    val ratios = (ops.map(_._1) ++ streamOps.map(_._1)).flatMap { name =>
+    val ratios = (ops.map(_._1) :+ "ann_fetch_lookup")
+      .concat(streamOps.map(_._1)).flatMap { name =>
       for (t1 <- med.get((name, 1)); tN <- med.get((name, factor)))
-        yield s""""$name":{"t1":${r3(t1)},"t$factor":${r3(tN)},""" +
-          s""""ratio":${r3(tN / math.max(t1, 1e-9))},"bar":${r3(bar(name))},""" +
-          s""""linear_ok":${tN / math.max(t1, 1e-9) < bar(name)}}"""
+        yield {
+          // the fetch row's claim is about DATA ACCESS, not just wall
+          // time: rows_out carries the executors' recordsRead, and the
+          // pass requires that read volume (plus bytesRead) stays ~flat
+          // across corpus scales — sublinear fetch made falsifiable
+          val evidence = if (name.startsWith("stream_")) {
+            // throughput the constant-per-row claim predicts stays flat:
+            // with a row-dominated drain, rows/s at 10× ≈ rows/s at 1×
+            s""""rows_per_s_t1":${r3(baseEvents / math.max(t1, 1e-9))},""" +
+              s""""rows_per_s_t$factor":${
+                r3(baseEvents * factor / math.max(tN, 1e-9))},"""
+          } else if (name == "ann_fetch_lookup") {
+            val r1 = counts.getOrElse((name, 1), 0L)
+            val rN = counts.getOrElse((name, factor), 0L)
+            val rowsRatio = rN.toDouble / math.max(r1.toDouble, 1.0)
+            s""""rows_read_t1":$r1,"rows_read_t$factor":$rN,""" +
+              s""""rows_ratio":${r3(rowsRatio)},""" +
+              s""""bytes_read_t1":${fetchBytes.getOrElse(1, -1L)},""" +
+              s""""bytes_read_t$factor":${fetchBytes.getOrElse(factor, -1L)},""" +
+              s""""rows_ok":${rowsRatio < 2.0},"""
+          } else ""
+          val timeOk = tN / math.max(t1, 1e-9) < bar(name)
+          val ok = if (name == "ann_fetch_lookup")
+            timeOk && counts.getOrElse((name, factor), Long.MaxValue).toDouble /
+              math.max(counts.getOrElse((name, 1), 0L).toDouble, 1.0) < 2.0
+          else timeOk
+          s""""$name":{"t1":${r3(t1)},"t$factor":${r3(tN)},""" +
+            s""""ratio":${r3(tN / math.max(t1, 1e-9))},"bar":${r3(bar(name))},""" +
+            evidence + s""""linear_ok":$ok}"""
+        }
     }
     val errJson = errors
       .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")

@@ -19,4 +19,12 @@ object GraftSparkBridge {
       extends (() => Configuration) with Serializable {
     override def apply(): Configuration = sc.value
   }
+
+  /** Block until the listener bus has delivered every queued event —
+    * needed by measurement code that reads task InputMetrics accumulated
+    * through a SparkListener right after an action returns (the bus is
+    * async; without the drain the last tasks' metrics race the read).
+    * `SparkContext.listenerBus` is `private[spark]`, hence the bridge. */
+  def drainListenerBus(sc: SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }
