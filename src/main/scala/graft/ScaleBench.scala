@@ -277,20 +277,27 @@ object ScaleBench {
       }
 
       // the candidate-fetch half of the lookup-served ANN query, measured
-      // on its own with a FIXED-width id list (64 ids at every scale —
+      // on its own with a FIXED-width id list (16 ids at every scale —
       // a bounded probe's shape doesn't grow with the corpus): rows_out
       // records the executors' ACTUAL recordsRead for the fetch (drained
       // task InputMetrics, post partition-pruning + row-group skipping),
       // and the summary asserts that read volume stays ~FLAT across
       // scales — the direct measurement that the re-rank's data access
       // is corpus-independent, not merely that its wall time hides
-      // inside job-launch overhead.
+      // inside job-launch overhead. The local pruning unit is a bucket
+      // FILE (hash-bucketed ids span the full range, so one small file =
+      // one row group with full-range stats), making read volume
+      // ≤ |distinct probe buckets| × rows-per-bucket — rows-per-bucket
+      // constant by the buckets-∝-corpus rule. The probe width must stay
+      // BELOW the smallest scale's bucket count (32 here), or baseline
+      // bucket saturation (64 ids over 32 buckets all hit) deflates t1
+      // and fakes growth that is really a plateau at |probe| buckets.
       if (opFilter("ann_fetch_lookup")) {
         measure("ann_fetch_lookup", scale, nd, nv) {
           ensureAnnLayouts(scale, embs)
           val lookup = spark.read.parquet(s"$root/lookup_$scale")
-          val stride = math.max(1L, nv / 64)
-          val ids = (0 until 64).map(_ * stride)
+          val stride = math.max(1L, nv / 16)
+          val ids = (0 until 16).map(_ * stride)
           () => {
             inRecords.set(0); inBytes.set(0)
             graft.ops.Similarity
