@@ -624,25 +624,29 @@ class VersionedTable private (val spark: SparkSession,
     * writer application (Delta's SetTransaction shape, used by the
     * streaming sink for exactly-once): the commit records the pair, and
     * an append whose batchId is ≤ the last recorded one for the same
-    * appId is silently skipped. The commit version is PINNED to the
-    * version the watermark was checked at: a concurrent commit — in
-    * particular a zombie writer replaying the same batch — makes the
-    * pinned CAS lose rather than sliding to the next free version, and
-    * the retry loop re-checks the watermark before re-writing. (Without
-    * the pin, two replays of one batch could both observe no watermark
-    * and land in two different version slots — double-commit.) */
+    * appId is silently skipped.
+    *
+    * Concurrency (Delta's blind-append protocol): the commit is PINNED
+    * to the version the snapshot/watermark was read at, so a concurrent
+    * commit always surfaces as a CAS loss — then, because an append
+    * only ADDS files, the loss is resolved by a LOGICAL conflict check
+    * over the intervening commits instead of a full re-run: if none of
+    * them changed the table schema or partitioning (and, for txn
+    * appends, none landed this very (appId, batchId) — a zombie replay,
+    * which makes this append a silent skip), the already-written data
+    * files are re-committed at the next version, metadata-only. Only a
+    * genuine logical conflict (concurrent schema evolution) pays the
+    * data rewrite, via the outer retry loop re-running the body against
+    * the new schema. */
   def append(df: DataFrame, mergeSchema: Boolean = false,
              txn: Option[(String, Long)] = None): Unit = withCommitRetry {
-    // TXN appends pin their commit version to the log listing read
-    // BEFORE the watermark check (a torn newest file still claims its
-    // slot — committing past it must keep refusing with the recovery
-    // guidance); the data snapshot stays the tolerant default, and any
-    // commit landing between the two loses us the pinned CAS below,
-    // which re-runs this whole body. Plain appends deliberately do NOT
-    // pin: they have no replay to defend against, and pinning would
-    // turn the whole writeFiles duration into a collision window where
-    // any concurrent commit forces a full data rewrite.
-    val v0 = if (txn.isDefined) currentVersion else -1L
+    // The pin reads the log listing BEFORE the watermark check (a torn
+    // newest file still claims its slot — committing past it must keep
+    // refusing with the recovery guidance); the data snapshot stays the
+    // tolerant default. Any commit landing after this read loses the
+    // pinned CAS; slideAppendCommit then re-checks the watermark and
+    // the schema against the actual intervening commits.
+    val v0 = currentVersion
     val alreadyCommitted = txn.exists { case (app, b) =>
       lastTxnBatchId(app).exists(_ >= b)
     }
@@ -663,14 +667,68 @@ class VersionedTable private (val spark: SparkSession,
         else lit(null).cast(newSchema(n).dataType).as(n)
       }: _*)
       val added = writeFiles(aligned, partCols)
-      commitOrClean(LogEntry((if (txn.isDefined) v0 else currentVersion) + 1,
-        now(), "WRITE",
+      slideAppendCommit(LogEntry(v0 + 1, now(), "WRITE",
         newSchema.json, partCols, added, Seq.empty,
         Map("numFiles" -> added.size.toString, "mode" -> "Append",
           "mergeSchema" -> mergeSchema.toString) ++
           txn.map { case (app, b) =>
             Map("txnAppId" -> app, "txnBatchId" -> b.toString)
-          }.getOrElse(Map.empty)), added)
+          }.getOrElse(Map.empty)), added, baseSchemaJson = cur.json, txn)
+    }
+  }
+
+  /** Commit an append entry, resolving CAS losses with Delta's
+    * blind-append logic: an append removes nothing, so a concurrent
+    * commit only LOGICALLY conflicts when it changed the schema (to
+    * something other than this append's base or target schema) or the
+    * partition columns — anything else (another append, a merge, DML,
+    * OPTIMIZE) commutes, and the entry is simply re-attempted at the
+    * next version with the SAME data files: no rewrite, no re-read.
+    * Txn appends re-check the watermark on every slide — if the
+    * intervening commit landed this (appId, batchId) (a zombie replay
+    * racing this writer), the append becomes a silent skip and this
+    * attempt's files are deleted: exactly-once holds because the CAS
+    * serializes the zombies and every loser re-reads the log before
+    * deciding. A genuine conflict (or slide-budget exhaustion under
+    * pathological contention) deletes this attempt's files and rethrows
+    * for [[withCommitRetry]]'s full-body re-run. */
+  private def slideAppendCommit(entry: LogEntry, wrote: Seq[FileEntry],
+                                baseSchemaJson: String,
+                                txn: Option[(String, Long)]): Unit = {
+    val f = fs
+    def cleanup(): Unit = wrote.foreach { fe =>
+      try f.delete(new Path(dataDir, fe.path), false)
+      catch { case scala.util.control.NonFatal(_) => }
+    }
+    var e = entry
+    var slides = 0
+    val maxSlides = 20
+    while (true) {
+      try { commit(e); return }
+      catch {
+        case ex: ConcurrentCommitException =>
+          slides += 1
+          if (slides > maxSlides) { cleanup(); throw ex }
+          if (txn.exists { case (app, b) =>
+            lastTxnBatchId(app).exists(_ >= b) }) {
+            // a racing zombie landed this very batch first: this append
+            // is a replay — drop its files, commit nothing
+            cleanup(); return
+          }
+          val (commits, _) = listLog()
+          val intervening = commits.filter(_._1 >= e.version).map { case (_, p) =>
+            try Some(parseEntry(readFully(f, p)))
+            catch { case scala.util.control.NonFatal(_) => None }
+          }
+          val conflicting = intervening.exists {
+            case None => true // unparsable newest: let commit() diagnose
+            case Some(le) =>
+              (le.schemaJson != baseSchemaJson && le.schemaJson != e.schemaJson) ||
+                le.partitionColumns != e.partitionColumns
+          }
+          if (conflicting) { cleanup(); throw ex }
+          e = e.copy(version = commits.last._1 + 1)
+      }
     }
   }
 

@@ -560,6 +560,78 @@ class VersionedTableSpec extends AnyFunSuite {
       s"each key exactly once with both updates applied, got $rows")
   }
 
+  test("blind-append CAS loss slides metadata-only: data written once, no rewrite") {
+    // Delta's blind-append protocol: an append removes nothing, so a
+    // commit landing mid-append is NOT a logical conflict — the already-
+    // written files must be re-committed at the next version without
+    // re-materializing the source. The counter proves it: one
+    // materialization, not the full-body re-run the merge path pays.
+    val path = tmpDir() + "/t13slide"
+    VersionedTable.create(spark, Seq((1L, "a")).toDF("k", "v"), path)
+    val unexpected = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val slowDf = Seq((2L, "slow")).toDS()
+      .mapPartitions { it =>
+        VersionedTableSpec.slideCount.incrementAndGet()
+        VersionedTableSpec.slideEntered.countDown()
+        VersionedTableSpec.slideResume.await(60, java.util.concurrent.TimeUnit.SECONDS)
+        it
+      }.toDF("k", "v")
+    val slow = new Thread(() => {
+      try VersionedTable.forPath(spark, path).append(slowDf)
+      catch { case e: Throwable => unexpected.add(e) }
+    })
+    slow.start()
+    assert(VersionedTableSpec.slideEntered.await(60, java.util.concurrent.TimeUnit.SECONDS))
+    VersionedTable.forPath(spark, path).append(Seq((3L, "fast")).toDF("k", "v"))
+    VersionedTableSpec.slideResume.countDown()
+    slow.join(120000)
+    assert(unexpected.isEmpty, s"slow append must slide and land: $unexpected")
+    assert(VersionedTableSpec.slideCount.get() == 1,
+      "a non-conflicting CAS loss must NOT re-materialize the append source")
+    val t = VersionedTable.forPath(spark, path)
+    assert(t.currentVersion == 2)
+    assert(t.read.select("k").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("append racing a schema evolution pays the full retry and lands on the widened schema") {
+    // the ONE intervening commit shape that genuinely conflicts with an
+    // append: concurrent schema change. The slide must refuse (a
+    // metadata-only re-commit would publish the STALE schema as newest,
+    // rolling the evolution back for every reader) and the full-body
+    // retry re-aligns against the widened schema instead.
+    val path = tmpDir() + "/t14evo"
+    VersionedTable.create(spark, Seq((1L, "a", 0L)).toDF("k", "v", "w")
+      .select(col("k"), col("v")), path)
+    val unexpected = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val slowDf = Seq((2L, "slow")).toDS()
+      .mapPartitions { it =>
+        VersionedTableSpec.evoCount.incrementAndGet()
+        VersionedTableSpec.evoEntered.countDown()
+        VersionedTableSpec.evoResume.await(60, java.util.concurrent.TimeUnit.SECONDS)
+        it
+      }.toDF("k", "v")
+    val slow = new Thread(() => {
+      try VersionedTable.forPath(spark, path).append(slowDf, mergeSchema = true)
+      catch { case e: Throwable => unexpected.add(e) }
+    })
+    slow.start()
+    assert(VersionedTableSpec.evoEntered.await(60, java.util.concurrent.TimeUnit.SECONDS))
+    VersionedTable.forPath(spark, path) // fast writer EVOLVES the schema
+      .append(Seq((3L, "fast", 7L)).toDF("k", "v", "w"), mergeSchema = true)
+    VersionedTableSpec.evoResume.countDown()
+    slow.join(120000)
+    assert(unexpected.isEmpty, s"slow append must retry and land: $unexpected")
+    assert(VersionedTableSpec.evoCount.get() == 2,
+      "a schema-conflicting CAS loss must re-run the body (re-align to the new schema)")
+    val t = VersionedTable.forPath(spark, path)
+    assert(t.schema.fieldNames.toSeq == Seq("k", "v", "w"),
+      "the concurrent evolution must survive the append")
+    val rows = t.read.orderBy("k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(rows == Seq((1L, -1L), (2L, -1L), (3L, 7L)),
+      s"slow row reads NULL for the evolved column, got $rows")
+  }
+
   test("a torn newest commit: reads fall back, writes refuse, recovery unblocks") {
     val path = tmpDir() + "/t11torn"
     VersionedTable.create(spark, Seq((1L, "a")).toDF("k", "v"), path)
@@ -633,4 +705,10 @@ class VersionedTableSpec extends AnyFunSuite {
 object VersionedTableSpec {
   val pinEntered = new java.util.concurrent.CountDownLatch(1)
   val pinResume = new java.util.concurrent.CountDownLatch(1)
+  val slideEntered = new java.util.concurrent.CountDownLatch(1)
+  val slideResume = new java.util.concurrent.CountDownLatch(1)
+  val slideCount = new java.util.concurrent.atomic.AtomicInteger
+  val evoEntered = new java.util.concurrent.CountDownLatch(1)
+  val evoResume = new java.util.concurrent.CountDownLatch(1)
+  val evoCount = new java.util.concurrent.atomic.AtomicInteger
 }
