@@ -33,6 +33,15 @@ object SparkEntry {
       (header.mkString("|") +: rows.map(_.mkString("|"))).mkString("\n"))
   }
 
+  /** Register `dir` for deletion at the next [[graft.ops.Caches.releaseAll]]
+    * — the bench/verify mains call it after consuming each query's result,
+    * so fixture tables never accumulate across a 94-query run (leaked
+    * multi-MB temp tables are exactly the dirty-page writeback that lands
+    * inside later queries' timed reps). Registered at creation: a query
+    * failing mid-build still gets its dir reclaimed. */
+  private def cleanupOnRelease(dir: String): Unit =
+    graft.ops.Caches.registeredRelease { () => deleteRec(new java.io.File(dir)) }
+
   private val ItemsCsvHeader = Seq("contratto_cod", "numero_annuncio",
     "list_total", "contracted_price", "total_discount", "data_attivazione",
     "data_fine_prestazione", "product_code", "quantity",
@@ -308,7 +317,9 @@ object SparkEntry {
     // snapshot isolation survives a subsequent merge.
     "q12_time_travel" -> ((s, dir) => {
       GraftSession.tune(s)
-      val path = Files.createTempDirectory("graft-q12").toString + "/t"
+      val root = Files.createTempDirectory("graft-q12").toString
+      cleanupOnRelease(root)
+      val path = s"$root/t"
       val base = tbl(s, dir, "events")
         .filter(col("user_id") < 30)
         .groupBy("user_id")
@@ -481,6 +492,7 @@ object SparkEntry {
     "q24_items_scd2" -> ((s, dir) => {
       GraftSession.tune(s)
       val root = Files.createTempDirectory("graft-q24").toString
+      cleanupOnRelease(root)
       def item(cod: String, ann: String, price: String, discount: String,
                fine: String): Seq[String] =
         Seq(cod, ann, "1000.00", price, discount, "2023-01-01", fine,
@@ -520,6 +532,7 @@ object SparkEntry {
     "q25_header_scd2" -> ((s, dir) => {
       GraftSession.tune(s)
       val root = Files.createTempDirectory("graft-q25").toString
+      cleanupOnRelease(root)
       def hrow(cod: String, status: String, et: String): Seq[String] =
         Seq(cod, "3000000001", "365", "OPEC0001", "2023-01-01", "1500.00",
           "", "", "10001", status, "2023-01-01", et)
@@ -675,6 +688,7 @@ object SparkEntry {
     "q32_streaming_scd2" -> ((s, dir) => {
       GraftSession.tune(s)
       val root = Files.createTempDirectory("graft-q32").toString
+      cleanupOnRelease(root)
       val in = s"$root/in"
       def hrow(cod: String, status: String, et: String): Seq[String] =
         Seq(cod, "3000000001", "365", "OPEC0001", "2023-01-01", "1500.00",
@@ -753,7 +767,9 @@ object SparkEntry {
     // schema_evolution_step1 experiment as a checkable query).
     "q36_schema_evolution" -> ((s, dir) => {
       GraftSession.tune(s)
-      val path = Files.createTempDirectory("graft-q36").toString + "/t"
+      val rootQ36 = Files.createTempDirectory("graft-q36").toString
+      cleanupOnRelease(rootQ36)
+      val path = s"$rootQ36/t"
       val ev = tbl(s, dir, "events")
       val base = ev.filter(col("user_id") < 10)
         .groupBy("user_id").agg(count(lit(1)).as("n"))
@@ -772,7 +788,9 @@ object SparkEntry {
     // new" without rescanning the table.
     "q37_read_changes" -> ((s, dir) => {
       GraftSession.tune(s)
-      val path = Files.createTempDirectory("graft-q37").toString + "/t"
+      val rootQ37 = Files.createTempDirectory("graft-q37").toString
+      cleanupOnRelease(rootQ37)
+      val path = s"$rootQ37/t"
       val ev = tbl(s, dir, "events")
       def agg(lo: Int, hi: Int) = ev
         .filter(col("user_id") >= lo && col("user_id") < hi)
@@ -793,7 +811,9 @@ object SparkEntry {
     // trip is lossless (the oracle computes from the original table).
     "q38_jsonl_roundtrip" -> ((s, dir) => {
       GraftSession.tune(s)
-      val out = Files.createTempDirectory("graft-q38").toString + "/docs"
+      val rootQ38 = Files.createTempDirectory("graft-q38").toString
+      cleanupOnRelease(rootQ38)
+      val out = s"$rootQ38/docs"
       tbl(s, dir, "documents")
         .select("doc_id", "text", "n_chars")
         .write.mode("overwrite").json(out)
@@ -808,7 +828,9 @@ object SparkEntry {
     // ships; same lossless-round-trip proof over an aggregation.
     "q39_orc_roundtrip" -> ((s, dir) => {
       GraftSession.tune(s)
-      val out = Files.createTempDirectory("graft-q39").toString + "/ev"
+      val rootQ39 = Files.createTempDirectory("graft-q39").toString
+      cleanupOnRelease(rootQ39)
+      val out = s"$rootQ39/ev"
       tbl(s, dir, "events")
         .select("event_id", "user_id", "event_type", "value")
         .write.mode("overwrite").orc(out)
@@ -1093,6 +1115,7 @@ object SparkEntry {
     "q52_late_split" -> ((s, dir) => {
       GraftSession.tune(s)
       val root = Files.createTempDirectory("graft-q52").toString
+      cleanupOnRelease(root)
       def hrow(cod: String, status: String, et: String): Seq[String] =
         Seq(cod, "3000000001", "365", "OPEC0001", "2023-01-01", "1500.00",
           "", "", "10001", status, "2023-01-01", et)
@@ -1136,6 +1159,7 @@ object SparkEntry {
       GraftSession.tune(s)
       import s.implicits._
       val root = Files.createTempDirectory("graft-q53").toString
+      cleanupOnRelease(root)
       def hrow(cod: String, status: String, et: String): Seq[String] =
         Seq(cod, "3000000001", "365", "OPEC0001", "2023-01-01", "1500.00",
           "", "", "10001", status, "2023-01-01", et)
@@ -1322,6 +1346,7 @@ object SparkEntry {
     "q58_incremental_dedup" -> ((s, dir) => {
       GraftSession.tune(s)
       val root = Files.createTempDirectory("graft-q58").toString
+      cleanupOnRelease(root)
       val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
       val drop1 = docs.filter(col("doc_id") < 300)
       val drop2 = docs.filter(col("doc_id") >= 150 && col("doc_id") < 450)
