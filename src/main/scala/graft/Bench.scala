@@ -57,6 +57,10 @@ object Bench {
 
     // iteration aid: SPARK_GRAFT_SKIP_QUERIES=1 times only the ETL scenarios
     val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
+    // iteration aid: SPARK_GRAFT_ONLY_QUERIES=q32_streaming_scd2,q25_header_scd2
+    // times just those queries (empty/unset = all)
+    val onlyQueries: Set[String] = sys.env.getOrElse("SPARK_GRAFT_ONLY_QUERIES", "")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSet
 
     // ---- header-ETL volume scaling (BASELINE.md rows 1-4) --------------
     // batch2 (50% new keys) against an n-row table is the measured batch.
@@ -263,6 +267,7 @@ object Bench {
     }
     val results: Seq[(String, Seq[Double])] =
       (if (skipQueries) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
+       else if (onlyQueries.nonEmpty) SparkEntry.queries.view.filterKeys(onlyQueries).toMap
        else SparkEntry.queries).toSeq.sortBy(_._1).map { case (name, fn) =>
         var failed = false
         var heavy = false
