@@ -467,3 +467,71 @@ object MinHashSig {
     new GenericArrayData(mins)
   }
 }
+
+/** LSH band hashes of a minhash signature: the signature is cut into
+  * `numElements/bandRows` consecutive bands and each band's rows are
+  * mixed (with the band index) into one 32-bit bucket key.
+  *
+  * Exists as a native expression because the SQL formulation —
+  * `transform(sequence(0, b-1), b -> hash(b, slice(sig, ...)))` — is a
+  * higher-order function: Catalyst inlines the full signature expression
+  * into the lambda body (CollapseProject) and evaluates it INTERPRETED
+  * once PER BAND, recomputing the shingle + minhash pipeline 64× per row
+  * (thread-dump verified; the 30× ScaleBench run spent its whole budget
+  * there). A UnaryExpression evaluates its child exactly once and keeps
+  * the projection inside whole-stage codegen.
+  *
+  * The mix is a xor/multiply avalanche (splitmix64 finalizer) seeded
+  * with the band index, so distinct bands collide only at 32-bit-random
+  * rates. Band key VALUES differ from the old `hash(b, slice(...))`
+  * formulation — candidate sets shift at random-collision rate only;
+  * the operator's exact-Jaccard verification makes the output
+  * value-identical. */
+case class BandHashes(child: Expression, bandRows: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_band_hashes requires array<bigint>, got ${other.sql}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "graft_band_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    BandHashes.compute(input.asInstanceOf[ArrayData], bandRows)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.BandHashes.compute($c, $bandRows);")
+
+  override protected def withNewChildInternal(newChild: Expression): BandHashes =
+    copy(child = newChild)
+}
+
+object BandHashes {
+  private def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Static so generated code can call it. */
+  def compute(sig: ArrayData, bandRows: Int): ArrayData = {
+    val numBands = sig.numElements() / bandRows
+    val out = new Array[Int](numBands)
+    var b = 0
+    while (b < numBands) {
+      var h = mix64(0x9e3779b97f4a7c15L + b)
+      var r = 0
+      while (r < bandRows) {
+        h = mix64(h ^ sig.getLong(b * bandRows + r))
+        r += 1
+      }
+      out(b) = (h ^ (h >>> 32)).toInt
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}

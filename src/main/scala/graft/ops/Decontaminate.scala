@@ -19,11 +19,14 @@ import org.apache.spark.sql.functions._
 object Decontaminate {
 
   private def gramHashes(textCol: String, n: Int): String = {
-    val t = s"split(lower(trim($textCol)), '\\\\s+')"
-    s"""CASE WHEN size($t) < $n THEN array()
-       |ELSE array_distinct(transform(sequence(1, size($t) - ${n - 1}),
-       |  __i -> xxhash64(array_join(slice($t, __i, $n), ' '))))
-       |END""".stripMargin
+    // tokens BOUND once as a lambda var: a textual split(...) inside the
+    // transform lambda is re-evaluated interpreted once per gram —
+    // O(words²) characters split per document
+    s"""element_at(transform(array(split(lower(trim($textCol)), '\\\\s+')), __t ->
+       |CASE WHEN size(__t) < $n THEN array()
+       |ELSE array_distinct(transform(sequence(1, size(__t) - ${n - 1}),
+       |  __i -> xxhash64(array_join(slice(__t, __i, $n), ' '))))
+       |END), 1)""".stripMargin
   }
 
   /** (idCol, n_shared) per contaminated corpus document: how many of its

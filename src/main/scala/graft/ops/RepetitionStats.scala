@@ -22,16 +22,18 @@ object RepetitionStats {
   private def toks(textCol: String): String =
     s"split(lower(trim($textCol)), '\\\\s+')"
 
-  /** Word n-grams as strings, empty array when the text is shorter than
-    * n: each gram is a slice of the token array joined back — whole-stage
-    * codegen CSEs the repeated split. */
-  private def grams(textCol: String, n: Int): String = {
-    val t = toks(textCol)
-    s"""CASE WHEN size($t) < $n THEN array()
-       |ELSE transform(sequence(1, size($t) - ${n - 1}),
-       |  __i -> array_join(slice($t, __i, $n), ' '))
+  /** Word n-grams as strings over an already-BOUND token-array lambda
+    * variable `tVar`, empty array when the text is shorter than n. The
+    * caller must bind the split(...) via the element_at/transform idiom:
+    * referencing the split expression textually here would re-evaluate
+    * it interpreted once per gram (lambda bodies never reach codegen or
+    * CSE — the CollapseProject-inlining trap, thread-dump verified on
+    * the minhash band path). */
+  private def gramsOf(tVar: String, n: Int): String =
+    s"""CASE WHEN size($tVar) < $n THEN array()
+       |ELSE transform(sequence(1, size($tVar) - ${n - 1}),
+       |  __i -> array_join(slice($tVar, __i, $n), ' '))
        |END""".stripMargin
-  }
 
   /** Fraction of word occurrences that repeat an earlier word:
     * 1 − distinct/total. 0 for fully-distinct prose, → 1 for loops. */
@@ -53,19 +55,19 @@ object RepetitionStats {
     * reproduce it exactly. */
   def topNgramFraction(textCol: String, n: Int): Column = {
     require(n >= 2, "topNgramFraction needs n >= 2")
-    val g = grams(textCol, n)
-    val t = toks(textCol)
-    // Each intermediate (gram array, distinct grams, per-gram counts, the
-    // top gram) is BOUND once per row via the single-element
-    // `element_at(transform(array(x), __v -> body), 1)` idiom before the
-    // next stage uses it — inlining them textually would re-run the O(d²)
-    // count scan inside the per-position lambda and turn a bounded
-    // per-document cost into O(d⁴) (measured: q54 went from sub-second to
-    // unrunnable). With the bindings the whole measure stays O(d²) in the
-    // per-document gram count, computed once per stage.
+    // Each intermediate (token array, gram array, distinct grams,
+    // per-gram counts, the top gram) is BOUND once per row via the
+    // single-element `element_at(transform(array(x), __v -> body), 1)`
+    // idiom before the next stage uses it — inlining them textually
+    // would re-run the O(d²) count scan inside the per-position lambda
+    // and turn a bounded per-document cost into O(d⁴) (measured: q54
+    // went from sub-second to unrunnable). With the bindings the whole
+    // measure stays O(d²) in the per-document gram count, computed once
+    // per stage.
     expr(
-      s"""round(CASE WHEN size($g) = 0 THEN 0.0 ELSE
-         |element_at(transform(array($g), __g ->
+      s"""element_at(transform(array(${toks(textCol)}), __t ->
+         |element_at(transform(array(${gramsOf("__t", n)}), __g ->
+         |round(CASE WHEN size(__g) = 0 THEN 0.0 ELSE
          |  element_at(transform(array(array_distinct(__g)), __dg ->
          |    element_at(transform(array(
          |        transform(__dg, __d -> size(filter(__g, __x -> __x = __d)))
@@ -79,23 +81,30 @@ object RepetitionStats {
          |        cast(size(array_distinct(flatten(transform(
          |          filter(sequence(1, size(__g)), __i -> element_at(__g, __i) = __top),
          |          __s -> sequence(__s, __s + ${n - 1}))))) AS double)
-         |        / size($t)
+         |        / size(__t)
          |      ), 1)
          |    ), 1)
          |  ), 1)
+         |END, 4)
          |), 1)
-         |END, 4)""".stripMargin)
+         |), 1)""".stripMargin)
   }
 
   /** Fraction of n-gram occurrences that are duplicates of another
     * occurrence (Gopher's "duplicate n-gram fraction"). */
   def duplicateNgramFraction(textCol: String, n: Int): Column = {
     require(n >= 2, "duplicateNgramFraction needs n >= 2")
-    val g = grams(textCol, n)
+    // tokens and grams each bound once; the old textually-inlined $g
+    // inside the outer filter's lambda rebuilt the gram array (and
+    // re-split the text) once per gram — O(d³) per document
     expr(
-      s"""round(CASE WHEN size($g) = 0 THEN 0.0 ELSE
-         |cast(size(filter($g, __x -> size(filter($g, __y -> __y = __x)) > 1)) AS double)
-         |/ size($g) END, 4)""".stripMargin)
+      s"""element_at(transform(array(${toks(textCol)}), __t ->
+         |element_at(transform(array(${gramsOf("__t", n)}), __g ->
+         |round(CASE WHEN size(__g) = 0 THEN 0.0 ELSE
+         |cast(size(filter(__g, __x -> size(filter(__g, __y -> __y = __x)) > 1)) AS double)
+         |/ size(__g) END, 4)
+         |), 1)
+         |), 1)""".stripMargin)
   }
 
   /** Attach the standard Gopher repetition columns. */

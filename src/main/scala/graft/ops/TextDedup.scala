@@ -24,10 +24,14 @@ object TextDedup {
     * sequence(0, negative) would produce a DESCENDING sequence and a
     * slice(…, 0, …) runtime error. */
   def shingles(textCol: String, n: Int): Column = {
-    val t = s"split(lower(trim($textCol)), '\\\\s+')"
-    expr(s"CASE WHEN size($t) < $n THEN array() " +
-      s"ELSE array_distinct(transform(sequence(0, size($t) - $n), " +
-      s"i -> concat_ws(' ', slice($t, i + 1, $n)))) END")
+    // the token array is BOUND once as a lambda var: referencing the
+    // split(...) expression textually inside the transform lambda would
+    // re-split the text once per shingle, interpreted (lambda bodies
+    // never reach codegen or CSE)
+    expr(s"element_at(transform(array(split(lower(trim($textCol)), '\\\\s+')), __t -> " +
+      s"CASE WHEN size(__t) < $n THEN array() " +
+      s"ELSE array_distinct(transform(sequence(0, size(__t) - $n), " +
+      s"i -> concat_ws(' ', slice(__t, i + 1, $n)))) END), 1)")
   }
 
   /** Distinct word n-gram shingles as 64-bit HASHES — the native
@@ -66,6 +70,24 @@ object TextDedup {
     * p = 1-(1-0.5²)⁶⁴ ≈ 1-1e-8 — the exact-verification output is
     * indistinguishable from the all-pairs answer, at bucket-join cost.
     *
+    * `maxBucket` bounds the candidate work: band buckets with occupancy
+    * above it are dropped before the self-join. Without the cap the
+    * candidate set is QUADRATIC in corpus-wide boilerplate: every doc
+    * sharing a template (license header, navigation chrome — here the
+    * generator's shared 9-token preamble) has some minhash slots decided
+    * by the template's shingles, so a scale-PROPORTIONAL slice of the
+    * corpus agrees on those bands even though pairwise Jaccard is ~0.04.
+    * Measured at 900k docs: the top three buckets held 12k/9.8k/8.1k
+    * docs = 154M of 162M candidate pairs (3× the 300k-doc corpus → 9.2×
+    * pairs), and carrying two ~1 KB shingle arrays per candidate through
+    * the verification joins filled 80 GB of shuffle disk. With the cap,
+    * candidates ≤ numBands·n·maxBucket/2 — linear in n. Recall cost: a
+    * true pair (J ≥ threshold) collides on ~J^bandRows·numBands bands
+    * (≈16 at J=0.5) whose keys mix doc-SPECIFIC shingle minima, so its
+    * buckets are duplicate-cluster-sized; it is lost only if EVERY such
+    * bucket exceeds the cap, i.e. only when its duplicate cluster itself
+    * outgrows maxBucket — raise the cap if clusters that large are real.
+    *
     * @return (idCol_1, idCol_2, jaccard) with idCol_1 < idCol_2
     */
   def minHashLshPairs(df: DataFrame,
@@ -75,23 +97,33 @@ object TextDedup {
                       numHashes: Int = 128,
                       bandRows: Int = 2,
                       threshold: Double = 0.5,
-                      seed: Long = 42L): DataFrame = {
+                      seed: Long = 42L,
+                      maxBucket: Int = 4096): DataFrame = {
     require(numHashes % bandRows == 0, "numHashes must be divisible by bandRows")
-    val numBands = numHashes / bandRows
     // persisted: consumed by both sides of the candidate self-join and by
     // the verification joins — avoids recomputing the 128-hash signatures.
     // Registered with Caches so the caller can release after materializing.
+    // __bands is a native UnaryExpression (BandHashes): the SQL
+    // transform-lambda formulation re-evaluated the inlined shingle +
+    // minhash pipeline interpreted once per band — 64× per row.
     val base = Caches.registered(df
       .select(col(idCol), hashedShingles(textCol, shingleSize).as("__grams"))
       .filter(size(col("__grams")) > 0)
-      .withColumn("__sig", signature("__grams", numHashes, seed))
-      .withColumn("__bands", expr(
-        s"transform(sequence(0, ${numBands - 1}), b -> hash(b, slice(__sig, b * $bandRows + 1, $bandRows)))"))
+      .withColumn("__bands", GraftColumnBridge.column(
+        graft.expressions.BandHashes(
+          GraftColumnBridge.expression(signature("__grams", numHashes, seed)),
+          bandRows)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     val bands = base.select(col(idCol), explode(col("__bands")).as("__band"))
-    val candidates = bands.alias("l")
-      .join(bands.alias("r"),
+    // boilerplate guard (see Scaladoc): drop over-cap band buckets. The
+    // over-cap key set is tiny (≤ band-rows/maxBucket keys); the unhinted
+    // anti-join lets AQE broadcast it from its runtime size.
+    val overCap = bands.groupBy("__band").count()
+      .filter(col("count") > maxBucket).select("__band")
+    val pruned = bands.join(overCap, Seq("__band"), "left_anti")
+    val candidates = pruned.alias("l")
+      .join(pruned.alias("r"),
         col("l.__band") === col("r.__band") &&
           col(s"l.$idCol") < col(s"r.$idCol"), "inner")
       .select(col(s"l.$idCol").as("__id1"), col(s"r.$idCol").as("__id2"))
