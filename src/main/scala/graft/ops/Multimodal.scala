@@ -51,13 +51,22 @@ object Multimodal {
     * float vector — the aggregation shape a real embedding model output
     * would flow through. */
   def pixelFeatures(pixelsCol: String): Column =
+    // pixels and mean BOUND once via the element_at/transform idiom:
+    // the old textual form re-evaluated the (possibly inlined upstream
+    // decode) pixel expression per lambda element and recomputed the
+    // mean aggregate inside the variance fold — O(n²) per row and
+    // interpreted; same math, same values, computed once per stage
     expr(
-      s"""array(
-         |  cast(aggregate($pixelsCol, 0L, (a, x) -> a + x) / size($pixelsCol) AS float),
-         |  cast(sqrt(aggregate($pixelsCol, cast(0.0 AS double), (a, x) ->
-         |    a + pow(x - aggregate($pixelsCol, 0L, (a2, x2) -> a2 + x2) / size($pixelsCol), 2)) / size($pixelsCol)) AS float),
-         |  cast(array_min($pixelsCol) AS float),
-         |  cast(array_max($pixelsCol) AS float))""".stripMargin)
+      s"""element_at(transform(array($pixelsCol), __p ->
+         |element_at(transform(array(aggregate(__p, 0L, (a, x) -> a + x) / size(__p)), __m ->
+         |array(
+         |  cast(__m AS float),
+         |  cast(sqrt(aggregate(__p, cast(0.0 AS double), (a, x) ->
+         |    a + pow(x - __m, 2)) / size(__p)) AS float),
+         |  cast(array_min(__p) AS float),
+         |  cast(array_max(__p) AS float))
+         |), 1)
+         |), 1)""".stripMargin)
 
   /** Frame sampling: `n` fixed-stride byte windows of the blob — the
     * access pattern of video frame extraction, expressed over binary. */
@@ -68,8 +77,11 @@ object Multimodal {
   /** Deterministic resize of a decoded pixel array (nearest-neighbor 1-D):
     * index mapping only — the same data movement a real resize performs. */
   def resizePixels(pixelsCol: String, outLen: Int): Column =
-    expr(s"transform(sequence(0, ${outLen - 1}), i -> " +
-      s"element_at($pixelsCol, 1 + cast(i * size($pixelsCol) / $outLen AS int)))")
+    // pixels bound once: a textual reference inside the per-index lambda
+    // re-evaluates any inlined upstream decode expression per element
+    expr(s"element_at(transform(array($pixelsCol), __p -> " +
+      s"transform(sequence(0, ${outLen - 1}), i -> " +
+      s"element_at(__p, 1 + cast(i * size(__p) / $outLen AS int)))), 1)")
 
   /** One decoded media record produced by the batch decode path.
     * `codec` records which path decoded the row: "imageio" (real pixel

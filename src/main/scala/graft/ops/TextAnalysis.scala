@@ -28,20 +28,34 @@ object TextAnalysis {
     * Cyrillic, Arabic), then a stopword vote among Latin-script languages
     * with a fixed priority order on ties; 'und' when nothing matches. */
   def languageId(textCol: String): Column = {
-    val toks = distinctToks(textCol)
-    def score(words: Seq[String]): String =
-      s"size(array_intersect($toks, array(${words.map(w => s"'$w'").mkString(",")})))"
-    val s = Stopwords.map { case (lang, words) => lang -> score(words) }.toMap
+    def lit(words: Seq[String]): String =
+      s"array(${words.map(w => s"'$w'").mkString(",")})"
+    val langs = Stopwords.map(_._1)
+    // per-language stopword hits, referencing the BOUND distinct-token
+    // array __dt; the scores themselves are then bound as __s so the
+    // vote's CASE reads each score by index instead of re-running the
+    // split+distinct+intersect (the textual form evaluated it up to 11×
+    // per row — conditional CASE branches defeat codegen CSE)
+    val scoresArr = Stopwords
+      .map { case (_, words) => s"size(array_intersect(__dt, ${lit(words)}))" }
+      .mkString("array(", ", ", ")")
+    def s(lang: String): String = s"element_at(__s, ${langs.indexOf(lang) + 1})"
     expr(
       s"""CASE
          |  WHEN $textCol RLIKE '[\\\\u4E00-\\\\u9FFF]' THEN 'zh'
          |  WHEN $textCol RLIKE '[\\\\u0400-\\\\u04FF]' THEN 'ru'
          |  WHEN $textCol RLIKE '[\\\\u0600-\\\\u06FF]' THEN 'ar'
-         |  WHEN ${s("en")} = 0 AND ${s("es")} = 0 AND ${s("de")} = 0 AND ${s("fr")} = 0 THEN 'und'
-         |  WHEN ${s("en")} >= ${s("es")} AND ${s("en")} >= ${s("de")} AND ${s("en")} >= ${s("fr")} THEN 'en'
-         |  WHEN ${s("es")} >= ${s("de")} AND ${s("es")} >= ${s("fr")} THEN 'es'
-         |  WHEN ${s("de")} >= ${s("fr")} THEN 'de'
-         |  ELSE 'fr'
+         |  ELSE element_at(transform(array(${distinctToks(textCol)}), __dt ->
+         |    element_at(transform(array($scoresArr), __s ->
+         |      CASE
+         |        WHEN ${s("en")} = 0 AND ${s("es")} = 0 AND ${s("de")} = 0 AND ${s("fr")} = 0 THEN 'und'
+         |        WHEN ${s("en")} >= ${s("es")} AND ${s("en")} >= ${s("de")} AND ${s("en")} >= ${s("fr")} THEN 'en'
+         |        WHEN ${s("es")} >= ${s("de")} AND ${s("es")} >= ${s("fr")} THEN 'es'
+         |        WHEN ${s("de")} >= ${s("fr")} THEN 'de'
+         |        ELSE 'fr'
+         |      END
+         |    ), 1)
+         |  ), 1)
          |END""".stripMargin)
   }
 
@@ -74,8 +88,10 @@ object TextAnalysis {
                     stopwords: Seq[String] = Stopwords.toMap.apply("en")): Column = {
     val toks = s"split(lower(trim($textCol)), '\\\\s+')"
     val set = stopwords.map(w => s"'$w'").mkString("array(", ",", ")")
-    expr(s"size(filter($toks, t -> array_contains($set, t))) / " +
-      s"cast(size($toks) AS double)")
+    // token array bound once (the textual form split the text twice)
+    expr(s"element_at(transform(array($toks), __t -> " +
+      s"size(filter(__t, t -> array_contains($set, t))) / " +
+      s"cast(size(__t) AS double)), 1)")
   }
 
   /** Punctuation character ratio — complements [[qualityScore]]'s alpha

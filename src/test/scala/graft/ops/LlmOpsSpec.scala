@@ -27,6 +27,50 @@ class LlmOpsSpec extends AnyFunSuite {
       s"LSH missed ${exactPairs -- lsh}, extra ${lsh -- exactPairs}")
   }
 
+  test("minhash-LSH boilerplate guard: over-cap buckets dropped, planted pairs kept") {
+    import spark.implicits._
+    // 400 docs all opening with the same 12-token template (the pattern
+    // that made band buckets scale-proportional and candidates quadratic
+    // at 900k docs), plus body text unique per doc, plus planted
+    // near-dup pairs (doc 2k+1 copies doc 2k with a 1-token suffix)
+    val template = "begin common preamble text repeated across many documents here now"
+    val base = (0 until 400).map { i =>
+      val body = (0 until 40).map(w => s"tok${(i.toLong * 31 + w * 7) % 9999}x$i-$w").mkString(" ")
+      (i.toLong, s"$template $body")
+    }
+    val planted = base.collect { case (i, t) if i % 2 == 0 => (i + 1000L, s"$t zz$i") }
+    val docs = (base ++ planted).toDF("doc_id", "text")
+    // a tiny cap forces the guard to actually trigger on the shared
+    // template's buckets; every planted pair must still be found (their
+    // buckets mix doc-specific shingle minima → cluster-sized)
+    val got = pairSet(TextDedup.minHashLshPairs(docs, "doc_id", "text", maxBucket = 16))
+    val want = base.collect { case (i, _) if i % 2 == 0 => (i, i + 1000L) }.toSet
+    assert(want.subsetOf(got), s"cap lost planted pairs: ${want -- got}")
+    // and the guard must equal the uncapped answer here: extras can only
+    // be verified true pairs (exact-Jaccard >= threshold)
+    val uncapped = pairSet(TextDedup.minHashLshPairs(docs, "doc_id", "text"))
+    assert(got.subsetOf(uncapped), s"cap invented pairs: ${got -- uncapped}")
+  }
+
+  test("BandHashes: numHashes/bandRows int keys, child evaluated once per row") {
+    import spark.implicits._
+    val df = Seq((1L, Array(11L, 22L, 33L, 44L, 55L, 66L, 77L, 88L))).toDF("id", "sig")
+    val out = df.select(org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.BandHashes(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("sig")), 2)).as("b"))
+      .selectExpr("size(b) AS n", "b").collect()(0)
+    assert(out.getInt(0) == 4)
+    // deterministic and band-index-sensitive: same rows in a different
+    // band position produce different keys
+    val b = out.getSeq[Int](1)
+    assert(b.distinct.size == 4, s"band keys should differ across bands: $b")
+    val again = df.select(org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.BandHashes(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("sig")), 2)).as("b"))
+      .selectExpr("b").collect()(0).getSeq[Int](0)
+    assert(again == b)
+  }
+
   test("simhash combo-bucketed pairs find the planted near-dups exactly") {
     val sim = pairSet(TextDedup.simHashPairs(docs, "doc_id", "text"))
     assert(sim == exactPairs,
