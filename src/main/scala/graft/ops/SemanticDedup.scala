@@ -31,8 +31,10 @@ object SemanticDedup {
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     threshold: Double,
                     tables: Int = 8, bits: Int = 8,
-                    seed: Long = 7L): DataFrame = {
-    val drops = dropList(emb, idCol, vecCol, threshold, tables, bits, seed)
+                    seed: Long = 7L,
+                    maxBucket: Int = 4096): DataFrame = {
+    val drops = dropList(emb, idCol, vecCol, threshold, tables, bits, seed,
+      maxBucket)
     emb.join(drops, Seq(idCol), "left_anti")
   }
 
@@ -42,9 +44,10 @@ object SemanticDedup {
   def dropList(emb: DataFrame, idCol: String, vecCol: String,
                threshold: Double,
                tables: Int = 8, bits: Int = 8,
-               seed: Long = 7L): DataFrame = {
+               seed: Long = 7L,
+               maxBucket: Int = 4096): DataFrame = {
     val pairs = Similarity.cosinePairsLsh(emb, idCol, vecCol, threshold,
-      tables, bits, seed)
+      tables, bits, seed, maxBucket)
     TextDedup.connectedComponents(pairs, s"${idCol}_1", s"${idCol}_2")
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))

@@ -83,11 +83,22 @@ object Similarity {
     * p = 1 - acos(c)/π — defaults give ≈0.9999 at c = 0.99, ≈0.97 at
     * c = 0.9. Precision is exact (every candidate is verified). The
     * shuffle is bounded by n·tables bucket rows — never all-pairs.
+    *
+    * `maxBucket` guards the intra-bucket pair expansion: identical
+    * embeddings (zero/default vectors from failed embedding jobs, spam)
+    * share EVERY table's bucket, so a big exact-dup cluster is a
+    * guaranteed mega-bucket and all-pairs within it is quadratic.
+    * Over-cap buckets degrade to a verified spanning chain — full
+    * cluster connectivity for SemDeDup/component consumers at linear
+    * cost; see [[graft.ops.LshBuckets.candidates]]. Size `bits` so
+    * EXPECTED occupancy (n·2^-bits) stays well under the cap — the cap
+    * is a pathological-tail guard, not a tuning knob.
     * @return (idCol_1, idCol_2, cosine) with idCol_1 < idCol_2 */
   def cosinePairsLsh(emb: DataFrame, idCol: String, vecCol: String,
                      threshold: Double,
                      tables: Int = 8, bits: Int = 8,
-                     seed: Long = 7L): DataFrame = {
+                     seed: Long = 7L,
+                     maxBucket: Int = 4096): DataFrame = {
     val bucketsCol = GraftColumnBridge.column(
       RandProjBuckets(GraftColumnBridge.expression(col(vecCol)), tables, bits, seed))
     // persisted: both sides of the bucket self-join reuse the signatures;
@@ -97,11 +108,7 @@ object Similarity {
         .withColumn("__buckets", bucketsCol)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val buckets = base.select(col(idCol), explode(col("__buckets")).as("__b"))
-    val candidates = buckets.alias("l")
-      .join(buckets.alias("r"),
-        col("l.__b") === col("r.__b") && col(s"l.$idCol") < col(s"r.$idCol"))
-      .select(col(s"l.$idCol").as("__id1"), col(s"r.$idCol").as("__id2"))
-      .distinct()
+    val candidates = LshBuckets.candidates(buckets, idCol, "__b", maxBucket)
     val vecs = base.select(col(idCol), col(vecCol))
     candidates
       .join(vecs.select(col(idCol).as("__id1"), col(vecCol).as("__v1")), "__id1")

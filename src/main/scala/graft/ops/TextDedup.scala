@@ -71,22 +71,26 @@ object TextDedup {
     * indistinguishable from the all-pairs answer, at bucket-join cost.
     *
     * `maxBucket` bounds the candidate work: band buckets with occupancy
-    * above it are dropped before the self-join. Without the cap the
-    * candidate set is QUADRATIC in corpus-wide boilerplate: every doc
-    * sharing a template (license header, navigation chrome — here the
-    * generator's shared 9-token preamble) has some minhash slots decided
-    * by the template's shingles, so a scale-PROPORTIONAL slice of the
-    * corpus agrees on those bands even though pairwise Jaccard is ~0.04.
-    * Measured at 900k docs: the top three buckets held 12k/9.8k/8.1k
-    * docs = 154M of 162M candidate pairs (3× the 300k-doc corpus → 9.2×
-    * pairs), and carrying two ~1 KB shingle arrays per candidate through
-    * the verification joins filled 80 GB of shuffle disk. With the cap,
-    * candidates ≤ numBands·n·maxBucket/2 — linear in n. Recall cost: a
-    * true pair (J ≥ threshold) collides on ~J^bandRows·numBands bands
-    * (≈16 at J=0.5) whose keys mix doc-SPECIFIC shingle minima, so its
-    * buckets are duplicate-cluster-sized; it is lost only if EVERY such
-    * bucket exceeds the cap, i.e. only when its duplicate cluster itself
-    * outgrows maxBucket — raise the cap if clusters that large are real.
+    * above it contribute a spanning CHAIN (consecutive members by id)
+    * instead of all intra-bucket pairs — see [[LshBuckets.candidates]].
+    * Without the guard the candidate set is QUADRATIC in corpus-wide
+    * boilerplate: every doc sharing a template (license header,
+    * navigation chrome — here the generator's shared 9-token preamble)
+    * has some minhash slots decided by the template's shingles, so a
+    * scale-PROPORTIONAL slice of the corpus agrees on those bands even
+    * though pairwise Jaccard is ~0.04. Measured at 900k docs: the top
+    * three buckets held 12k/9.8k/8.1k docs = 154M of 162M candidate
+    * pairs (3× the 300k-doc corpus → 9.2× pairs), and carrying two
+    * ~1 KB shingle arrays per candidate through the verification joins
+    * filled 80 GB of shuffle disk. With the guard, candidates are
+    * linear in n. Recall: a true pair (J ≥ threshold) collides on
+    * ~J^bandRows·numBands bands (≈16 at J=0.5) whose keys mix
+    * doc-SPECIFIC shingle minima, so its buckets are
+    * duplicate-cluster-sized and stay under the cap; inside an over-cap
+    * TRUE cluster the verified chain keeps the cluster connected for
+    * component/dedup consumers, and only the (inherently quadratic)
+    * full pair enumeration is reduced — raise the cap if that
+    * enumeration is required.
     *
     * @return (idCol_1, idCol_2, jaccard) with idCol_1 < idCol_2
     */
@@ -116,18 +120,8 @@ object TextDedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     val bands = base.select(col(idCol), explode(col("__bands")).as("__band"))
-    // boilerplate guard (see Scaladoc): drop over-cap band buckets. The
-    // over-cap key set is tiny (≤ band-rows/maxBucket keys); the unhinted
-    // anti-join lets AQE broadcast it from its runtime size.
-    val overCap = bands.groupBy("__band").count()
-      .filter(col("count") > maxBucket).select("__band")
-    val pruned = bands.join(overCap, Seq("__band"), "left_anti")
-    val candidates = pruned.alias("l")
-      .join(pruned.alias("r"),
-        col("l.__band") === col("r.__band") &&
-          col(s"l.$idCol") < col(s"r.$idCol"), "inner")
-      .select(col(s"l.$idCol").as("__id1"), col(s"r.$idCol").as("__id2"))
-      .distinct()
+    // boilerplate/mega-cluster guard — see [[LshBuckets.candidates]]
+    val candidates = LshBuckets.candidates(bands, idCol, "__band", maxBucket)
 
     val grams = base.select(col(idCol), col("__grams"))
     candidates
@@ -192,7 +186,8 @@ object TextDedup {
                    textCol: String,
                    shingleSize: Int = 3,
                    maxHamming: Int = 12,
-                   verifyJaccard: Option[Double] = Some(0.5)): DataFrame = {
+                   verifyJaccard: Option[Double] = Some(0.5),
+                   maxBucket: Int = 4096): DataFrame = {
     require(maxHamming <= NumSimhashBlocks - 2,
       "combo recall guarantee only holds for maxHamming <= numBlocks - 2")
     val base = Caches.registered(df
@@ -201,16 +196,17 @@ object TextDedup {
       .withColumn("__sig", simhashSig("__grams"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-    // the join carries only (id, sig, bucket) — three longs per row
-    val buckets = base.select(col(idCol), col("__sig"),
+    // the bucket frame carries only (id, bucket) — two longs per row;
+    // identical texts share ALL 91 combo keys, so a big exact-dup
+    // cluster is a guaranteed mega-bucket — same guard as minhash
+    val buckets = base.select(col(idCol),
       explode(expr(simhashComboSql("__sig"))).as("__bucket"))
-    val candidates = buckets.alias("l")
-      .join(buckets.alias("r"),
-        col("l.__bucket") === col("r.__bucket") &&
-          col(s"l.$idCol") < col(s"r.$idCol"), "inner")
-      .select(col(s"l.$idCol").as("__id1"), col(s"r.$idCol").as("__id2"),
-        expr("cast(bit_count(l.__sig ^ r.__sig) AS int)").as("hamming"))
-      .distinct()
+    val sigs = base.select(col(idCol), col("__sig"))
+    val candidates = LshBuckets.candidates(buckets, idCol, "__bucket", maxBucket)
+      .join(sigs.select(col(idCol).as("__id1"), col("__sig").as("__s1")), "__id1")
+      .join(sigs.select(col(idCol).as("__id2"), col("__sig").as("__s2")), "__id2")
+      .select(col("__id1"), col("__id2"),
+        expr("cast(bit_count(__s1 ^ __s2) AS int)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
 
     val verified = verifyJaccard match {

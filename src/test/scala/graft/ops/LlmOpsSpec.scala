@@ -52,6 +52,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.subsetOf(uncapped), s"cap invented pairs: ${got -- uncapped}")
   }
 
+  test("over-cap TRUE clusters stay fully connected through the chain edges") {
+    import spark.implicits._
+    // one 120-doc near-identical cluster (every bucket it lands in is
+    // over any small cap) + unrelated singletons
+    val clusterBase = (0 until 60).map(w => s"cluster body token$w shared").mkString(" ")
+    val cluster = (0 until 120).map(i => (i.toLong, s"$clusterBase tail$i"))
+    val rest = (0 until 200).map { i =>
+      (1000L + i, (0 until 50).map(w => s"solo${i}w$w").mkString(" "))
+    }
+    val docs = (cluster ++ rest).toDF("doc_id", "text")
+    val pairs = TextDedup.minHashLshPairs(docs, "doc_id", "text", maxBucket = 16)
+    // connected components over the returned pairs must recover the
+    // whole cluster as ONE component even though all-pairs enumeration
+    // inside the over-cap buckets was degraded to chains
+    val cc = TextDedup.connectedComponents(pairs, "doc_id_1", "doc_id_2")
+    val clusters = cc.groupBy("cluster").count().collect()
+    assert(clusters.exists(_.getLong(1) == 120),
+      s"cluster fragmented: ${clusters.map(_.getLong(1)).sorted.reverse.take(5).mkString(",")}")
+    // and semantic-style survivors: identical embeddings (the guaranteed
+    // mega-bucket — same bucket in EVERY table) still collapse to one
+    // representative through the chain
+    val emb = docs.withColumn("embedding",
+      expr("transform(sequence(1, 8), i -> CASE WHEN doc_id < 1000 " +
+        "THEN cast(1.0 AS float) ELSE cast(hash(doc_id, i) % 100 AS float) END)"))
+    val sem = SemanticDedup.semanticDedup(emb, "doc_id", "embedding",
+      threshold = 0.999, maxBucket = 16)
+    val kept = sem.filter(col("doc_id") < 1000).count()
+    assert(kept == 1L, s"identical-embedding mega-cluster should keep 1 survivor, kept $kept")
+  }
+
   test("BandHashes: numHashes/bandRows int keys, child evaluated once per row") {
     import spark.implicits._
     val df = Seq((1L, Array(11L, 22L, 33L, 44L, 55L, 66L, 77L, 88L))).toDF("id", "sig")
