@@ -451,12 +451,22 @@ object TextDedup {
           else lead(lower(col("__tok")), i).over(byDoc)): _*))
       .filter(col("__pos") <= col("__n") - k)
       .select(col(idCol), col("__pos"), md5(col("__gram")).as("__gh"))
-    val byGram = Window.partitionBy(col("__gh"))
-    val dupStarts = grams
-      .withColumn("__cnt", count(lit(1)).over(byGram))
-      .withColumn("__rk", row_number().over(
-        byGram.orderBy(col(idCol), col("__pos"))))
-      .filter(col("__cnt") > 1 && col("__rk") > 1)
+    // all-but-first occurrence per repeated gram via a PARTIAL-AGG
+    // groupBy + join rather than a per-gram count/row_number window: a
+    // corpus-wide common span (boilerplate) puts Θ(n) rows in ONE gram
+    // key, and a window partition is a single task AQE cannot split —
+    // the one straggler shape on this path at 100 TB. The groupBy
+    // combines map-side (one row per gram reaches the shuffle) and the
+    // join's probe-side skew is exactly what AQE skew-split handles.
+    // min(struct(id, pos)) = the window's row_number()=1 row.
+    val firstPer = grams.groupBy(col("__gh")).agg(
+      count(lit(1)).as("__cnt"),
+      min(struct(col(idCol), col("__pos"))).as("__fst"))
+      .filter(col("__cnt") > 1)
+      .select(col("__gh"), col("__fst"))
+    val dupStarts = grams.join(firstPer, "__gh")
+      .filter(!(col(idCol) === col("__fst")(idCol) &&
+        col("__pos") === col("__fst")("__pos")))
       .select(col(idCol), col("__pos"), (col("__pos") + k - 1).as("__end"))
     val covered = toks
       .join(dupStarts, Seq(idCol, "__pos"), "left")
