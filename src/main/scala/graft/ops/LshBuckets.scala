@@ -59,8 +59,14 @@ private[ops] object LshBuckets {
         col(s"l.$bucketCol") === col(s"r.$bucketCol") &&
           col(s"l.$idCol") < col(s"r.$idCol"), "inner")
       .select(col(s"l.$idCol").as("__id1"), col(s"r.$idCol").as("__id2"))
+    // __next =!= id: a doc whose band hashes collide (32-bit) appears
+    // TWICE in one bucket; lead() would link it to itself and exact
+    // verification would pass the (x, x) pair at similarity 1. Dropping
+    // the self-edge keeps connectivity — the duplicate row's successor
+    // still links x to the next distinct id.
     val chains = withOcc
-      .filter(col("__occ") > maxBucket && col("__next").isNotNull)
+      .filter(col("__occ") > maxBucket && col("__next").isNotNull &&
+        col("__next") =!= col(idCol))
       .select(col(idCol).as("__id1"), col("__next").as("__id2"))
     allPairs.union(chains).distinct()
   }
