@@ -450,7 +450,11 @@ object TextDedup {
           if (i == 0) lower(col("__tok"))
           else lead(lower(col("__tok")), i).over(byDoc)): _*))
       .filter(col("__pos") <= col("__n") - k)
-      .select(col(idCol), col("__pos"), md5(col("__gram")).as("__gh"))
+      // xxhash64, not md5: the dup-marking shuffle and join carry one
+      // LONG per gram instead of md5's 32-char hex string — ~3× less
+      // spill at 100× (380M gram rows); collision odds at 350M distinct
+      // grams are ~2^-37, and the hash never reaches the output
+      .select(col(idCol), col("__pos"), xxhash64(col("__gram")).as("__gh"))
     // all-but-first occurrence per repeated gram via a PARTIAL-AGG
     // groupBy + join rather than a per-gram count/row_number window: a
     // corpus-wide common span (boilerplate) puts Θ(n) rows in ONE gram
