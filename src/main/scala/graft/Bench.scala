@@ -61,6 +61,14 @@ object Bench {
     // times just those queries (empty/unset = all)
     val onlyQueries: Set[String] = sys.env.getOrElse("SPARK_GRAFT_ONLY_QUERIES", "")
       .split(',').map(_.trim).filter(_.nonEmpty).toSet
+    // fail fast on a typo'd name: silently timing an empty query map
+    // reads as a valid (and suspiciously fast) run
+    locally {
+      val unknown = onlyQueries -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY_QUERIES names not in SparkEntry.queries: " +
+          s"${unknown.toSeq.sorted.mkString(",")}")
+    }
 
     // ---- header-ETL volume scaling (BASELINE.md rows 1-4) --------------
     // batch2 (50% new keys) against an n-row table is the measured batch.

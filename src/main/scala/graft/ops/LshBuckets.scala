@@ -20,54 +20,130 @@ import org.apache.spark.sql.functions._
   *    embeddings), where ALL of a member's buckets are the cluster —
   *    enumerating those pairs is inherently quadratic.
   *
-  * The guard makes candidate work linear without losing either case:
-  * buckets at or under `maxBucket` contribute every intra-bucket pair
-  * (the exact LSH recall guarantee); buckets OVER the cap contribute a
-  * spanning CHAIN instead — members sorted by id, each linked to its
-  * successor, one candidate per row. Downstream exact verification
-  * then decides:
-  *  - boilerplate mega-buckets: chain edges fail verification (the
-  *    pairs were false positives) — nothing survives, nothing lost;
-  *  - true mega-clusters: chain edges pass, and connected components /
-  *    SemDeDup consumers recover the FULL cluster from the chain. Only
-  *    the explicit pair ENUMERATION inside an over-cap true cluster is
-  *    reduced — which is the quadratic output no linear algorithm can
-  *    emit anyway; raise `maxBucket` if that enumeration is required.
+  * The guard makes candidate work linear: buckets at or under
+  * `maxBucket` contribute every intra-bucket pair (the exact LSH
+  * recall guarantee); buckets OVER the cap contribute a sparse linear
+  * edge set instead — members are hash-salted into ~`segmentRows`-row
+  * segments, each member links to its next `chainLinks` successors by
+  * id within its segment, and every segment's min id links to the
+  * bucket's global min (so the bucket stays one connected structure).
+  * Downstream exact verification then decides:
+  *  - boilerplate mega-buckets: the sparse edges fail verification
+  *    (the pairs were false positives) — nothing survives;
+  *  - true mega-clusters: the edges pass, and connected components /
+  *    SemDeDup consumers recover the FULL cluster. Only the explicit
+  *    pair ENUMERATION inside an over-cap true cluster is reduced —
+  *    the quadratic output no linear algorithm can emit anyway.
   *
-  * Cost shape: one hash shuffle of the (id, bucket) rows for the
-  * occupancy count + successor window (mega buckets land one-per-task —
-  * linear rows, one edge per row), then the small-bucket self-join on
-  * the same partitioning.
+  * RECALL CAVEAT (the honest limit of any linear over-cap policy): a
+  * true pair whose similarity is DRIVEN BY the shared boilerplate —
+  * e.g. Jaccard 0.6 where most of the overlap is a common license
+  * header — collides mostly on the over-cap template buckets, where
+  * only the sparse edges are emitted. Such a pair is found only if the
+  * two ids fall within `chainLinks` verified hops (every hop must
+  * itself be a true pair, since failed edges break the walk). Pairs
+  * whose similarity comes from doc-SPECIFIC content land in
+  * cluster-sized buckets and keep the exact guarantee. If enumerating
+  * template-driven pairs matters more than bounding the candidate set,
+  * raise `maxBucket` (up to `Int.MaxValue` for exact LSH semantics)
+  * and budget the quadratic verification cost.
+  *
+  * Scale shape — NO per-bucket window anywhere (a window partition is
+  * one task AQE cannot split, and an over-cap bucket is by definition
+  * corpus-proportional): occupancy is a partial-agg `groupBy` (one row
+  * per distinct bucket reaches the shuffle) joined back onto the
+  * bucket frame (probe-side skew is AQE-splittable); the successor
+  * windows are keyed by (bucket, segment) whose partitions are
+  * hash-balanced to ~`segmentRows` rows regardless of bucket size.
+  * An EAGER max-occupancy probe (one agg over the cached distinct
+  * bucket frame) short-circuits the whole guard when no bucket
+  * exceeds the cap, so clean corpora run the plain bucket self-join.
   */
 private[ops] object LshBuckets {
 
-  /** Distinct candidate pairs (__id1 < __id2) from a bucket frame of
+  /** Candidate pairs (__id1 < __id2) from a bucket frame of
     * (`idCol`, `bucketCol`) rows: all-pairs within buckets ≤ cap,
-    * spanning chains within buckets > cap. */
-  def candidates(buckets: DataFrame, idCol: String, bucketCol: String,
-                 maxBucket: Int): DataFrame = {
-    val byBucket = Window.partitionBy(bucketCol)
-    val byId = Window.partitionBy(bucketCol).orderBy(col(idCol))
-    // one Exchange: occupancy and successor share the bucket partitioning
-    val withOcc = buckets
-      .withColumn("__occ", count(lit(1)).over(byBucket))
-      .withColumn("__next", lead(col(idCol), 1).over(byId))
-    val small = withOcc.filter(col("__occ") <= maxBucket)
-      .select(col(idCol), col(bucketCol))
-    val allPairs = small.alias("l")
-      .join(small.alias("r"),
+    * segmented successor edges + a segment-min star within buckets
+    * over the cap. Duplicate (id, bucket) rows — 32-bit band
+    * collisions, cross-table bucket-key collisions — are dropped
+    * first, so occupancy counts distinct members and no self-edges
+    * can arise. */
+  def candidates(bucketsRaw: DataFrame, idCol: String, bucketCol: String,
+                 maxBucket: Int, chainLinks: Int = 3,
+                 segmentRows: Int = 4096): DataFrame = {
+    require(chainLinks >= 1 && segmentRows >= 2, "degenerate chain parameters")
+
+    def allPairsOf(frame: DataFrame): DataFrame = frame.alias("l")
+      .join(frame.alias("r"),
         col(s"l.$bucketCol") === col(s"r.$bucketCol") &&
           col(s"l.$idCol") < col(s"r.$idCol"), "inner")
       .select(col(s"l.$idCol").as("__id1"), col(s"r.$idCol").as("__id2"))
-    // __next =!= id: a doc whose band hashes collide (32-bit) appears
-    // TWICE in one bucket; lead() would link it to itself and exact
-    // verification would pass the (x, x) pair at similarity 1. Dropping
-    // the self-edge keeps connectivity — the duplicate row's successor
-    // still links x to the next distinct id.
-    val chains = withOcc
-      .filter(col("__occ") > maxBucket && col("__next").isNotNull &&
-        col("__next") =!= col(idCol))
-      .select(col(idCol).as("__id1"), col("__next").as("__id2"))
-    allPairs.union(chains).distinct()
+
+    // exact LSH semantics requested — skip the occupancy machinery
+    if (maxBucket == Int.MaxValue)
+      return allPairsOf(bucketsRaw.select(col(idCol), col(bucketCol))).distinct()
+
+    // the (id, bucket) frame is consumed by the probe and then by both
+    // sides of the self-join — persist the post-explode rows (two
+    // longs each) so the join jobs read narrow cached blocks instead
+    // of re-deriving signatures
+    val raw = Caches.registered(
+      bucketsRaw.select(col(idCol), col(bucketCol))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // eager max-occupancy probe: ONE map-side-combined agg job over the
+    // RAW bucket frame decides whether any bucket can exceed the cap.
+    // Raw row counts over-count duplicate (id, bucket) rows, so
+    // "raw max ≤ cap" safely implies every distinct occupancy is under
+    // the cap too — and clean corpora (the common case, and every
+    // corpus below the boilerplate-collision scale) then run the plain
+    // bucket self-join with no distinct pass and no occupancy join.
+    val maxRow = raw.groupBy(col(bucketCol)).agg(count(lit(1)).as("__occ"))
+      .agg(max(col("__occ"))).head()
+    val maxOcc = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    if (maxOcc <= maxBucket) return allPairsOf(raw).distinct()
+
+    // over-cap corpus: distinct members feed the true occupancy count,
+    // the small-bucket self-join, and the guard machinery (cheap to
+    // re-derive from the cached raw frame — one exchange of longs)
+    val buckets = raw.distinct()
+    // occupancy by partial-agg groupBy, NOT count().over(
+    // Window.partitionBy(bucket)): the window form puts an entire
+    // corpus-proportional bucket into one unsplittable task. The occ
+    // frame is one row per distinct bucket (small), so AQE turns the
+    // join-back into a broadcast at runtime.
+    val occ = buckets.groupBy(col(bucketCol)).agg(count(lit(1)).as("__occ"))
+    val withOcc = buckets.join(occ, Seq(bucketCol))
+    val small = withOcc.filter(col("__occ") <= maxBucket)
+      .select(col(idCol), col(bucketCol))
+    val allPairs = allPairsOf(small)
+
+    // over-cap rows: hash-salt into segments of ~segmentRows members so
+    // every successor window partition is bounded and AQE-splittable
+    // work stays upstream; deterministic (no rand()).
+    val big = withOcc.filter(col("__occ") > maxBucket)
+      .withColumn("__seg", pmod(xxhash64(col(idCol)),
+        greatest(lit(1L), ceil(col("__occ").cast("double") / segmentRows))))
+    val bySeg = Window.partitionBy(col(bucketCol), col("__seg"))
+      .orderBy(col(idCol))
+    // next `chainLinks` successors by id within the segment: distance-1
+    // edges alone fragment a true sub-cluster interleaved with
+    // non-members (member→interloper edges fail verification), so each
+    // member also reaches past up to chainLinks−1 interlopers.
+    val chainEdges = big
+      .withColumn("__nbrs",
+        array((1 to chainLinks).map(i => lead(col(idCol), i).over(bySeg)): _*))
+      .select(col(idCol).as("__id1"), explode(col("__nbrs")).as("__id2"))
+      .filter(col("__id2").isNotNull)
+    // stitch segments: every segment's min id → the bucket's global
+    // min id (tiny frames — one row per (bucket, segment)).
+    val segMins = big.groupBy(col(bucketCol), col("__seg"))
+      .agg(min(col(idCol)).as("__segMin"))
+    val starEdges = segMins
+      .withColumn("__bktMin", min(col("__segMin")).over(
+        Window.partitionBy(col(bucketCol))))
+      .filter(col("__segMin") =!= col("__bktMin"))
+      .select(col("__bktMin").as("__id1"), col("__segMin").as("__id2"))
+
+    allPairs.union(chainEdges).union(starEdges).distinct()
   }
 }

@@ -88,9 +88,10 @@ object Similarity {
     * embeddings (zero/default vectors from failed embedding jobs, spam)
     * share EVERY table's bucket, so a big exact-dup cluster is a
     * guaranteed mega-bucket and all-pairs within it is quadratic.
-    * Over-cap buckets degrade to a verified spanning chain — full
-    * cluster connectivity for SemDeDup/component consumers at linear
-    * cost; see [[graft.ops.LshBuckets.candidates]]. Size `bits` so
+    * Over-cap buckets degrade to sparse verified successor edges —
+    * full cluster connectivity for SemDeDup/component consumers at
+    * linear cost, with the template-driven-pair recall caveat
+    * documented on [[graft.ops.LshBuckets.candidates]]. Size `bits` so
     * EXPECTED occupancy (n·2^-bits) stays well under the cap — the cap
     * is a pathological-tail guard, not a tuning knob.
     * @return (idCol_1, idCol_2, cosine) with idCol_1 < idCol_2 */

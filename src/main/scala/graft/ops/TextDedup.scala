@@ -71,9 +71,9 @@ object TextDedup {
     * indistinguishable from the all-pairs answer, at bucket-join cost.
     *
     * `maxBucket` bounds the candidate work: band buckets with occupancy
-    * above it contribute a spanning CHAIN (consecutive members by id)
-    * instead of all intra-bucket pairs — see [[LshBuckets.candidates]].
-    * Without the guard the candidate set is QUADRATIC in corpus-wide
+    * above it contribute sparse segmented successor edges instead of
+    * all intra-bucket pairs — see [[LshBuckets.candidates]]. Without
+    * the guard the candidate set is QUADRATIC in corpus-wide
     * boilerplate: every doc sharing a template (license header,
     * navigation chrome — here the generator's shared 9-token preamble)
     * has some minhash slots decided by the template's shingles, so a
@@ -83,14 +83,19 @@ object TextDedup {
     * pairs (3× the 300k-doc corpus → 9.2× pairs), and carrying two
     * ~1 KB shingle arrays per candidate through the verification joins
     * filled 80 GB of shuffle disk. With the guard, candidates are
-    * linear in n. Recall: a true pair (J ≥ threshold) collides on
-    * ~J^bandRows·numBands bands (≈16 at J=0.5) whose keys mix
-    * doc-SPECIFIC shingle minima, so its buckets are
-    * duplicate-cluster-sized and stay under the cap; inside an over-cap
-    * TRUE cluster the verified chain keeps the cluster connected for
-    * component/dedup consumers, and only the (inherently quadratic)
-    * full pair enumeration is reduced — raise the cap if that
-    * enumeration is required.
+    * linear in n. Recall: a true pair whose similarity comes from
+    * doc-SPECIFIC content collides on bands (≈J^bandRows·numBands ≈ 16
+    * at J=0.5) whose keys mix doc-specific shingle minima, so those
+    * buckets are duplicate-cluster-sized, stay under the cap, and keep
+    * the exact LSH guarantee; inside an over-cap TRUE cluster the
+    * verified edges keep the cluster connected for component/dedup
+    * consumers. The EXCEPTION is a pair whose similarity is driven by
+    * the shared template itself (e.g. J = 0.6 mostly from a common
+    * license header): its collisions land in the over-cap buckets and
+    * the pair is emitted only if the ids sit within a few verified
+    * hops — see the caveat on [[LshBuckets.candidates]]. Raise the cap
+    * (to `Int.MaxValue` for exact LSH semantics) if enumerating
+    * template-driven pairs outweighs bounding candidate cost.
     *
     * @return (idCol_1, idCol_2, jaccard) with idCol_1 < idCol_2
     */
@@ -162,7 +167,7 @@ object TextDedup {
     * (pigeonhole), so they share at least one combo key — perfect recall
     * for maxHamming ≤ 12. ~9-bit combo keys keep random collisions low
     * where single 4-5-bit blocks would bucket half the corpus together. */
-  private def simhashComboSql(sigCol: String): String = {
+  private[graft] def simhashComboSql(sigCol: String): String = {
     val combos = for {
       i <- 0 until NumSimhashBlocks; j <- (i + 1) until NumSimhashBlocks
     } yield s"hash($i, $j, ${blockSql(sigCol, i)}, ${blockSql(sigCol, j)})"
@@ -410,22 +415,30 @@ object TextDedup {
     * first copy. Matching is case-insensitive; output keeps original
     * casing.
     *
-    * Scale shape — corpus-linear, no suffix array and no all-pairs:
-    *  1. tokenize with positions (map-side);
-    *  2. k-gram per position via k−1 `lead`s on ONE per-document window
-    *     (first keyed shuffle, by id);
-    *  3. `count(*)`/`row_number` over the gram hash mark every non-first
-    *     occurrence of a duplicated gram (second keyed shuffle, by the
-    *     8-byte hash — the token text never shuffles here);
+    * Scale shape — corpus-linear, no suffix array and no all-pairs,
+    * and the token STRINGS cross exactly ONE shuffle (the final
+    * per-document reassembly); every other stage carries fixed-width
+    * (long, int, long) rows, which at 3M docs / 380M tokens halves the
+    * sort-spill byte volume vs letting strings ride the gram window:
+    *  1. tokenize with positions and hash each token to a LONG
+    *     (map-side — the string is dropped before any exchange);
+    *  2. k-gram hash per position via k−1 `lead`s of the token hash on
+    *     ONE per-document window (first keyed shuffle, by id, longs);
+    *  3. a partial-agg `groupBy` over the gram hash marks every
+    *     non-first occurrence of a duplicated gram (second keyed
+    *     shuffle, 8-byte keys, map-side combined);
     *  4. covered positions come from a running `max(span end)` window
-    *     per document — an equality join of marked starts back onto the
-    *     token stream plus ONE more keyed window, NOT a range join and
-    *     NOT a k× position explosion (heavy duplication costs nothing
-    *     extra);
-    *  5. reassembly is [[paragraphDedup]]'s bounded collect_list shape.
+    *     per document over the (id, pos) position stream left-joined
+    *     with the marked starts — NOT a range join and NOT a k×
+    *     position explosion (heavy duplication costs nothing extra);
+    *     per-doc flags aggregate to a position-indexed boolean array;
+    *  5. reassembly `zip_with`s that boolean array against the one
+    *     collect_list of (pos, token) — the single string shuffle —
+    *     with zero extra exchange (both aggs share the id
+    *     partitioning).
     * A hot duplicated gram (a million-occurrence boilerplate line) is
-    * one reducer's (id,pos) list in step 3 — Spark's spillable external
-    * sort bounds memory, and only (id,pos,hash) rows sit in it.
+    * one combiner cell in step 3 — map-side partial aggregation means
+    * one row per distinct gram reaches the shuffle.
     * Documents shorter than `k` tokens pass through untouched; a fully
     * duplicated document survives as its empty string (filter on
     * `n_kept > 0` to drop). Documents that were ALREADY empty or
@@ -441,20 +454,26 @@ object TextDedup {
       .select(col(idCol),
         posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("__pos", "__tok")))
       .filter(col("__tok") =!= "") // empty text explodes to one "" token
-    // k-gram starting at every position with k tokens left; the count
-    // window shares byDoc's partitioning, so steps 1-2 are ONE shuffle
-    val grams = toks
+    // token → 64-bit hash BEFORE the per-document window, so the gram
+    // shuffle's sort/spill stream is fixed-width (id, pos, hash) rows
+    // instead of variable-length strings — at 3M docs (380M tokens)
+    // this is the difference between spilling ~8 GB and ~20+ GB on the
+    // widest stage. Case-insensitive matching via lower() first.
+    val tokHashes = toks
+      .select(col(idCol), col("__pos"), xxhash64(lower(col("__tok"))).as("__th"))
+    // k-gram hash at every position with k tokens left: xxhash64 over
+    // the k token hashes (equality-equivalent to hashing the joined
+    // string — tokens contain no whitespace, so the k-tuple is
+    // unambiguous; collision odds at 350M distinct grams are ~2^-37 and
+    // the hash never reaches the output). The count window shares
+    // byDoc's partitioning, so steps 1-2 are ONE shuffle.
+    val grams = tokHashes
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(idCol))))
-      .withColumn("__gram", concat_ws(" ",
+      .withColumn("__gh", xxhash64(
         (0 until k).map(i =>
-          if (i == 0) lower(col("__tok"))
-          else lead(lower(col("__tok")), i).over(byDoc)): _*))
+          if (i == 0) col("__th") else lead(col("__th"), i).over(byDoc)): _*))
       .filter(col("__pos") <= col("__n") - k)
-      // xxhash64, not md5: the dup-marking shuffle and join carry one
-      // LONG per gram instead of md5's 32-char hex string — ~3× less
-      // spill at 100× (380M gram rows); collision odds at 350M distinct
-      // grams are ~2^-37, and the hash never reaches the output
-      .select(col(idCol), col("__pos"), xxhash64(col("__gram")).as("__gh"))
+      .select(col(idCol), col("__pos"), col("__gh"))
     // all-but-first occurrence per repeated gram via a PARTIAL-AGG
     // groupBy + join rather than a per-gram count/row_number window: a
     // corpus-wide common span (boilerplate) puts Θ(n) rows in ONE gram
@@ -472,22 +491,43 @@ object TextDedup {
       .filter(!(col(idCol) === col("__fst")(idCol) &&
         col("__pos") === col("__fst")("__pos")))
       .select(col(idCol), col("__pos"), (col("__pos") + k - 1).as("__end"))
-    val covered = toks
+    // coverage flags stay in long-space: the position stream is (id,
+    // pos) only — the token string does NOT ride the (id, pos) join or
+    // the running-max window
+    val covered = tokHashes.select(col(idCol), col("__pos"))
       .join(dupStarts, Seq(idCol, "__pos"), "left")
       .withColumn("__covEnd", max(col("__end")).over(
         byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("__covered", coalesce(col("__covEnd") >= col("__pos"), lit(false)))
-    covered.groupBy(col(idCol))
+    // per-doc boolean coverage array indexed by position (positions are
+    // contiguous 0..n-1 per doc, so array index == position)
+    val docCov = covered.groupBy(col(idCol))
       .agg(
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("__covered")))),
+          s => s.getField("__covered")).as("__covArr"),
+        sum(when(!col("__covered"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__covered"), 1L).otherwise(0L)).as("n_removed"))
+    // THE one string shuffle: tokens aggregate straight from the
+    // map-side explode into per-doc ordered arrays
+    val docToks = toks.groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__tok"))))
+        .as("__tokArr"))
+    // both aggs hash-partition by id → the join adds no exchange.
+    // zip_with (not element_at inside a filter lambda over a derived
+    // column) keeps the coverage array in ARGUMENT position — evaluated
+    // once per row, not re-evaluated per element if Catalyst inlines
+    // the defining expression (the HOF lambda-inlining trap).
+    docToks.join(docCov, Seq(idCol))
+      .select(col(idCol),
         array_join(
           transform(
             filter(
-              array_sort(collect_list(
-                struct(col("__pos"), col("__tok"), col("__covered")))),
-              s => !s.getField("__covered")),
-            s => s.getField("__tok")),
+              zip_with(col("__tokArr"), col("__covArr"),
+                (t, c) => struct(t.getField("__tok").as("t"), c.as("c"))),
+              s => !s.getField("c")),
+            s => s.getField("t")),
           " ").as(textCol),
-        sum(when(!col("__covered"), 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("__covered"), 1L).otherwise(0L)).as("n_removed"))
+        col("n_kept"), col("n_removed"))
   }
 }

@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.SharedSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Direct specs for the over-cap candidate guard — the cases the
+  * end-to-end LSH specs can't isolate: duplicate bucket rows, id
+  * interleaving inside a mixed mega-bucket, and multi-segment
+  * stitching. */
+class LshBucketsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  private def edges(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("__id1", "__id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** Connected-component count over an undirected edge set (test-side
+    * union-find — small inputs only). */
+  private def components(ids: Set[Long], es: Set[(Long, Long)]): Int = {
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i).toSeq: _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    es.foreach { case (a, b) =>
+      if (ids(a) && ids(b)) parent(find(a)) = find(b)
+    }
+    ids.map(find).size
+  }
+
+  test("duplicate (id, bucket) rows: occupancy counts distinct members, no self-edges") {
+    import spark.implicits._
+    // 5 distinct ids in one bucket, every row duplicated (the 32-bit
+    // band-collision shape) — raw-row occupancy (10) would wrongly
+    // exceed a cap of 6; distinct occupancy (5) keeps it all-pairs
+    val rows = (0L until 5L).flatMap(i => Seq((i, 77L), (i, 77L)))
+    val got = edges(LshBuckets.candidates(rows.toDF("id", "b"), "id", "b", maxBucket = 6))
+    val want = (for { i <- 0L until 5L; j <- (i + 1) until 5L } yield (i, j)).toSet
+    assert(got == want, s"expected exact all-pairs of 5 ids, got $got")
+    assert(!got.exists(e => e._1 == e._2), "no self-edges")
+  }
+
+  test("interleaved true cluster in a mixed over-cap bucket stays connected (chainLinks > 1)") {
+    import spark.implicits._
+    // one mega-bucket of 240 ids; the TRUE cluster is the even ids,
+    // interleaved 1:1 with non-members (the fragmentation case a pure
+    // successor chain cannot survive: member→interloper edges fail
+    // verification and member→member edges never exist). One segment
+    // (segmentRows > bucket) makes adjacency deterministic.
+    val rows = (0L until 240L).map(i => (i, 5L))
+    val cand = edges(LshBuckets.candidates(rows.toDF("id", "b"), "id", "b",
+      maxBucket = 16, chainLinks = 3, segmentRows = 100000))
+    // simulated exact verification: only member↔member edges survive
+    val members = (0L until 240L by 2).toSet
+    val verified = cand.filter(e => members(e._1) && members(e._2))
+    assert(components(members, verified) == 1,
+      s"even-id cluster fragmented: ${components(members, verified)} components")
+    // and the candidate set stays linear-ish, not all-pairs
+    assert(cand.size < 240 * 6, s"sparse edge set expected, got ${cand.size} edges")
+  }
+
+  test("multi-segment over-cap bucket: star stitching keeps one component") {
+    import spark.implicits._
+    val n = 3000L
+    val rows = (0L until n).map(i => (i, 9L))
+    val cand = edges(LshBuckets.candidates(rows.toDF("id", "b"), "id", "b",
+      maxBucket = 100, chainLinks = 2, segmentRows = 256))
+    // a true mega-cluster: every edge passes verification — the whole
+    // bucket must be ONE component across all hash-salted segments
+    assert(components((0L until n).toSet, cand) == 1, "segments not stitched")
+    assert(cand.size < n * 4, s"edge count must stay linear, got ${cand.size}")
+    assert(cand.forall(e => e._1 < e._2), "orientation __id1 < __id2")
+  }
+
+  test("maxBucket = Int.MaxValue short-circuits to exact all-pairs") {
+    import spark.implicits._
+    val rows = (0L until 6L).map(i => (i, 1L)) ++ (10L until 13L).map(i => (i, 2L))
+    val got = edges(LshBuckets.candidates(rows.toDF("id", "b"), "id", "b", Int.MaxValue))
+    val want = (for { i <- 0L until 6L; j <- (i + 1) until 6L } yield (i, j)).toSet ++
+      (for { i <- 10L until 13L; j <- (i + 1) until 13L } yield (i, j)).toSet
+    assert(got == want)
+  }
+}
