@@ -111,9 +111,19 @@ object Similarity {
     val buckets = base.select(col(idCol), explode(col("__buckets")).as("__b"))
     val candidates = LshBuckets.candidates(buckets, idCol, "__b", maxBucket)
     val vecs = base.select(col(idCol), col(vecCol))
+    // shuffle_hash on the vector side: sort-merge would SORT the
+    // candidate stream with a ~dim·4-byte vector attached to every row
+    // — at 2M vectors / 123M candidates that is a tens-of-GB sort
+    // (measured: execution-memory exhaustion at 24 g heap). The hash
+    // build side is the vectors frame, whose per-partition slice is
+    // corpus/shuffle-partitions — scale shuffle partitions with the
+    // corpus and the build stays executor-resident; the candidate
+    // stream is never sorted.
     candidates
-      .join(vecs.select(col(idCol).as("__id1"), col(vecCol).as("__v1")), "__id1")
-      .join(vecs.select(col(idCol).as("__id2"), col(vecCol).as("__v2")), "__id2")
+      .join(vecs.select(col(idCol).as("__id1"), col(vecCol).as("__v1"))
+        .hint("shuffle_hash"), "__id1")
+      .join(vecs.select(col(idCol).as("__id2"), col(vecCol).as("__v2"))
+        .hint("shuffle_hash"), "__id2")
       .withColumn("cosine", cosineExpr("__v1", "__v2"))
       .filter(col("cosine") >= threshold)
       .select(col("__id1").as(s"${idCol}_1"), col("__id2").as(s"${idCol}_2"),
