@@ -129,15 +129,15 @@ object TextDedup {
     val candidates = LshBuckets.candidates(bands, idCol, "__band", maxBucket)
 
     val grams = base.select(col(idCol), col("__grams"))
-    // shuffle_hash on the shingle side: SMJ would sort the candidate
-    // stream carrying a ~1 KB shingle array per row — the build side
-    // (grams, one row per doc) hashes executor-resident per partition
-    // while candidates stream unsorted
+    // the verification joins stay sort-merge: the shingle side is
+    // ~1 KB/doc, so a shuffled-hash build (docs/partitions rows PER
+    // CONCURRENT TASK, on-heap) measured as a heap OOM at 3M docs /
+    // 32 tasks / 24 g, while SMJ's external sort spills and completes.
+    // Contrast cosinePairsLsh, where the ~dim·4-byte vector side IS
+    // hash-built — build width decides the strategy.
     candidates
-      .join(grams.select(col(idCol).as("__id1"), col("__grams").as("__g1"))
-        .hint("shuffle_hash"), "__id1")
-      .join(grams.select(col(idCol).as("__id2"), col("__grams").as("__g2"))
-        .hint("shuffle_hash"), "__id2")
+      .join(grams.select(col(idCol).as("__id1"), col("__grams").as("__g1")), "__id1")
+      .join(grams.select(col(idCol).as("__id2"), col("__grams").as("__g2")), "__id2")
       .withColumn("jaccard",
         expr("size(array_intersect(__g1, __g2)) / cast(size(array_union(__g1, __g2)) AS double)"))
       .filter(col("jaccard") >= threshold)
@@ -223,13 +223,12 @@ object TextDedup {
     val verified = verifyJaccard match {
       case Some(t) =>
         val grams = base.select(col(idCol), col("__grams"))
-        // shuffle_hash: same sort-avoidance as minHashLshPairs — never
-        // sort a candidate stream with shingle arrays attached
+        // sort-merge, not shuffle_hash — same build-width rule as
+        // minHashLshPairs: a ~1 KB/doc build side OOMs concurrent
+        // on-heap hash builds at corpus scale; the external sort spills
         candidates
-          .join(grams.select(col(idCol).as("__id1"), col("__grams").as("__g1"))
-            .hint("shuffle_hash"), "__id1")
-          .join(grams.select(col(idCol).as("__id2"), col("__grams").as("__g2"))
-            .hint("shuffle_hash"), "__id2")
+          .join(grams.select(col(idCol).as("__id1"), col("__grams").as("__g1")), "__id1")
+          .join(grams.select(col(idCol).as("__id2"), col("__grams").as("__g2")), "__id2")
           .filter(expr(
             s"size(array_intersect(__g1, __g2)) / cast(size(array_union(__g1, __g2)) AS double) >= $t"))
       case None => candidates
