@@ -84,6 +84,19 @@ object Similarity {
     * c = 0.9. Precision is exact (every candidate is verified). The
     * shuffle is bounded by n·tables bucket rows — never all-pairs.
     *
+    * Candidates pass a 128-bit Hamming PREFILTER (two independent
+    * [[graft.expressions.RandProjSig]] longs) before any vector is
+    * attached: with occupancy held constant by the bits-∝-log(n) rule,
+    * random same-bucket collisions — pairs near cosine 0 — dominate
+    * the candidate set (~60 per vector, measured 123M candidates at 2M
+    * vectors), and carrying a dim·4-byte vector through their
+    * verification shuffles wrote tens of GB of disk per join. The
+    * prefilter cutoff sits 5σ above a threshold-cosine pair's expected
+    * Hamming distance (miss probability ~1e-7, far below the table
+    * collision miss rate above), while a random pair survives it with
+    * p ≈ 1e-5 — the exact-cosine join then verifies thousands of rows
+    * instead of hundreds of millions.
+    *
     * `maxBucket` guards the intra-bucket pair expansion: identical
     * embeddings (zero/default vectors from failed embedding jobs, spam)
     * share EVERY table's bucket, so a big exact-dup cluster is a
@@ -102,24 +115,47 @@ object Similarity {
                      maxBucket: Int = 4096): DataFrame = {
     val bucketsCol = GraftColumnBridge.column(
       RandProjBuckets(GraftColumnBridge.expression(col(vecCol)), tables, bits, seed))
+    // 128-bit prefilter signature: two independent 64-plane raw
+    // signatures, seeded apart from the bucket tables' planes
+    def preSig(s: Long) = GraftColumnBridge.column(
+      RandProjSig(GraftColumnBridge.expression(col(vecCol)), 64, s))
     // persisted: both sides of the bucket self-join reuse the signatures;
     // registered with Caches so the caller can release after materializing
     val base = Caches.registered(
       emb.select(col(idCol), col(vecCol))
         .withColumn("__buckets", bucketsCol)
+        .withColumn("__pa", preSig(seed * 1000003L + 1))
+        .withColumn("__pb", preSig(seed * 1000003L + 2))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val buckets = base.select(col(idCol), explode(col("__buckets")).as("__b"))
     val candidates = LshBuckets.candidates(buckets, idCol, "__b", maxBucket)
+    // Hamming prefilter: cutoff 5σ above the expected distance of a
+    // pair at EXACTLY the threshold cosine (the worst true pair), so
+    // the filter's miss rate is negligible against the LSH tables'
+    // own collision miss rate; everything this join chain carries is
+    // (id, long, long) rows
+    val fTh = math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    val maxHamming = math.ceil(
+      128 * fTh + 5.0 * math.sqrt(128 * fTh * (1 - fTh))).toInt
+    val sigs = base.select(col(idCol), col("__pa"), col("__pb"))
+    val prefiltered = candidates
+      .join(sigs.select(col(idCol).as("__id1"), col("__pa").as("__a1"),
+        col("__pb").as("__b1")).hint("shuffle_hash"), "__id1")
+      .join(sigs.select(col(idCol).as("__id2"), col("__pa").as("__a2"),
+        col("__pb").as("__b2")).hint("shuffle_hash"), "__id2")
+      .filter(expr("bit_count(__a1 ^ __a2) + bit_count(__b1 ^ __b2)")
+        <= maxHamming)
+      .select(col("__id1"), col("__id2"))
     val vecs = base.select(col(idCol), col(vecCol))
     // shuffle_hash on the vector side: sort-merge would SORT the
     // candidate stream with a ~dim·4-byte vector attached to every row
-    // — at 2M vectors / 123M candidates that is a tens-of-GB sort
+    // — at 2M vectors / 123M candidates that was a tens-of-GB sort
     // (measured: execution-memory exhaustion at 24 g heap). The hash
     // build side is the vectors frame, whose per-partition slice is
     // corpus/shuffle-partitions — scale shuffle partitions with the
-    // corpus and the build stays executor-resident; the candidate
-    // stream is never sorted.
-    candidates
+    // corpus and the build stays executor-resident; the (prefiltered,
+    // now thousands-of-rows) candidate stream is never sorted.
+    prefiltered
       .join(vecs.select(col(idCol).as("__id1"), col(vecCol).as("__v1"))
         .hint("shuffle_hash"), "__id1")
       .join(vecs.select(col(idCol).as("__id2"), col(vecCol).as("__v2"))
