@@ -106,6 +106,11 @@ object Bench {
       }
     }
     var lastTablePath: Option[String] = None
+    // SECTION SETTLE (the r10 ask): everything that ran before this
+    // process section — the driver's Verify pass, the warmup's table
+    // writes — may still be flushing; drain it so the sweep's first
+    // size starts from the same quiet state as a standalone run
+    settle(maxWaitS = 60)
     val headerRuns: Seq[(Long, Seq[graft.jobs.HeaderRunMetrics])] =
       headerSizes.toSeq.zip(repeatList).flatMap { case (n, reps) =>
         var thisTmp: Option[String] = None
@@ -176,6 +181,10 @@ object Bench {
     }
     val extraJson: Seq[String] = lastTablePath.toSeq.flatMap { path =>
       try {
+        // SECTION SETTLE: the largest ETL size's final merge just wrote
+        // a multi-GB table; its flush otherwise lands inside the
+        // partitioned-count / sweep timings
+        settle()
         import org.apache.spark.sql.functions.{col, lit}
         val t = graft.tables.VersionedTable.forPath(spark, path)
         // partition-pruned count (reference: src/utils/partitioning_test.py:24
@@ -240,7 +249,10 @@ object Bench {
     // purely from ordering.
     if (!skipQueries) {
       try {
-        System.gc()
+        // SECTION SETTLE: the 10M ETL sweep + partitioning sweep just
+        // deleted tens of GB of temp tables; drain the writeback before
+        // the first timed queries (alphabetically q1-q10) absorb it
+        settle(maxWaitS = 60)
         SparkEntry.queries("q1_agg")(spark, sfDir).count()
         SparkEntry.queries("q6_nullsafe_diff")(spark, sfDir).count()
         graft.ops.Caches.releaseAll()
@@ -271,7 +283,9 @@ object Bench {
       try Runtime.getRuntime.exec(Array("sync")).waitFor()
       catch { case scala.util.control.NonFatal(_) => }
       System.gc()
-      Thread.sleep(100)
+      // short drain (3 s cap): MB-scale tmp tables flush near-instantly,
+      // so this normally returns on the first poll
+      awaitWritebackDrain(3)
     }
     val results: Seq[(String, Seq[Double])] =
       (if (skipQueries) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
@@ -430,8 +444,16 @@ object Bench {
   /** Block until outstanding page-cache writeback is flushed (plus a GC):
     * run between data generation and a timed rep so the flush of the
     * GENERATOR's (or previous rep's) writes doesn't land inside the
-    * measurement. Best-effort — a missing /bin/sync degrades to gc+sleep. */
-  private def settle(): Unit = {
+    * measurement. Best-effort — a missing /bin/sync degrades to gc+sleep.
+    *
+    * The tail wait POLLS /proc/meminfo Dirty+Writeback down to a
+    * threshold instead of sleeping a fixed second: sync(2) returns when
+    * data is SUBMITTED, not when the device is quiet, and the r10 driver
+    * record's 93 s ETL-10M point (settled same-code reading: 31 s) showed
+    * a fixed sleep doesn't cover the multi-GB flush tails a stacked
+    * bench process produces. Polling makes the settle as long as the
+    * contamination actually is — and no longer. */
+  private[graft] def settle(maxWaitS: Int = 30): Unit = {
     // sync → gc → sync: the GC's finalizers can close buffered streams
     // and re-dirty pages after the first flush; the second sync picks
     // those up so the timed window starts with a genuinely clean cache
@@ -440,6 +462,34 @@ object Bench {
     System.gc()
     try Runtime.getRuntime.exec(Array("sync")).waitFor()
     catch { case scala.util.control.NonFatal(_) => }
-    Thread.sleep(1000)
+    awaitWritebackDrain(maxWaitS)
+  }
+
+  /** Poll Dirty+Writeback (kB) until under 48 MB or `maxWaitS` elapses;
+    * unreadable /proc/meminfo (non-Linux) degrades to the old 1 s sleep. */
+  private def awaitWritebackDrain(maxWaitS: Int): Unit = {
+    def dirtyKb(): Option[Long] =
+      try {
+        val lines = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/meminfo"))
+        var sum = 0L
+        var seen = 0
+        lines.forEach { l =>
+          if (l.startsWith("Dirty:") || l.startsWith("Writeback:")) {
+            sum += l.split("\\s+")(1).toLong
+            seen += 1
+          }
+        }
+        if (seen == 2) Some(sum) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val deadline = System.nanoTime() + maxWaitS * 1000000000L
+    var kb = dirtyKb()
+    if (kb.isEmpty) { Thread.sleep(1000); return }
+    while (kb.exists(_ > 48 * 1024) && System.nanoTime() < deadline) {
+      Thread.sleep(200)
+      kb = dirtyKb()
+    }
+    // small fixed tail: scheduler/kswapd quiesce after the last flush
+    Thread.sleep(200)
   }
 }

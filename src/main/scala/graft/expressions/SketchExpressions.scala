@@ -535,3 +535,116 @@ object BandHashes {
     new GenericArrayData(out)
   }
 }
+
+/** MinHash signature packed to ONE BYTE PER SLOT: slot i's value is
+  * avalanche-mixed (splitmix64 finalizer) and its low byte lands in
+  * byte (i mod 8) of output long (i / 8) — a 128-slot signature
+  * becomes 16 longs (128 bytes), 8× narrower than the raw
+  * array<bigint> signature it summarizes.
+  *
+  * Exists for the estimated-Jaccard prefilter in
+  * [[graft.ops.TextDedup.minHashLshPairs]]: the prefilter joins carry
+  * one packed signature per candidate side, and byte agreement
+  * (via [[PackedByteAgreement]]) estimates slot agreement — two slots
+  * that truly agree always map to equal bytes; two DIFFERING slots
+  * false-agree at 1/256 per slot (the mix makes that rate hold even
+  * for numerically close minhash values), a bias the prefilter cutoff
+  * accounts for. */
+case class PackSigBytes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_pack_sig_bytes requires array<bigint>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_pack_sig_bytes"
+
+  override def nullSafeEval(input: Any): Any =
+    PackSigBytes.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.PackSigBytes.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): PackSigBytes =
+    copy(child = newChild)
+}
+
+object PackSigBytes {
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Static so generated code can call it. */
+  def compute(sig: ArrayData): ArrayData = {
+    val n = sig.numElements()
+    val out = new Array[Long]((n + 7) / 8)
+    var i = 0
+    while (i < n) {
+      val b = mix64(sig.getLong(i)) & 0xFFL
+      out(i >>> 3) |= b << ((i & 7) << 3)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Count of EQUAL BYTE POSITIONS between two byte-packed signatures
+  * (outputs of [[PackSigBytes]]) — the slot-agreement count the
+  * estimated-Jaccard prefilter thresholds on. An exact per-byte loop,
+  * NOT the SWAR zero-byte trick ((v-0x01…)&~v&0x80…), which
+  * over-counts: a 0x01 byte directly above a zero byte absorbs the
+  * subtraction borrow and flags as zero too. Arrays of unequal length
+  * compare over the shorter prefix (callers produce fixed-width
+  * signatures, so lengths always match in practice). */
+case class PackedByteAgreement(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  private def okType(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left.dataType) && okType(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_packed_byte_agreement requires array<bigint>, got ${left.dataType.sql}, ${right.dataType.sql}")
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_packed_byte_agreement"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    PackedByteAgreement.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.expressions.PackedByteAgreement.compute($l, $r);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PackedByteAgreement =
+    copy(left = newLeft, right = newRight)
+}
+
+object PackedByteAgreement {
+  /** Static so generated code can call it. */
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var agree = 0
+    var i = 0
+    while (i < n) {
+      var x = a.getLong(i)
+      var y = b.getLong(i)
+      var k = 0
+      while (k < 8) {
+        if ((x & 0xFFL) == (y & 0xFFL)) agree += 1
+        x >>>= 8
+        y >>>= 8
+        k += 1
+      }
+      i += 1
+    }
+    agree
+  }
+}

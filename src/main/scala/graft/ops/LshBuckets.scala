@@ -67,10 +67,37 @@ private[ops] object LshBuckets {
     * over the cap. Duplicate (id, bucket) rows — 32-bit band
     * collisions, cross-table bucket-key collisions — are dropped
     * first, so occupancy counts distinct members and no self-edges
-    * can arise. */
+    * can arise.
+    *
+    * NOT a pure plan builder: unless `maxBucket == Int.MaxValue`, the
+    * call EAGERLY runs one Spark job (the max-occupancy probe) and —
+    * except when an external `probe` reads clean — persists the
+    * (id, bucket) frame as a side effect, a cache that lingers until
+    * [[Caches.releaseAll]]. A caller that builds the returned frame
+    * but never executes it still pays the probe job.
+    *
+    * `probe`: an optional (`idCol`, `bucketCol`) SUBSET frame whose max
+    * raw occupancy stands in for the full frame's in the eager probe —
+    * for bucket families whose occupancy distribution is symmetric
+    * across sub-keys (e.g. simhash block-pair combos, where template
+    * bias spreads over all 64 bits and so over all combos), probing a
+    * few sub-keys costs proportionally less than aggregating the full
+    * exploded frame. CONTRACT: a probe that reads clean when some
+    * UNPROBED bucket is over the cap only forfeits the guard (the plain
+    * self-join goes quadratic in that bucket — a performance cliff,
+    * not a correctness bug: downstream exact verification still rejects
+    * false pairs). Pass None unless the symmetry argument holds.
+    *
+    * `knownMaxOcc`: the result of a [[maxRawOccupancy]] call the caller
+    * already ran (e.g. to branch on the guard outcome before deciding
+    * to call this at all) — skips the eager probe job entirely. Same
+    * false-clean contract as `probe` when the caller's number was
+    * measured on a subset. */
   def candidates(bucketsRaw: DataFrame, idCol: String, bucketCol: String,
                  maxBucket: Int, chainLinks: Int = 2,
-                 segmentRows: Int = 4096): DataFrame = {
+                 segmentRows: Int = 4096,
+                 probe: Option[DataFrame] = None,
+                 knownMaxOcc: Option[Long] = None): DataFrame = {
     require(chainLinks >= 1 && segmentRows >= 2, "degenerate chain parameters")
 
     def allPairsOf(frame: DataFrame): DataFrame = frame.alias("l")
@@ -83,24 +110,32 @@ private[ops] object LshBuckets {
     if (maxBucket == Int.MaxValue)
       return allPairsOf(bucketsRaw.select(col(idCol), col(bucketCol))).distinct()
 
-    // the (id, bucket) frame is consumed by the probe and then by both
-    // sides of the self-join — persist the post-explode rows (two
-    // longs each) so the join jobs read narrow cached blocks instead
-    // of re-deriving signatures
-    val raw = Caches.registered(
-      bucketsRaw.select(col(idCol), col(bucketCol))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val frame = bucketsRaw.select(col(idCol), col(bucketCol))
+    // WITHOUT an external probe, the (id, bucket) frame is consumed by
+    // the probe agg and then by both sides of the self-join — persist
+    // the post-explode rows (two longs each) so the probe job doubles
+    // as cache materialization and the join jobs read narrow cached
+    // blocks instead of re-deriving signatures. WITH an external probe
+    // the persist is deferred: on a clean read the self-join runs
+    // directly off the caller's (persisted) upstream — re-exploding a
+    // hot cache twice is cheaper than materializing a bucket cache
+    // nothing else reads (measured on q17: probe-then-cold-self-join
+    // cost +0.4 s; the deferred shape sits at the pre-probe baseline).
+    lazy val raw = Caches.registered(
+      frame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // eager max-occupancy probe: ONE map-side-combined agg job over the
-    // RAW bucket frame decides whether any bucket can exceed the cap.
+    // RAW bucket frame (or the caller's representative probe subset)
+    // decides whether any bucket can exceed the cap.
     // Raw row counts over-count duplicate (id, bucket) rows, so
     // "raw max ≤ cap" safely implies every distinct occupancy is under
     // the cap too — and clean corpora (the common case, and every
     // corpus below the boilerplate-collision scale) then run the plain
     // bucket self-join with no distinct pass and no occupancy join.
-    val maxRow = raw.groupBy(col(bucketCol)).agg(count(lit(1)).as("__occ"))
-      .agg(max(col("__occ"))).head()
-    val maxOcc = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-    if (maxOcc <= maxBucket) return allPairsOf(raw).distinct()
+    val maxOcc = knownMaxOcc.getOrElse(maxRawOccupancy(
+      probe.map(_.select(col(idCol), col(bucketCol))).getOrElse(raw), bucketCol))
+    if (maxOcc <= maxBucket)
+      return allPairsOf(if (probe.isEmpty && knownMaxOcc.isEmpty) raw else frame)
+        .distinct()
 
     // over-cap corpus: distinct members feed the true occupancy count,
     // the small-bucket self-join, and the guard machinery (cheap to
@@ -154,5 +189,16 @@ private[ops] object LshBuckets {
       .select(col("__bktMin").as("__id1"), col("__segMin").as("__id2"))
 
     allPairs.union(chainEdges).union(starEdges).distinct()
+  }
+
+  /** Max RAW bucket occupancy of `frame` — ONE eager map-side-combined
+    * agg job. Raw counts over-count duplicate (id, bucket) rows, so a
+    * result ≤ cap safely implies every DISTINCT occupancy is under the
+    * cap too. Callers use it to branch on the guard outcome up front
+    * (and then hand the number to [[candidates]] via `knownMaxOcc`). */
+  def maxRawOccupancy(frame: DataFrame, bucketCol: String): Long = {
+    val row = frame.groupBy(col(bucketCol)).agg(count(lit(1)).as("__occ"))
+      .agg(max(col("__occ"))).head()
+    if (row.isNullAt(0)) 0L else row.getLong(0)
   }
 }

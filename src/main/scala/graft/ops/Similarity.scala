@@ -133,7 +133,12 @@ object Similarity {
     // pair at EXACTLY the threshold cosine (the worst true pair), so
     // the filter's miss rate is negligible against the LSH tables'
     // own collision miss rate; everything this join chain carries is
-    // (id, long, long) rows
+    // (id, long, long) rows. NOTE: the over-cap chain/star edges from
+    // LshBuckets pass through this filter too — a dropped borderline
+    // TRUE edge there (~1e-7) breaks cluster CONNECTIVITY for
+    // SemDeDup/component consumers rather than losing one pair; the
+    // K=2 chain redundancy covers isolated misses (two independent
+    // edges must both miss to detach a member).
     val fTh = math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
     val maxHamming = math.ceil(
       128 * fTh + 5.0 * math.sqrt(128 * fTh * (1 - fTh))).toInt

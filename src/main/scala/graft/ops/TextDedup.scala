@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.expressions.{HashedShingles, MinHashSig, SimHash64}
+import graft.expressions.{HashedShingles, MinHashSig, PackedByteAgreement, PackSigBytes, SimHash64}
 import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
 import org.apache.spark.sql.functions._
 
@@ -64,6 +64,8 @@ object TextDedup {
     * Pipeline: shingle → murmur3 hash → `numHashes` minhash signature →
     * bands of `bandRows` rows hashed to a band key → explode → self-join
     * on band key (the ONLY join; bucket-local) → distinct candidate pairs
+    * → estimated-Jaccard prefilter on byte-packed signatures (narrow
+    * joins; cuts random band collisions before any wide row moves)
     * → exact Jaccard on the true shingle sets → filter ≥ `threshold`.
     *
     * With bandRows=2 and 64 bands, a pair at Jaccard 0.5 is caught with
@@ -115,18 +117,56 @@ object TextDedup {
     // __bands is a native UnaryExpression (BandHashes): the SQL
     // transform-lambda formulation re-evaluated the inlined shingle +
     // minhash pipeline interpreted once per band — 64× per row.
+    // __sig feeds BOTH __bands and the packed prefilter signature: the
+    // two projections collapse into one and whole-stage codegen's
+    // subexpression elimination evaluates MinHashSig once per row.
+    val sigExpr = signature("__grams", numHashes, seed)
     val base = Caches.registered(df
       .select(col(idCol), hashedShingles(textCol, shingleSize).as("__grams"))
       .filter(size(col("__grams")) > 0)
-      .withColumn("__bands", GraftColumnBridge.column(
-        graft.expressions.BandHashes(
-          GraftColumnBridge.expression(signature("__grams", numHashes, seed)),
-          bandRows)))
+      .select(col(idCol), col("__grams"),
+        GraftColumnBridge.column(graft.expressions.BandHashes(
+          GraftColumnBridge.expression(sigExpr), bandRows)).as("__bands"),
+        GraftColumnBridge.column(PackSigBytes(
+          GraftColumnBridge.expression(sigExpr))).as("__psig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     val bands = base.select(col(idCol), explode(col("__bands")).as("__band"))
     // boilerplate/mega-cluster guard — see [[LshBuckets.candidates]]
     val candidates = LshBuckets.candidates(bands, idCol, "__band", maxBucket)
+
+    // Estimated-Jaccard prefilter (the Hamming-prefilter move from
+    // [[Similarity.cosinePairsLsh]]): a candidate pair's byte-packed
+    // signatures agree on slot i with probability J + (1−J)/256 (true
+    // agreement plus the packed-byte collision rate), so the agreement
+    // count of a TRUE pair at exactly `threshold` is Binomial(numHashes,
+    // p_t) plus the always-equal zero-padding bytes of the last packed
+    // long; the cutoff sits 5σ below that expectation (miss rate ~3e-7,
+    // negligible against the bands' own ~1e-8 collision miss rate —
+    // NOTE the over-cap chain/star edges from [[LshBuckets.candidates]]
+    // pass through this filter too, so a missed borderline CHAIN edge
+    // would cost cluster connectivity, not just one pair; the K=2 chain
+    // redundancy covers isolated misses). Random band collisions
+    // (J ≈ 0.04 → expected agreement ≈ numHashes/23) fall far below the
+    // cutoff, so the expensive gram-side exact joins see only
+    // plausibly-true pairs. The prefilter join chain carries 128-BYTE
+    // packed signatures, not ~1 KB shingle arrays — shuffle_hash build
+    // sides stay executor-resident under the same partitions-scale-
+    // with-corpus contract documented in cosinePairsLsh.
+    val pT = threshold + (1.0 - threshold) / 256.0
+    val padBytes = ((numHashes + 7) / 8) * 8 - numHashes
+    val minAgree = math.max(0, math.floor(numHashes * pT + padBytes -
+      5.0 * math.sqrt(numHashes * pT * (1.0 - pT)))).toInt
+    val psigs = base.select(col(idCol), col("__psig"))
+    val prefiltered = candidates
+      .join(psigs.select(col(idCol).as("__id1"), col("__psig").as("__p1"))
+        .hint("shuffle_hash"), "__id1")
+      .join(psigs.select(col(idCol).as("__id2"), col("__psig").as("__p2"))
+        .hint("shuffle_hash"), "__id2")
+      .filter(GraftColumnBridge.column(PackedByteAgreement(
+        GraftColumnBridge.expression(col("__p1")),
+        GraftColumnBridge.expression(col("__p2")))) >= minAgree)
+      .select(col("__id1"), col("__id2"))
 
     val grams = base.select(col(idCol), col("__grams"))
     // the verification joins stay sort-merge: the shingle side is
@@ -135,7 +175,7 @@ object TextDedup {
     // 32 tasks / 24 g, while SMJ's external sort spills and completes.
     // Contrast cosinePairsLsh, where the ~dim·4-byte vector side IS
     // hash-built — build width decides the strategy.
-    candidates
+    prefiltered
       .join(grams.select(col(idCol).as("__id1"), col("__grams").as("__g1")), "__id1")
       .join(grams.select(col(idCol).as("__id2"), col("__grams").as("__g2")), "__id2")
       .withColumn("jaccard",
@@ -168,6 +208,12 @@ object TextDedup {
     s"(shiftright($sigCol, $off) & ${(1L << len) - 1})"
   }
 
+  /** One combo bucket key for block pair (i, j) — shared by the full
+    * 91-combo array and the occupancy-probe subset so probe keys hash
+    * into EXACTLY the real buckets. */
+  private def comboKeySql(sigCol: String, i: Int, j: Int): String =
+    s"hash($i, $j, ${blockSql(sigCol, i)}, ${blockSql(sigCol, j)})"
+
   /** Bucket keys: one per PAIR of blocks (C(14,2) = 91 combos). If two
     * signatures differ in ≤ 12 bits, at least 2 of the 14 blocks agree
     * (pigeonhole), so they share at least one combo key — perfect recall
@@ -176,9 +222,26 @@ object TextDedup {
   private[graft] def simhashComboSql(sigCol: String): String = {
     val combos = for {
       i <- 0 until NumSimhashBlocks; j <- (i + 1) until NumSimhashBlocks
-    } yield s"hash($i, $j, ${blockSql(sigCol, i)}, ${blockSql(sigCol, j)})"
+    } yield comboKeySql(sigCol, i, j)
     combos.mkString("array(", ",", ")")
   }
+
+  /** Occupancy-PROBE subset of the combo keys: the 7 disjoint block
+    * pairs (0,1),(2,3),…,(12,13) — every block appears in exactly one
+    * probed combo, so any cohort agreeing on ≥ 13 of the 14 blocks is
+    * GUARANTEED to land in a probed combo (≥ 6 of the 7 pairs fully
+    * shared), and partially-agreeing cohorts are caught statistically:
+    * simhash bits are majority votes over ALL of a doc's features, so
+    * shared-template bias spreads across all 64 bit positions and
+    * elevates every combo's occupancy roughly uniformly rather than
+    * pinning a combo the probe skipped. Probing 7 of 91 combos cuts the
+    * eager occupancy agg ~13× (see [[LshBuckets.candidates]] for the
+    * false-clean contract: a missed over-cap bucket costs quadratic
+    * candidate work in that bucket, never a wrong answer). */
+  private[graft] def simhashProbeComboSql(sigCol: String): String =
+    (0 until NumSimhashBlocks by 2)
+      .map(i => comboKeySql(sigCol, i, i + 1))
+      .mkString("array(", ",", ")")
 
   /** SimHash near-duplicate pairs: combo-bucketed join on the packed
     * signature's block pairs, exact Hamming filter via `bit_count(xor)`
@@ -207,18 +270,48 @@ object TextDedup {
       .withColumn("__sig", simhashSig("__grams"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-    // the bucket frame carries only (id, bucket) — two longs per row;
-    // identical texts share ALL 91 combo keys, so a big exact-dup
-    // cluster is a guaranteed mega-bucket — same guard as minhash
-    val buckets = base.select(col(idCol),
-      explode(expr(simhashComboSql("__sig"))).as("__bucket"))
-    val sigs = base.select(col(idCol), col("__sig"))
-    val candidates = LshBuckets.candidates(buckets, idCol, "__bucket", maxBucket)
-      .join(sigs.select(col(idCol).as("__id1"), col("__sig").as("__s1")), "__id1")
-      .join(sigs.select(col(idCol).as("__id2"), col("__sig").as("__s2")), "__id2")
-      .select(col("__id1"), col("__id2"),
-        expr("cast(bit_count(__s1 ^ __s2) AS int)").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    // occupancy probe on 7 of the 91 combos (block-disjoint, keys
+    // identical to the real buckets') — see [[simhashProbeComboSql]].
+    // The probe job also materializes the base cache.
+    val probeMaxOcc = LshBuckets.maxRawOccupancy(
+      base.select(col(idCol),
+        explode(expr(simhashProbeComboSql("__sig"))).as("__bucket")), "__bucket")
+
+    val candidates = if (probeMaxOcc <= maxBucket) {
+      // CLEAN corpus (the common case): the signature is ONE long, so it
+      // rides the bucket self-join directly and the Hamming filter runs
+      // BEFORE the distinct — at fixture scale the ~9-bit combo keys make
+      // the candidate set mostly random collisions (measured: 2.37M raw
+      // pairs from 5k docs), and distinct-then-join-sigs over those was
+      // the whole cost of the operator (2.9 s vs 2.0 s for this shape).
+      // At corpus scale the same ordering keeps the distinct's shuffle
+      // proportional to TRUE pairs, not collisions.
+      val bsig = base.select(col(idCol), col("__sig"),
+        explode(expr(simhashComboSql("__sig"))).as("__bucket"))
+      bsig.alias("l").join(bsig.alias("r"),
+          col("l.__bucket") === col("r.__bucket") &&
+            col(s"l.$idCol") < col(s"r.$idCol"), "inner")
+        .select(col(s"l.$idCol").as("__id1"), col(s"r.$idCol").as("__id2"),
+          expr("cast(bit_count(l.__sig ^ r.__sig) AS int)").as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .distinct()
+    } else {
+      // over-cap corpus: the generic guard (segmented chains + star) —
+      // the bucket frame carries only (id, bucket); identical texts
+      // share ALL 91 combo keys, so a big exact-dup cluster is a
+      // guaranteed mega-bucket — same guard as minhash. knownMaxOcc
+      // hands the probe result over so no second probe job runs.
+      val buckets = base.select(col(idCol),
+        explode(expr(simhashComboSql("__sig"))).as("__bucket"))
+      val sigs = base.select(col(idCol), col("__sig"))
+      LshBuckets.candidates(buckets, idCol, "__bucket", maxBucket,
+          knownMaxOcc = Some(probeMaxOcc))
+        .join(sigs.select(col(idCol).as("__id1"), col("__sig").as("__s1")), "__id1")
+        .join(sigs.select(col(idCol).as("__id2"), col("__sig").as("__s2")), "__id2")
+        .select(col("__id1"), col("__id2"),
+          expr("cast(bit_count(__s1 ^ __s2) AS int)").as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+    }
 
     val verified = verifyJaccard match {
       case Some(t) =>

