@@ -158,7 +158,10 @@ object TextDedup {
     val minAgree = math.max(0, math.floor(numHashes * pT + padBytes -
       5.0 * math.sqrt(numHashes * pT * (1.0 - pT)))).toInt
     val psigs = base.select(col(idCol), col("__psig"))
-    val prefiltered = candidates
+    // persisted: consumed by the id semi-prune below AND the final pair
+    // joins — two longs per row, and the prefilter leaves roughly the
+    // true-pair set, so the cache is ∝ duplicate pairs, not candidates
+    val prefiltered = Caches.registered(candidates
       .join(psigs.select(col(idCol).as("__id1"), col("__psig").as("__p1"))
         .hint("shuffle_hash"), "__id1")
       .join(psigs.select(col(idCol).as("__id2"), col("__psig").as("__p2"))
@@ -167,12 +170,29 @@ object TextDedup {
         GraftColumnBridge.expression(col("__p1")),
         GraftColumnBridge.expression(col("__p2")))) >= minAgree)
       .select(col("__id1"), col("__id2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+    // Semi-prune the gram frame to ids that SURVIVED the prefilter
+    // before the wide verification joins: without this, BOTH pair joins
+    // shuffle+sort the full ~1 KB/doc gram frame even when survivors are
+    // a few pairs per thousand docs (measured at 100× / 3M docs: the two
+    // full-gram exchanges dominated the operator and were its spill-IO
+    // variance source). Survivor ids are ∝ the duplicate rate, so AQE
+    // turns the semi join into a broadcast at runtime and the gram frame
+    // is pruned with NO shuffle; on a pathological mostly-duplicates
+    // corpus the prune degrades to one extra gram shuffle (3 instead of
+    // 2) — linear either way, never quadratic.
+    val survivorIds = prefiltered.select(col("__id1").as(idCol))
+      .union(prefiltered.select(col("__id2").as(idCol)))
+      .distinct()
     val grams = base.select(col(idCol), col("__grams"))
+      .join(survivorIds, Seq(idCol), "left_semi")
     // the verification joins stay sort-merge: the shingle side is
     // ~1 KB/doc, so a shuffled-hash build (docs/partitions rows PER
     // CONCURRENT TASK, on-heap) measured as a heap OOM at 3M docs /
-    // 32 tasks / 24 g, while SMJ's external sort spills and completes.
+    // 32 tasks / 24 g, while SMJ's external sort spills and completes —
+    // post-prune both sides are survivor-sized, so strategy hardly
+    // matters; SMJ is kept as the spill-safe default.
     // Contrast cosinePairsLsh, where the ~dim·4-byte vector side IS
     // hash-built — build width decides the strategy.
     prefiltered
