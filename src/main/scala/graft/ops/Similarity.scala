@@ -127,13 +127,10 @@ object Similarity {
         .withColumn("__pa", preSig(seed * 1000003L + 1))
         .withColumn("__pb", preSig(seed * 1000003L + 2))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val buckets = base.select(col(idCol), explode(col("__buckets")).as("__b"))
-    val candidates = LshBuckets.candidates(buckets, idCol, "__b", maxBucket)
     // Hamming prefilter: cutoff 5σ above the expected distance of a
     // pair at EXACTLY the threshold cosine (the worst true pair), so
     // the filter's miss rate is negligible against the LSH tables'
-    // own collision miss rate; everything this join chain carries is
-    // (id, long, long) rows. NOTE: the over-cap chain/star edges from
+    // own collision miss rate. NOTE: the over-cap chain/star edges from
     // LshBuckets pass through this filter too — a dropped borderline
     // TRUE edge there (~1e-7) breaks cluster CONNECTIVITY for
     // SemDeDup/component consumers rather than losing one pair; the
@@ -142,15 +139,43 @@ object Similarity {
     val fTh = math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
     val maxHamming = math.ceil(
       128 * fTh + 5.0 * math.sqrt(128 * fTh * (1 - fTh))).toInt
-    val sigs = base.select(col(idCol), col("__pa"), col("__pb"))
-    val prefiltered = candidates
-      .join(sigs.select(col(idCol).as("__id1"), col("__pa").as("__a1"),
-        col("__pb").as("__b1")).hint("shuffle_hash"), "__id1")
-      .join(sigs.select(col(idCol).as("__id2"), col("__pa").as("__a2"),
-        col("__pb").as("__b2")).hint("shuffle_hash"), "__id2")
-      .filter(expr("bit_count(__a1 ^ __a2) + bit_count(__b1 ^ __b2)")
-        <= maxHamming)
-      .select(col("__id1"), col("__id2"))
+    // the bucket frame CARRIES the two prefilter longs (4 longs/row vs
+    // 2): on a clean corpus the Hamming cut then runs INSIDE the bucket
+    // self-join stage — before the pair distinct and before any other
+    // exchange — so the raw candidate volume (n²·tables/2^bits rows at
+    // uniform occupancy) never hits the shuffle layer. The former shape
+    // (bare candidates → distinct → two psig attach joins → filter)
+    // shuffled every unfiltered candidate 3×: at 6M vectors / 300× that
+    // filled the disk quota (scale_r11_300x_heavy.json preopt errors)
+    // even though survivors were in the thousands.
+    val buckets = base.select(col(idCol), col("__pa"), col("__pb"),
+      explode(col("__buckets")).as("__b"))
+    // eager occupancy probe (one map-combined agg — the simhash-pairs
+    // protocol): clean corpora take the inline path; a mega-bucket
+    // corpus falls back to the guard + psig-attach joins below
+    val probeMaxOcc = LshBuckets.maxRawOccupancy(
+      buckets.select(col(idCol), col("__b")), "__b")
+    val hammingOk = expr(
+      s"bit_count(l.__pa ^ r.__pa) + bit_count(l.__pb ^ r.__pb)") <= maxHamming
+    val prefiltered = if (probeMaxOcc <= maxBucket) {
+      buckets.alias("l").join(buckets.alias("r"),
+          col("l.__b") === col("r.__b") &&
+            col(s"l.$idCol") < col(s"r.$idCol"), "inner")
+        .filter(hammingOk)
+        .select(col(s"l.$idCol").as("__id1"), col(s"r.$idCol").as("__id2"))
+        .distinct()
+    } else {
+      val sigs = base.select(col(idCol), col("__pa"), col("__pb"))
+      LshBuckets.candidates(buckets.select(col(idCol), col("__b")),
+          idCol, "__b", maxBucket, knownMaxOcc = Some(probeMaxOcc))
+        .join(sigs.select(col(idCol).as("__id1"), col("__pa").as("__a1"),
+          col("__pb").as("__b1")).hint("shuffle_hash"), "__id1")
+        .join(sigs.select(col(idCol).as("__id2"), col("__pa").as("__a2"),
+          col("__pb").as("__b2")).hint("shuffle_hash"), "__id2")
+        .filter(expr("bit_count(__a1 ^ __a2) + bit_count(__b1 ^ __b2)")
+          <= maxHamming)
+        .select(col("__id1"), col("__id2"))
+    }
     val vecs = base.select(col(idCol), col(vecCol))
     // shuffle_hash on the vector side: sort-merge would SORT the
     // candidate stream with a ~dim·4-byte vector attached to every row
