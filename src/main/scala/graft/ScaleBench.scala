@@ -37,6 +37,15 @@ object ScaleBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // zstd shuffle/spill compression (static conf, so set here, not in
+      // tune()): span_dedup at 300× (9M docs) writes ~70 GB of
+      // concurrently-live lz4 shuffle files inside ONE rep — over this
+      // host's disk quota (the preopt no-space failure kept in
+      // scale_r11_300x_preopt.json). zstd holds the same rep at roughly
+      // 0.6× the bytes for ~10% CPU — the trade every disk-constrained
+      // production deployment makes. Bench keeps lz4 so query medians
+      // stay comparable across rounds.
+      .config("spark.io.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
