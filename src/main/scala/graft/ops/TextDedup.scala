@@ -538,29 +538,41 @@ object TextDedup {
     * casing.
     *
     * Scale shape — corpus-linear, no suffix array and no all-pairs,
-    * and the token STRINGS cross exactly ONE shuffle (the final
-    * per-document reassembly); every other stage carries fixed-width
-    * (long, int, long) rows, which at 3M docs / 380M tokens halves the
-    * sort-spill byte volume vs letting strings ride the gram window:
-    *  1. tokenize with positions and hash each token to a LONG
-    *     (map-side — the string is dropped before any exchange);
-    *  2. k-gram hash per position via k−1 `lead`s of the token hash on
-    *     ONE per-document window (first keyed shuffle, by id, longs);
-    *  3. a partial-agg `groupBy` over the gram hash marks every
-    *     non-first occurrence of a duplicated gram (second keyed
-    *     shuffle, 8-byte keys, map-side combined);
-    *  4. covered positions come from a running `max(span end)` window
-    *     per document over the (id, pos) position stream left-joined
-    *     with the marked starts — NOT a range join and NOT a k×
-    *     position explosion (heavy duplication costs nothing extra);
-    *     per-doc flags aggregate to a position-indexed boolean array;
-    *  5. reassembly `zip_with`s that boolean array against the one
-    *     collect_list of (pos, token) — the single string shuffle —
-    *     with zero extra exchange (both aggs share the id
-    *     partitioning).
+    * and (the property the disk budget lives or dies by at 9M docs /
+    * 1.1B tokens) the gram stream crosses exactly ONE exchange, read
+    * once, and the corpus text at most two (the cached parallelism
+    * exchange and the reassembly join):
+    *  1. tokenize once into a CACHED, id-partitioned (id, tokens,
+    *     gramHashes) frame: the native [[graft.expressions.GramHashes]]
+    *     expression builds every position's k-gram hash in one
+    *     primitive JVM loop per document, so nothing is shuffled to
+    *     see k−1 positions ahead — the per-document `lead` window
+    *     (a full (id, pos, hash) shuffle of the corpus, ~20 GB of
+    *     live shuffle files at 9M docs) is GONE;
+    *  2. ONE exchange of the exploded (id, pos, gramHash) stream,
+    *     hash-partitioned by the gram hash and read ONCE: occurrence
+    *     count and first occurrence (count>1 + min(id,pos) per gram)
+    *     are unbounded-frame window aggregates, so each gram row
+    *     learns its dup-start verdict in a single pass — the former
+    *     groupBy-then-join shape wrote the gram stream to shuffle
+    *     disk twice (partial-agg rows are ~distinct grams, i.e. ~all
+    *     of them, since most grams are unique);
+    *  3. covered positions come from a running `max(span end)` window
+    *     per document over the (id, pos) position stream UNIONED with
+    *     the marked starts (start rows sort before their position's
+    *     token row) — one id-keyed exchange of narrow rows, where the
+    *     former left-join-then-window shape paid a (id,pos)-keyed join
+    *     exchange AND an id-keyed window exchange. NOT a range join
+    *     and NOT a k× position explosion (heavy duplication costs
+    *     nothing extra); per-doc flags aggregate to a position-indexed
+    *     boolean array on the window's own partitioning (no exchange);
+    *  4. reassembly `zip_with`s that boolean array against the
+    *     document's cached token array — the single string shuffle.
     * A hot duplicated gram (a million-occurrence boilerplate line) is
-    * one combiner cell in step 3 — map-side partial aggregation means
-    * one row per distinct gram reaches the shuffle.
+    * one window group in step 2 — the identical one-reducer bytes ANY
+    * hash-by-gram plan sends there; WindowExec buffers one group at a
+    * time in a spillable buffer and its per-group state is one
+    * (count, min) cell, so the hot gram costs sort-spill, never heap.
     * Documents shorter than `k` tokens pass through untouched; a fully
     * duplicated document survives as its empty string (filter on
     * `n_kept > 0` to drop). Documents that were ALREADY empty or
@@ -571,58 +583,102 @@ object TextDedup {
                         k: Int = 8): DataFrame = {
     require(k >= 2, "a span of fewer than 2 tokens is not a span")
     import org.apache.spark.sql.expressions.Window
-    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-    val toks = df
+    // a whitespace-only document trims to "" and splits to [""]; the
+    // element filter leaves it an EMPTY array, so it explodes to no
+    // rows anywhere below and is absent from the output (the contract).
+    // The explicit not-null id filter changes nothing semantically (a
+    // null-id doc can never survive the final inner id join); it keeps
+    // the cached subtree identical under every consumer.
+    //
+    // The id repartition with an EXPLICIT partition count exists for
+    // PARALLELISM, not distribution: tokenize + gram hashing otherwise
+    // run on the INPUT SPLITS — a fixture-sized parquet is one or two
+    // splits, pinning the whole map phase to two cores (measured:
+    // 4.4 s → 67 s at 30k docs). The explicit count opts out of AQE
+    // coalescing, which would fold a small corpus right back to one
+    // partition. The persist (the minHashLshPairs precedent — released
+    // via Caches.releaseAll) materializes tokens + gram hashes ONCE
+    // for the three consumers (gram stream, position stream,
+    // reassembly join); without it the position branch re-evaluates
+    // the tokenize transform per inferred filter and each consumer
+    // re-scans the input.
+    //
+    // __ghArr(i) = hash of the k lowercased tokens at i..i+k-1, built
+    // by the native GramHashes expression in one primitive JVM loop
+    // per document — nothing is shuffled to see k−1 positions ahead
+    // (the former lead()-window shape exchanged the whole (id, pos,
+    // hash) corpus for exactly that), and no interpreted HOF chain
+    // re-boxes every token (a k−1-level zip_with fold measured ~2×
+    // the whole operator at 30k docs). Tail slots hold partial folds
+    // and are cut by the pos <= n−k filter. Gram equality is equality
+    // of the k-tuple of lowercased tokens (hash collisions at ~1B
+    // distinct grams: ~2^-34, and the hash never reaches the output);
+    // matching is case-insensitive, original casing survives in
+    // __toks for reassembly. No exchange below carries a token string
+    // except the final reassembly join.
+    val base = Caches.registered(df
+      .filter(col(idCol).isNotNull)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
       .select(col(idCol),
-        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("__pos", "__tok")))
-      .filter(col("__tok") =!= "") // empty text explodes to one "" token
-    // token → 64-bit hash BEFORE the per-document window, so the gram
-    // shuffle's sort/spill stream is fixed-width (id, pos, hash) rows
-    // instead of variable-length strings — at 3M docs (380M tokens)
-    // this is the difference between spilling ~8 GB and ~20+ GB on the
-    // widest stage. Case-insensitive matching via lower() first.
-    val tokHashes = toks
-      .select(col(idCol), col("__pos"), xxhash64(lower(col("__tok"))).as("__th"))
-    // k-gram hash at every position with k tokens left: xxhash64 over
-    // the k token hashes (equality-equivalent to hashing the joined
-    // string — tokens contain no whitespace, so the k-tuple is
-    // unambiguous; collision odds at 350M distinct grams are ~2^-37 and
-    // the hash never reaches the output). The count window shares
-    // byDoc's partitioning, so steps 1-2 are ONE shuffle.
-    val grams = tokHashes
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(idCol))))
-      .withColumn("__gh", xxhash64(
-        (0 until k).map(i =>
-          if (i == 0) col("__th") else lead(col("__th"), i).over(byDoc)): _*))
+        filter(split(trim(col(textCol)), "\\s+"), t => t =!= "").as("__toks"))
+      .withColumn("__ghArr", org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.GramHashes(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("__toks")), k)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val grams = base
+      .select(col(idCol), size(col("__ghArr")).as("__n"),
+        posexplode(col("__ghArr")).as(Seq("__pos", "__gh")))
       .filter(col("__pos") <= col("__n") - k)
       .select(col(idCol), col("__pos"), col("__gh"))
-    // all-but-first occurrence per repeated gram via a PARTIAL-AGG
-    // groupBy + join rather than a per-gram count/row_number window: a
-    // corpus-wide common span (boilerplate) puts Θ(n) rows in ONE gram
-    // key, and a window partition is a single task AQE cannot split —
-    // the one straggler shape on this path at 100 TB. The groupBy
-    // combines map-side (one row per gram reaches the shuffle) and the
-    // join's probe-side skew is exactly what AQE skew-split handles.
-    // min(struct(id, pos)) = the window's row_number()=1 row.
-    val firstPer = grams.groupBy(col("__gh")).agg(
-      count(lit(1)).as("__cnt"),
-      min(struct(col(idCol), col("__pos"))).as("__fst"))
-      .filter(col("__cnt") > 1)
-      .select(col("__gh"), col("__fst"))
-    val dupStarts = grams.join(firstPer, "__gh")
-      .filter(!(col(idCol) === col("__fst")(idCol) &&
-        col("__pos") === col("__fst")("__pos")))
+    // ONE exchange of the gram stream, hash-partitioned by gram hash
+    // and read ONCE: occurrence count and globally-first occurrence
+    // are per-gram WINDOW aggregates (unbounded frame), so every gram
+    // row learns in a single pass whether it is a non-first occurrence
+    // of a duplicated gram. The groupBy-then-join alternative writes
+    // the gram stream to shuffle disk twice (partial-agg rows ≈
+    // distinct grams ≈ all grams, since most grams are unique; at 9M
+    // docs the second copy is ~20 GB of concurrently-live shuffle
+    // files — the 300× disk-quota failure), and the AQE reused-
+    // exchange that would deduplicate them proved canonically fragile
+    // under a cached-relation subtree. A corpus-wide common span
+    // (boilerplate) puts Θ(n) rows in ONE gram key — the identical
+    // one-reducer bytes ANY hash-by-gram plan (join or window) sends
+    // there; WindowExec buffers one gram group at a time in a
+    // spillable buffer, and the per-group state is one (count, min)
+    // cell, so the hot gram costs sort-spill, never heap.
+    val perGram = Window.partitionBy(col("__gh"))
+    // min(struct(id, pos)) = the globally-first occurrence (the
+    // row_number()=1 row an ordered window would pick, computed
+    // without imposing a per-gram sort order)
+    val dupStarts = grams
+      .withColumn("__cnt", count(lit(1)).over(perGram))
+      .withColumn("__fst", min(struct(col(idCol), col("__pos"))).over(perGram))
+      .filter(col("__cnt") > 1 &&
+        !(col(idCol) === col("__fst")(idCol) &&
+          col("__pos") === col("__fst")("__pos")))
       .select(col(idCol), col("__pos"), (col("__pos") + k - 1).as("__end"))
-    // coverage flags stay in long-space: the position stream is (id,
-    // pos) only — the token string does NOT ride the (id, pos) join or
-    // the running-max window
-    val covered = tokHashes.select(col(idCol), col("__pos"))
-      .join(dupStarts, Seq(idCol, "__pos"), "left")
+    // coverage: UNION the (id, pos) position stream with the marked
+    // starts and run ONE id-keyed running-max window over it — start
+    // rows order before their own position's token row (false < true)
+    // so a span starting at p covers p. The former shape joined starts
+    // onto positions by (id,pos) and THEN windowed by id: two extra
+    // corpus-sized exchanges this union avoids. Everything is (long,
+    // int, int, bool) rows — no token string rides the window.
+    val tokRows = base
+      .select(col(idCol), posexplode(col("__ghArr")).as(Seq("__pos", "__ghv")))
+      .select(col(idCol), col("__pos"),
+        lit(null).cast("int").as("__end"), lit(true).as("__isTok"))
+    val covered = tokRows
+      .unionByName(dupStarts.withColumn("__isTok", lit(false)))
       .withColumn("__covEnd", max(col("__end")).over(
-        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        Window.partitionBy(col(idCol)).orderBy(col("__pos"), col("__isTok"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("__isTok"))
       .withColumn("__covered", coalesce(col("__covEnd") >= col("__pos"), lit(false)))
     // per-doc boolean coverage array indexed by position (positions are
-    // contiguous 0..n-1 per doc, so array index == position)
+    // contiguous 0..n-1 per doc, so array index == position); the
+    // groupBy runs on the window's own id partitioning — no exchange
     val docCov = covered.groupBy(col(idCol))
       .agg(
         transform(
@@ -630,23 +686,20 @@ object TextDedup {
           s => s.getField("__covered")).as("__covArr"),
         sum(when(!col("__covered"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("__covered"), 1L).otherwise(0L)).as("n_removed"))
-    // THE one string shuffle: tokens aggregate straight from the
-    // map-side explode into per-doc ordered arrays
-    val docToks = toks.groupBy(col(idCol))
-      .agg(array_sort(collect_list(struct(col("__pos"), col("__tok"))))
-        .as("__tokArr"))
-    // both aggs hash-partition by id → the join adds no exchange.
-    // zip_with (not element_at inside a filter lambda over a derived
-    // column) keeps the coverage array in ARGUMENT position — evaluated
-    // once per row, not re-evaluated per element if Catalyst inlines
-    // the defining expression (the HOF lambda-inlining trap).
-    docToks.join(docCov, Seq(idCol))
+    // THE one string shuffle: the cached token array joins the
+    // coverage frame by id. zip_with (not element_at inside a filter
+    // lambda over a derived column) keeps the coverage array in
+    // ARGUMENT position — evaluated once per row, not re-evaluated per
+    // element if Catalyst inlines the defining expression (the HOF
+    // lambda-inlining trap).
+    base.select(col(idCol), col("__toks"))
+      .join(docCov, Seq(idCol))
       .select(col(idCol),
         array_join(
           transform(
             filter(
-              zip_with(col("__tokArr"), col("__covArr"),
-                (t, c) => struct(t.getField("__tok").as("t"), c.as("c"))),
+              zip_with(col("__toks"), col("__covArr"),
+                (t, c) => struct(t.as("t"), c.as("c"))),
               s => !s.getField("c")),
             s => s.getField("t")),
           " ").as(textCol),

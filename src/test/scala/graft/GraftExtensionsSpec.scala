@@ -69,4 +69,31 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT graft_cosine(array(1.0f), array(1.0f)) AS c")
       .head().getDouble(0) === 1.0)
   }
+
+  test("GramHashes: positional, case-folded, tail slots partial, length-preserving") {
+    import graft.expressions.GramHashes
+    val rows = Seq(
+      (1L, Seq("a", "b", "c", "d", "e")),
+      (2L, Seq("X", "A", "B", "C", "D", "E")), // shares 1's gram at pos 1, case-folded
+      (3L, Seq("a", "b")),                     // shorter than k: only partial folds
+      (4L, Seq.empty[String]))
+      .toDF("id", "toks")
+      .select(col("id"), GraftColumnBridge.column(GramHashes(
+        GraftColumnBridge.expression(col("toks")), 5)).as("gh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // output length == input length (positions align with the token array)
+    assert(rows(1L).length == 5 && rows(2L).length == 6 &&
+      rows(3L).length == 2 && rows(4L).isEmpty)
+    // the full 5-gram "a b c d e" hashes identically at doc1 pos0 and
+    // doc2 pos1 despite the casing difference
+    assert(rows(1L)(0) == rows(2L)(1), "case-folded gram equality")
+    // different grams hash differently
+    assert(rows(2L)(0) != rows(1L)(0), "distinct grams must differ")
+    // tail partial folds differ from the full gram (they hash fewer
+    // tokens) — callers cut them with pos <= n-k
+    assert(rows(1L)(1) != rows(1L)(0), "partial tail fold is not the full gram")
+    // a doc shorter than k holds only partial folds, and its 2-token
+    // fold at pos 0 equals nothing from the 5-gram world
+    assert(!rows(1L).contains(rows(3L)(0)))
+  }
 }

@@ -162,6 +162,34 @@ class PlanAuditSpec extends AnyFunSuite {
       s"span coverage must come from the running-max window, not a cross join:\n${p.take(2000)}")
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"the (id,pos) start join must stay an equi-join:\n${p.take(2000)}")
+    // the disk-budget linchpin at 9M docs: the exploded gram stream is
+    // exchanged ONCE and read once (the per-gram window) — two
+    // materialized gram exchanges is the shape that filled the 300×
+    // disk quota. Walk the FINAL adaptive plan tree (the string form
+    // interleaves initial sections and the cached base's own nested
+    // adaptive plan).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    // QueryStageExec nodes are leaves whose real subtree hangs off
+    // .plan — a plain collect() never descends past the first stage
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case q: QueryStageExec => allNodes(q.plan)
+      case _ => p.children.flatMap(allNodes)
+    })
+    val ghStages = allNodes(finalPlan).collect {
+      case s: ShuffleQueryStageExec
+        if s.outputPartitioning.toString.contains("__gh") => s
+    }
+    val (ghReused, ghReal) =
+      ghStages.partition(_.plan.isInstanceOf[ReusedExchangeExec])
+    assert(ghReal.length == 1 && ghReused.isEmpty,
+      s"the gram stream must cross exactly one exchange, consumed once " +
+        s"(got ${ghReal.length} materialized + ${ghReused.length} reused):\n$finalPlan")
   }
 
   test("q86: bucketed co-located join — the ONLY exchange is the final aggregation's") {
