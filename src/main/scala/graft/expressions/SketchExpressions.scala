@@ -202,6 +202,69 @@ object GramHashes {
   }
 }
 
+/** Span-coverage flags for repeated-span dedup: given the SORTED
+  * 0-based start positions of duplicated k-grams in a document of `n`
+  * tokens, `out(p)` = whether token p lies inside any span
+  * [s, s+k-1]. One two-pointer pass (O(n + starts)): the running
+  * maximum start ≤ p covers p iff it is ≥ p−k+1 — the same running-
+  * max-of-span-end rule the former id-keyed window computed, now per
+  * DOCUMENT ROW instead of per exploded token row. That window was an
+  * exchange + sort of the entire (id, pos) position stream (~1.2B
+  * narrow rows at 9M docs) followed by a corpus-wide collect_list
+  * re-aggregation; this expression replaces both with a join of the
+  * per-doc sorted starts (∝ duplicated positions only) back onto the
+  * cached token frame. Unsorted starts would silently under-cover —
+  * callers must sort_array first. */
+case class SpanCoverage(starts: Expression, n: Expression, k: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = starts
+  override def right: Expression = n
+  override def checkInputDataTypes(): TypeCheckResult =
+    (starts.dataType, n.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.IntegerType, _),
+            org.apache.spark.sql.types.IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_span_coverage requires (array<int>, int), got $other")
+    }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.BooleanType, containsNull = false)
+  override def prettyName: String = "graft_span_coverage"
+
+  override def nullSafeEval(startsV: Any, nV: Any): Any =
+    SpanCoverage.compute(
+      startsV.asInstanceOf[ArrayData], nV.asInstanceOf[Int], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, nn) =>
+      s"${ev.value} = graft.expressions.SpanCoverage.compute($s, $nn, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SpanCoverage =
+    copy(starts = newLeft, n = newRight)
+}
+
+object SpanCoverage {
+  /** Static so generated code can call it. */
+  def compute(starts: ArrayData, n: Int, k: Int): ArrayData = {
+    val out = new Array[Boolean](n)
+    val m = starts.numElements()
+    var ptr = 0
+    var lastStart = Int.MinValue
+    var p = 0
+    while (p < n) {
+      while (ptr < m && starts.getInt(ptr) <= p) {
+        lastStart = starts.getInt(ptr) // sorted: each is the max so far
+        ptr += 1
+      }
+      out(p) = lastStart >= p - k + 1
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Cosine similarity of two array<float|double> columns as one codegen'd
   * JVM loop. The zip_with + aggregate SQL formulation it replaces is
   * interpreted per element — at 12.5M candidate pairs × 64 dims that

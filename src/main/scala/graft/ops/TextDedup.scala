@@ -540,15 +540,18 @@ object TextDedup {
     * Scale shape — corpus-linear, no suffix array and no all-pairs,
     * and (the property the disk budget lives or dies by at 9M docs /
     * 1.1B tokens) the gram stream crosses exactly ONE exchange, read
-    * once, and the corpus text at most two (the cached parallelism
-    * exchange and the reassembly join):
-    *  1. tokenize once into a CACHED, id-partitioned (id, tokens,
-    *     gramHashes) frame: the native [[graft.expressions.GramHashes]]
+    * once, and the corpus text exactly one (the cached parallelism
+    * exchange — the reassembly join aligns to it and re-shuffles
+    * nothing):
+    *  1. tokenize once into a CACHED, id-partitioned (id, tokens)
+    *     frame; the native [[graft.expressions.GramHashes]]
     *     expression builds every position's k-gram hash in one
-    *     primitive JVM loop per document, so nothing is shuffled to
-    *     see k−1 positions ahead — the per-document `lead` window
-    *     (a full (id, pos, hash) shuffle of the corpus, ~20 GB of
-    *     live shuffle files at 9M docs) is GONE;
+    *     primitive JVM loop per document as the gram explode reads
+    *     the cache, so nothing is shuffled to see k−1 positions ahead
+    *     — the per-document `lead` window (a full (id, pos, hash)
+    *     shuffle of the corpus, ~20 GB of live shuffle files at 9M
+    *     docs) is GONE, and the incompressible hash array is never
+    *     stored;
     *  2. ONE exchange of the exploded (id, pos, gramHash) stream,
     *     hash-partitioned by the gram hash and read ONCE: occurrence
     *     count and first occurrence (count>1 + min(id,pos) per gram)
@@ -557,17 +560,19 @@ object TextDedup {
     *     groupBy-then-join shape wrote the gram stream to shuffle
     *     disk twice (partial-agg rows are ~distinct grams, i.e. ~all
     *     of them, since most grams are unique);
-    *  3. covered positions come from a running `max(span end)` window
-    *     per document over the (id, pos) position stream UNIONED with
-    *     the marked starts (start rows sort before their position's
-    *     token row) — one id-keyed exchange of narrow rows, where the
-    *     former left-join-then-window shape paid a (id,pos)-keyed join
-    *     exchange AND an id-keyed window exchange. NOT a range join
-    *     and NOT a k× position explosion (heavy duplication costs
-    *     nothing extra); per-doc flags aggregate to a position-indexed
-    *     boolean array on the window's own partitioning (no exchange);
-    *  4. reassembly `zip_with`s that boolean array against the
-    *     document's cached token array — the single string shuffle.
+    *  3. each document's dup-start positions aggregate into one sorted
+    *     array (an exchange ∝ DUPLICATED positions only, a few percent
+    *     of the corpus) that joins back onto the cached token frame on
+    *     its own partitioning — the token arrays never re-shuffle; the
+    *     per-token coverage flags come from the native
+    *     [[graft.expressions.SpanCoverage]] two-pointer loop on the
+    *     document row (the former shape ran a running-max window over
+    *     the ENTIRE position stream: an exchange + sort of ~1.2B rows
+    *     and a corpus-wide collect_list re-aggregation). NOT a range
+    *     join and NOT a k× position explosion (heavy duplication
+    *     costs nothing extra);
+    *  4. reassembly `zip_with`s the coverage array against the
+    *     document's cached token array in the same join projection.
     * A hot duplicated gram (a million-occurrence boilerplate line) is
     * one window group in step 2 — the identical one-reducer bytes ANY
     * hash-by-gram plan sends there; WindowExec buffers one group at a
@@ -616,19 +621,24 @@ object TextDedup {
     // matching is case-insensitive, original casing survives in
     // __toks for reassembly. No exchange below carries a token string
     // except the final reassembly join.
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    // the cache holds ONLY (id, tokens): the gram-hash array has a
+    // single consumer (the explode below) and is ~9 incompressible GB
+    // at 9M docs — caching it to disk was part of the first 300×
+    // disk-quota overflow; recomputing it from the cached tokens is
+    // one cheap native loop
     val base = Caches.registered(df
       .filter(col(idCol).isNotNull)
-      .repartition(df.sparkSession.sparkContext.defaultParallelism,
-        col(idCol))
+      .repartition(parallelism, col(idCol))
       .select(col(idCol),
         filter(split(trim(col(textCol)), "\\s+"), t => t =!= "").as("__toks"))
-      .withColumn("__ghArr", org.apache.spark.sql.GraftColumnBridge.column(
-        graft.expressions.GramHashes(
-          org.apache.spark.sql.GraftColumnBridge.expression(col("__toks")), k)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val ghArr = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.GramHashes(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("__toks")), k))
     val grams = base
-      .select(col(idCol), size(col("__ghArr")).as("__n"),
-        posexplode(col("__ghArr")).as(Seq("__pos", "__gh")))
+      .select(col(idCol), size(col("__toks")).as("__n"),
+        posexplode(ghArr).as(Seq("__pos", "__gh")))
       .filter(col("__pos") <= col("__n") - k)
       .select(col(idCol), col("__pos"), col("__gh"))
     // ONE exchange of the gram stream, hash-partitioned by gram hash
@@ -657,43 +667,42 @@ object TextDedup {
       .filter(col("__cnt") > 1 &&
         !(col(idCol) === col("__fst")(idCol) &&
           col("__pos") === col("__fst")("__pos")))
-      .select(col(idCol), col("__pos"), (col("__pos") + k - 1).as("__end"))
-    // coverage: UNION the (id, pos) position stream with the marked
-    // starts and run ONE id-keyed running-max window over it — start
-    // rows order before their own position's token row (false < true)
-    // so a span starting at p covers p. The former shape joined starts
-    // onto positions by (id,pos) and THEN windowed by id: two extra
-    // corpus-sized exchanges this union avoids. Everything is (long,
-    // int, int, bool) rows — no token string rides the window.
-    val tokRows = base
-      .select(col(idCol), posexplode(col("__ghArr")).as(Seq("__pos", "__ghv")))
-      .select(col(idCol), col("__pos"),
-        lit(null).cast("int").as("__end"), lit(true).as("__isTok"))
-    val covered = tokRows
-      .unionByName(dupStarts.withColumn("__isTok", lit(false)))
-      .withColumn("__covEnd", max(col("__end")).over(
-        Window.partitionBy(col(idCol)).orderBy(col("__pos"), col("__isTok"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .filter(col("__isTok"))
-      .withColumn("__covered", coalesce(col("__covEnd") >= col("__pos"), lit(false)))
-    // per-doc boolean coverage array indexed by position (positions are
-    // contiguous 0..n-1 per doc, so array index == position); the
-    // groupBy runs on the window's own id partitioning — no exchange
-    val docCov = covered.groupBy(col(idCol))
-      .agg(
-        transform(
-          array_sort(collect_list(struct(col("__pos"), col("__covered")))),
-          s => s.getField("__covered")).as("__covArr"),
-        sum(when(!col("__covered"), 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("__covered"), 1L).otherwise(0L)).as("n_removed"))
-    // THE one string shuffle: the cached token array joins the
-    // coverage frame by id. zip_with (not element_at inside a filter
+      .select(col(idCol), col("__pos"))
+    // coverage: aggregate each document's dup-start positions into one
+    // SORTED array (rows ∝ duplicated positions only — a few percent
+    // of the corpus) and compute the per-token coverage flags with the
+    // native SpanCoverage two-pointer loop on the document row itself.
+    // The former shape ran a running-max window over the ENTIRE (id,
+    // pos) position stream unioned with the starts — an exchange +
+    // sort of ~1.2B narrow rows and a corpus-wide collect_list
+    // re-aggregation, which together with the gram exchange overflowed
+    // the 300× disk quota. The explicit-count repartition matches the
+    // cached base's partitioning exactly, so the reassembly join below
+    // re-exchanges NOTHING: the token arrays never leave their cached
+    // partitions.
+    val docStarts = dupStarts
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__pos"))).as("__starts"))
+      .repartition(parallelism, col(idCol))
+    // reassembly on the document row: coverage flags zip against the
+    // cached token array. zip_with (not element_at inside a filter
     // lambda over a derived column) keeps the coverage array in
     // ARGUMENT position — evaluated once per row, not re-evaluated per
     // element if Catalyst inlines the defining expression (the HOF
-    // lambda-inlining trap).
+    // lambda-inlining trap). Empty-token documents (whitespace-only
+    // input) are filtered out — the contract says they are absent.
+    val covArr = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.SpanCoverage(
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          coalesce(col("__starts"), array().cast("array<int>"))),
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          size(col("__toks"))), k))
     base.select(col(idCol), col("__toks"))
-      .join(docCov, Seq(idCol))
+      .filter(size(col("__toks")) > 0)
+      .join(docStarts, Seq(idCol), "left")
+      .withColumn("__covArr", covArr)
+      .withColumn("n_kept",
+        size(filter(col("__covArr"), c => !c)).cast("long"))
       .select(col(idCol),
         array_join(
           transform(
@@ -703,6 +712,7 @@ object TextDedup {
               s => !s.getField("c")),
             s => s.getField("t")),
           " ").as(textCol),
-        col("n_kept"), col("n_removed"))
+        col("n_kept"),
+        (size(col("__covArr")) - col("n_kept")).cast("long").as("n_removed"))
   }
 }

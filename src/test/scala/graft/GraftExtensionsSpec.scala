@@ -70,6 +70,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .head().getDouble(0) === 1.0)
   }
 
+  test("SpanCoverage: two-pointer flags match brute-force over sorted starts") {
+    import graft.expressions.SpanCoverage
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def brute(starts: Seq[Int], n: Int, k: Int): Seq[Boolean] =
+      (0 until n).map(p => starts.exists(s => s <= p && p <= s + k - 1))
+    val cases = Seq(
+      (Seq.empty[Int], 5, 3),          // no spans: all false
+      (Seq(0), 5, 3),                  // span at the head
+      (Seq(2), 5, 3),                  // span covering the tail
+      (Seq(0, 1, 2), 8, 3),            // overlapping chain
+      (Seq(0, 6), 10, 4),              // disjoint spans with a gap
+      (Seq(4), 5, 8),                  // k longer than the doc tail
+      (Seq.empty[Int], 0, 3))          // empty doc
+    cases.foreach { case (starts, n, k) =>
+      val got = SpanCoverage.compute(
+        new GenericArrayData(starts.toArray), n, k)
+      assert(got.toBooleanArray().toSeq === brute(starts, n, k),
+        s"starts=$starts n=$n k=$k")
+    }
+  }
+
   test("GramHashes: positional, case-folded, tail slots partial, length-preserving") {
     import graft.expressions.GramHashes
     val rows = Seq(
