@@ -89,12 +89,20 @@ object ScaleBench {
     // between reps: release registered caches, then force-drop ANY block
     // still held (iterative ops leave truncated-lineage localCheckpoint
     // RDDs whose async ContextCleaner removal otherwise lands inside the
-    // next rep's window and reads as op variance), sync, GC
+    // next rep's window and reads as op variance), force-delete every
+    // completed shuffle's files (the async GC-driven cleanup lags a
+    // rep loop by minutes; the leak measured ~5 GB/rep on the 300×
+    // span rows and no-spaced the final rep with 40+ GB of dead files
+    // on disk — safe here because each rep builds a fresh frame and
+    // nothing re-reads a previous rep's exchanges), sync, GC
     def purge(): Unit = {
       graft.ops.Caches.releaseAll()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(r => try r.unpersist(blocking = true)
         catch { case scala.util.control.NonFatal(_) => })
+      try org.apache.spark.GraftSparkBridge
+        .cleanAllShuffles(spark.sparkContext)
+      catch { case scala.util.control.NonFatal(_) => }
       try Runtime.getRuntime.exec(Array("sync")).waitFor()
       catch { case scala.util.control.NonFatal(_) => }
       System.gc()

@@ -27,4 +27,28 @@ object GraftSparkBridge {
     * `SparkContext.listenerBus` is `private[spark]`, hence the bridge. */
   def drainListenerBus(sc: SparkContext): Unit =
     sc.listenerBus.waitUntilEmpty()
+
+  /** Synchronously delete the shuffle files of every completed shuffle.
+    * Spark frees shuffle disk only when the ShuffleDependency is GC'd
+    * AND the async ContextCleaner drains its reference queue — under a
+    * benchmark loop that runs the same multi-exchange operator
+    * back-to-back, that cleanup lags reps by minutes and the leaked
+    * files accumulate ~5 GB per rep until the disk quota kills a later
+    * rep (spill "No space left on device" with 40+ GB of dead shuffle
+    * files on disk). Measurement harnesses call this BETWEEN reps,
+    * after dropping every reference to the previous rep's frames: a
+    * cleaned shuffle cannot be re-read, so this must never run while a
+    * plan that might reuse one is still live. `MapOutputTrackerMaster.
+    * shuffleStatuses` and `ContextCleaner.doCleanupShuffle` are
+    * `private[spark]`, hence the bridge. */
+  def cleanAllShuffles(sc: SparkContext): Unit = {
+    val tracker = sc.env.mapOutputTracker match {
+      case m: MapOutputTrackerMaster => m
+      case _ => return
+    }
+    val ids = tracker.shuffleStatuses.keys.toSeq
+    sc.cleaner.foreach { c =>
+      ids.foreach(id => c.doCleanupShuffle(id, blocking = true))
+    }
+  }
 }
