@@ -46,6 +46,18 @@ object ScaleBench {
       // production deployment makes. Bench keeps lz4 so query medians
       // stay comparable across rounds.
       .config("spark.io.compression.codec", "zstd")
+      // Bound every unsafe sorter (shuffle writers, external sorts) to
+      // ~4M records before it spills. local[32] shares one 24 g heap:
+      // left unbounded, 32 concurrent shuffle-map tasks legitimately
+      // grow toward the full execution pool and the JVM OOMs in GC
+      // thrash (measured on the 300× gram exchange); squeezed by a
+      // memory-hungry cache instead, they degrade to hundreds of tiny
+      // spills per task whose merge step opens them all at once and
+      // blows the 20k fd hard limit (also measured). ~4M × ~40 B rows
+      // ≈ 160 MB per task — dozens of spill files, not hundreds, and
+      // ~5 GB of concurrent writer memory across 32 tasks. A real
+      // cluster gives each task GBs and never needs this.
+      .config("spark.shuffle.spill.numElementsForceSpillThreshold", "4000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -627,12 +627,21 @@ object TextDedup {
     // at 9M docs — caching it to disk was part of the first 300×
     // disk-quota overflow; recomputing it from the cached tokens is
     // one cheap native loop
+    // DISK_ONLY, deliberately: a MEMORY_AND_DISK token cache at 9M
+    // docs (~15 GB columnar) grabs the unified pool's storage share
+    // WHILE the gram exchange's map tasks are shuffle-writing in the
+    // same stage — execution starves, every task degrades to hundreds
+    // of tiny spills, and the spill MERGE opens them all at once
+    // (measured: "Too many open files" at the 20k fd hard limit, with
+    // 46 GB of disk free). On disk the cache is compressed columnar
+    // batches behind the OS page cache; the fixture-scale cost is
+    // noise, and execution keeps the whole pool at every scale.
     val base = Caches.registered(df
       .filter(col(idCol).isNotNull)
       .repartition(parallelism, col(idCol))
       .select(col(idCol),
         filter(split(trim(col(textCol)), "\\s+"), t => t =!= "").as("__toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     val ghArr = org.apache.spark.sql.GraftColumnBridge.column(
       graft.expressions.GramHashes(
         org.apache.spark.sql.GraftColumnBridge.expression(col("__toks")), k))
