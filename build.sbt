@@ -29,4 +29,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] on a 128 GiB host: 24g keeps long bench runs (39 queries +
   // four volume-scaling tables in one JVM) out of old-gen GC pressure
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // zstd-jni compresses through JNI critical regions; with 32 executor
+  // threads those regions overlap constantly and JDK 17 aborts an
+  // allocation after only TWO GCLocker retries — throwing heap OOM
+  // ("Retried waiting for GCLocker too often") while most of the heap
+  // is reclaimable garbage. Raising the retry count is the canonical
+  // fix (measured: the 300× scale rows died of this, not of live data).
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=100",
 )
