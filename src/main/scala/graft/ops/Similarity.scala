@@ -95,7 +95,13 @@ object Similarity {
     * Hamming distance (miss probability ~1e-7, far below the table
     * collision miss rate above), while a random pair survives it with
     * p ≈ 1e-5 — the exact-cosine join then verifies thousands of rows
-    * instead of hundreds of millions.
+    * instead of hundreds of millions. The prefilter also gates the
+    * over-cap CONNECTIVITY edges (chain/star, below): a missed chain
+    * edge costs more than one pair — it can split a true cluster for
+    * component consumers (SemDeDup). Mitigated, not exempted: each
+    * over-cap member carries `chainLinks` redundant successor edges
+    * plus a segment-star edge, so a single ~1e-7 miss leaves the
+    * cluster connected through the surviving parallel edges.
     *
     * `maxBucket` guards the intra-bucket pair expansion: identical
     * embeddings (zero/default vectors from failed embedding jobs, spam)
