@@ -27,17 +27,20 @@ object GraftSession {
     // read as raw nanos; SparkEntry.tbl converts the long back to a
     // microsecond timestamp.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // Reduce-side parallelism must scale with the DATA while fixture
-    // stages stay cheap: AQE coalescing already handles the small end,
-    // so the INITIAL shuffle partition count is pure headroom — heavy
-    // stages keep up to 512 reducers (bounding one task's sort/build
-    // share), tiny stages coalesce back to ~cores. A fixed 32 put a 9M-
-    // doc gram sort's full per-partition share in one task's execution-
-    // memory slice and OOM'd the 300× span_dedup row; 512 at that size
-    // is ~64-128 MB/task. Streaming is untouched (AQE is off there and
-    // state stores keep spark.sql.shuffle.partitions).
-    spark.conf.set(
-      "spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+    // Deliberately NOT set here: reducer-count headroom
+    // (spark.sql.shuffle.partitions / AQE initialPartitionNum). That is
+    // DEPLOYMENT tuning — a 1000-executor cluster wants thousands of
+    // reducers, local[32] wants ~cores — and a library that overrides
+    // the deployment's setting breaks the cluster operator's contract.
+    // Raising initialPartitionNum to 512 here (tried for the 300×
+    // span_dedup row, whose 9M-doc gram sort needs ~64-128 MB/task
+    // reducer shares) made every fixture-scale exchange 2-3× slower:
+    // AQE coalesces the REDUCER side back to ~cores, but each MAP task
+    // still writes a 512-bucket shuffle file and loses the bypass
+    // writer (sort.bypassMergeThreshold=200), a fixed per-exchange tax
+    // that multi-shuffle jobs (SCD2 merges) pay dozens of times.
+    // ScaleBench — the 100 TB deployment proxy — sets 512 in ITS
+    // builder, next to its zstd and force-spill deployment tunings.
     spark
   }
 
@@ -51,8 +54,6 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // data-scaled reducer headroom; see tune() for the rationale
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")

@@ -58,6 +58,18 @@ object ScaleBench {
       // ~5 GB of concurrent writer memory across 32 tasks. A real
       // cluster gives each task GBs and never needs this.
       .config("spark.shuffle.spill.numElementsForceSpillThreshold", "4000000")
+      // Data-scaled reducer headroom, the deployment half of the
+      // "shuffle partitions scale with the corpus" contract documented
+      // in Similarity.cosinePairsLsh: heavy stages keep up to 512
+      // reducers (a 9M-doc gram sort partitioned 32 ways put one task's
+      // share past its execution-memory slice and OOM'd the first 300×
+      // span_dedup attempt; 512 is ~64-128 MB/task there), AQE coalesces
+      // tiny stages back to ~cores. Set HERE and not in GraftSession:
+      // it is deployment tuning like the zstd/force-spill knobs above,
+      // and globally it taxed every fixture-scale exchange with a
+      // 512-bucket map output (2-3× on multi-shuffle jobs).
+      .config(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
