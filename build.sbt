@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain output goes STRAIGHT to stdout instead of through
+// sbt's logger: the bench/verify mains emit machine-parsable JSON lines,
+// and the logger's "[info] " prefix breaks any json parse of the captured
+// output (every BENCH_r*.json carried "parsed": null because of it).
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -34,6 +34,17 @@ object Bench {
     GraftSession.tune(spark)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
+    // START-OF-RUN QUIESCE (the r11 ask): the driver invokes this main
+    // right after its correctness pass, which leaves multi-GB of dirty
+    // page cache AND possibly a still-running driver-side consumer
+    // (oracle comparisons) sharing the host. The r11 record showed the
+    // contamination migrating to whatever sections run EARLY (1M 21.4 s
+    // vs 11.1 settled, 5M 53.4 vs 21.7) while later sections read clean —
+    // i.e. the co-tenant drains a few minutes in. settle() only watches
+    // writeback; this also waits (bounded) for external CPU consumers to
+    // go quiet before any timed section starts.
+    quiesce(maxWaitS = 120)
+
     // ---- warmup (untimed) ----------------------------------------------
     // One throwaway query + one small end-to-end header batch absorb JIT,
     // codegen compilation, and filesystem warmup, so the first RECORDED
@@ -108,9 +119,10 @@ object Bench {
     var lastTablePath: Option[String] = None
     // SECTION SETTLE (the r10 ask): everything that ran before this
     // process section — the driver's Verify pass, the warmup's table
-    // writes — may still be flushing; drain it so the sweep's first
-    // size starts from the same quiet state as a standalone run
-    settle(maxWaitS = 60)
+    // writes — may still be flushing; drain it AND wait for any external
+    // CPU consumer so the sweep's first size starts from the same quiet
+    // state as a standalone run
+    quiesce(maxWaitS = 90)
     val headerRuns: Seq[(Long, Seq[graft.jobs.HeaderRunMetrics])] =
       headerSizes.toSeq.zip(repeatList).flatMap { case (n, reps) =>
         var thisTmp: Option[String] = None
@@ -184,7 +196,7 @@ object Bench {
         // SECTION SETTLE: the largest ETL size's final merge just wrote
         // a multi-GB table; its flush otherwise lands inside the
         // partitioned-count / sweep timings
-        settle()
+        quiesce(maxWaitS = 45)
         import org.apache.spark.sql.functions.{col, lit}
         val t = graft.tables.VersionedTable.forPath(spark, path)
         // partition-pruned count (reference: src/utils/partitioning_test.py:24
@@ -250,9 +262,10 @@ object Bench {
     if (!skipQueries) {
       try {
         // SECTION SETTLE: the 10M ETL sweep + partitioning sweep just
-        // deleted tens of GB of temp tables; drain the writeback before
-        // the first timed queries (alphabetically q1-q10) absorb it
-        settle(maxWaitS = 60)
+        // deleted tens of GB of temp tables; drain the writeback (and
+        // any external CPU consumer) before the first timed queries
+        // (alphabetically q1-q10) absorb it
+        quiesce(maxWaitS = 90)
         SparkEntry.queries("q1_agg")(spark, sfDir).count()
         SparkEntry.queries("q6_nullsafe_diff")(spark, sfDir).count()
         graft.ops.Caches.releaseAll()
@@ -463,6 +476,65 @@ object Bench {
     try Runtime.getRuntime.exec(Array("sync")).waitFor()
     catch { case scala.util.control.NonFatal(_) => }
     awaitWritebackDrain(maxWaitS)
+    // brief external-CPU guard on EVERY settle (bounded at 10 s so the
+    // many per-rep call sites can't stall the run): a co-tenant burning
+    // cores skews a timed window as surely as writeback does — the r11
+    // driver record's 1M/5M ETL reps read 2× settled values despite
+    // per-rep writeback settles, the signature of CPU contention, not
+    // flush overlap
+    awaitExternalCpuQuiet(math.min(maxWaitS, 10))
+  }
+
+  /** Section-boundary quiesce: full writeback settle plus a LONGER wait
+    * for external CPU consumers to go quiet (the driver's own post-verify
+    * work shares the host when it invokes this main back-to-back). */
+  private[graft] def quiesce(maxWaitS: Int): Unit = {
+    settle(maxWaitS)
+    awaitExternalCpuQuiet(maxWaitS)
+  }
+
+  /** Poll /proc/stat vs /proc/self/stat over 500 ms windows until CPU
+    * burned by OTHER processes drops under ~0.75 cores, or `maxWaitS`
+    * elapses. Subtracting our own process's jiffies keeps concurrent GC
+    * or JIT threads from reading as a co-tenant. Non-Linux → no-op. */
+  private def awaitExternalCpuQuiet(maxWaitS: Int): Unit = {
+    def totalBusyJiffies(): Option[Long] =
+      try {
+        val l = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/stat")).get(0)
+        val f = l.trim.split("\\s+")
+        // cpu user nice system idle iowait irq softirq steal ...
+        // busy = everything except idle (4) and iowait (5)
+        val vals = f.drop(1).map(_.toLong)
+        Some(vals.zipWithIndex.collect {
+          case (v, i) if i != 3 && i != 4 => v }.sum)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    def selfJiffies(): Option[Long] =
+      try {
+        val s = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/self/stat"))
+        // comm may contain spaces — fields restart after the last ')'
+        val rest = s.substring(s.lastIndexOf(')') + 2).split("\\s+")
+        // after (state) at 0: utime is field 14 overall → index 11 here
+        Some(rest(11).toLong + rest(12).toLong)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val hz = 100.0 // Linux USER_HZ; only used for a threshold, not a metric
+    val quietCores = 0.75
+    val deadline = System.nanoTime() + maxWaitS * 1000000000L
+    var done = false
+    while (!done && System.nanoTime() < deadline) {
+      (totalBusyJiffies(), selfJiffies()) match {
+        case (Some(b0), Some(s0)) =>
+          Thread.sleep(500)
+          (totalBusyJiffies(), selfJiffies()) match {
+            case (Some(b1), Some(s1)) =>
+              val external = (b1 - b0) - (s1 - s0)
+              done = external < quietCores * hz * 0.5 // 0.5 s window
+            case _ => done = true
+          }
+        case _ => done = true // unreadable proc → don't spin
+      }
+    }
   }
 
   /** Poll Dirty+Writeback (kB) until under 48 MB or `maxWaitS` elapses;

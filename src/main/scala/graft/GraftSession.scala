@@ -46,12 +46,20 @@ object GraftSession {
 
   def local(appName: String = "graft",
             cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    // One shuffle partition per core as the DEFAULT (never Spark's 200),
+    // but an externally-set value wins: builder .config would override a
+    // spark-submit --conf / SPARK_SQL_SHUFFLE_PARTITIONS choice, so read
+    // the launcher-populated system properties first. (This factory
+    // hardcodes master=local[N] and is for local tools/tests; cluster
+    // deployments build their own session — but the precedence contract
+    // should hold regardless of who calls it.)
+    val shufflePartitions = sys.props.get("spark.sql.shuffle.partitions")
+      .orElse(sys.env.get("SPARK_SQL_SHUFFLE_PARTITIONS"))
+      .getOrElse(cores.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
-      // one shuffle partition per core locally; cluster deployments
-      // override via --conf. Never the 200 default.
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -167,8 +167,16 @@ object ScaleBench {
       }
     }
     val ops: Seq[(String, (DataFrame, DataFrame, Int) => () => DataFrame)] = Seq(
+      // staged = true: the deployment shape for dedicated dedup batches —
+      // each stage's pair output is materialized and completed shuffles
+      // are synchronously released, so live shuffle disk is bounded by
+      // the LARGEST stage (the unstaged single-action pipeline kept
+      // every exchange live at once and no-spaced the 300× row on this
+      // host's ~80 GB quota). SPARK_GRAFT_MINHASH_STAGED=0 restores the
+      // single-action shape for comparison runs.
       "minhash_lsh_pairs" -> ((docs, _, _) => () =>
-        graft.ops.TextDedup.minHashLshPairs(docs, "doc_id", "text")),
+        graft.ops.TextDedup.minHashLshPairs(docs, "doc_id", "text",
+          staged = !sys.env.get("SPARK_GRAFT_MINHASH_STAGED").contains("0"))),
       "span_dedup" -> ((docs, _, _) => () =>
         graft.ops.TextDedup.repeatedSpanDedup(docs, "doc_id", "text")),
       // LSH sized to the corpus (standard rule: buckets ∝ n, i.e.
@@ -262,6 +270,10 @@ object ScaleBench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // op -> scale -> median seconds
     val med = scala.collection.mutable.LinkedHashMap[(String, Int), Double]()
+    // op -> scale -> sorted timed runs: the summary line carries each
+    // scale's run SPREAD so a noisy baseline (which flatters the ratio)
+    // is visible in the artifact itself, not only in a side note
+    val allRuns = scala.collection.mutable.LinkedHashMap[(String, Int), Seq[Double]]()
     val counts = scala.collection.mutable.LinkedHashMap[(String, Int), Long]()
     // scale -> bytesRead of the last ann_fetch_lookup rep (claim evidence)
     val fetchBytes = scala.collection.mutable.LinkedHashMap[Int, Long]()
@@ -287,6 +299,7 @@ object ScaleBench {
           sec
         }.sorted
         med((name, scale)) = runs(runs.size / 2)
+        allRuns((name, scale)) = runs
         val line =
           s"""{"section":"scale_op","op":"$name","scale":$scale,"docs":$nd,"vecs":$nv,$extra""" +
             s""""rows_out":${counts((name, scale))},"median_s":${r3(med((name, scale)))},""" +
@@ -436,6 +449,16 @@ object ScaleBench {
               s""""bytes_read_t$factor":${fetchBytes.getOrElse(factor, -1L)},""" +
               s""""rows_ok":${rowsRatio < 2.0},"""
           } else ""
+          // self-describing noise evidence: each scale's max/min run
+          // ratio. A wide spread_t1 means the baseline median is soft
+          // and the headline ratio inherits that uncertainty — readers
+          // should not need a side file to see it.
+          def spread(s: Seq[Double]): Double =
+            if (s.size < 2 || s.head <= 0) -1.0 else s.last / s.head
+          val spreads =
+            s""""spread_t1":${r3(spread(allRuns.getOrElse((name, 1), Nil)))},""" +
+              s""""spread_t$factor":${
+                r3(spread(allRuns.getOrElse((name, factor), Nil)))},"""
           val timeOk = tN / math.max(t1, 1e-9) < bar(name)
           val ok = if (name == "ann_fetch_lookup")
             timeOk && counts.getOrElse((name, factor), Long.MaxValue).toDouble /
@@ -443,7 +466,7 @@ object ScaleBench {
           else timeOk
           s""""$name":{"t1":${r3(t1)},"t$factor":${r3(tN)},""" +
             s""""ratio":${r3(tN / math.max(t1, 1e-9))},"bar":${r3(bar(name))},""" +
-            evidence + s""""linear_ok":$ok}"""
+            spreads + evidence + s""""linear_ok":$ok}"""
         }
     }
     val errJson = errors

@@ -34,6 +34,22 @@ object Caches {
     releases += f
   }
 
+  /** Synchronously delete every COMPLETED shuffle's files — the staged-
+    * pipeline hook behind `staged = true` operators (and measurement
+    * harness rep loops). Spark otherwise frees shuffle disk only when
+    * the ShuffleDependency is GC'd and the async ContextCleaner drains,
+    * which lags a multi-stage pipeline by minutes; a 300×-scale op whose
+    * stages all stay live inside one action exceeds a bounded disk
+    * quota even though no single stage comes close. SAFETY CONTRACT: a
+    * purged shuffle read again later triggers a full map-stage
+    * recompute (correct but slow) — call only at a point where every
+    * frame still to be executed reads from PERSISTED inputs, and never
+    * while unrelated plans are running in the same session. */
+  private[graft] def purgeShuffles(df: DataFrame): Unit =
+    try org.apache.spark.GraftSparkBridge
+      .cleanAllShuffles(df.sparkSession.sparkContext)
+    catch { case NonFatal(_) => }
+
   /** Unpersist every registered frame (non-blocking), run registered
     * release actions, and clear. For plain persisted frames this is safe
     * at any point (release only costs recomputation); frames backed by a

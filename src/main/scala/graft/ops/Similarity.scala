@@ -98,10 +98,17 @@ object Similarity {
     * instead of hundreds of millions. The prefilter also gates the
     * over-cap CONNECTIVITY edges (chain/star, below): a missed chain
     * edge costs more than one pair — it can split a true cluster for
-    * component consumers (SemDeDup). Mitigated, not exempted: each
-    * over-cap member carries `chainLinks` redundant successor edges
-    * plus a segment-star edge, so a single ~1e-7 miss leaves the
-    * cluster connected through the surviving parallel edges.
+    * component consumers (SemDeDup). Mitigated, not exempted: an
+    * over-cap member carries UP TO `chainLinks` incident chain edges
+    * on each side (interior members of a ≥3-member segment have ≥2
+    * independent incident edges, so a single ~1e-7 miss leaves them
+    * connected through a surviving parallel edge — the spec-verified
+    * 2-edge-connectivity of the chain construction), while the star
+    * edge attaches only to each SEGMENT'S min id. Corner case: the
+    * non-min member of a 2-member segment has exactly one incident
+    * chain edge, so a miss there detaches it — segments target
+    * `segmentRows` ≈ 4096 members, making 2-member segments a
+    * hash-imbalance tail of already-rare barely-over-cap buckets.
     *
     * `maxBucket` guards the intra-bucket pair expansion: identical
     * embeddings (zero/default vectors from failed embedding jobs, spam)

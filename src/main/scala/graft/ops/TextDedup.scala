@@ -99,6 +99,30 @@ object TextDedup {
     * (to `Int.MaxValue` for exact LSH semantics) if enumerating
     * template-driven pairs outweighs bounding candidate cost.
     *
+    * `prefilterMinDocs` gates the packed-signature prefilter + gram
+    * semi-prune (below): both exist to keep the WIDE (~1 KB/doc) gram
+    * frame out of the verification shuffles, a cost proportional to
+    * corpus BYTES — at fixture scale (thousands of docs) the pruned
+    * exchanges are KBs and the prefilter's fixed plumbing (two signature
+    * joins, a persist, a distinct, two semi joins) is pure overhead
+    * (measured +0.7 s on the q28 cluster fixture). Corpora under the
+    * gate verify candidates directly against the gram frame — the exact
+    * same output, since the prefilter only REMOVES candidates the exact
+    * Jaccard join would reject anyway (up to its ~3e-7 miss rate, which
+    * the direct path doesn't have). The doc count comes free from the
+    * occupancy probe (one agg yields max occupancy AND total band rows).
+    *
+    * `staged = true` bounds live shuffle-disk footprint for dedicated
+    * batch runs: each pipeline stage's (small) output is materialized
+    * into its registered cache and every completed shuffle's files are
+    * synchronously released before the next stage runs, so peak disk is
+    * the LARGEST single stage, not the sum of all stages — a single
+    * lazy action keeps every exchange live simultaneously, which at 9M
+    * docs (300×) exceeded an ~80 GB quota where no single stage came
+    * close. Costs two extra pipeline barriers; results are identical.
+    * See the safety contract on [[Caches.purgeShuffles]]: do not enable
+    * while unrelated plans run concurrently in the same session.
+    *
     * @return (idCol_1, idCol_2, jaccard) with idCol_1 < idCol_2
     */
   def minHashLshPairs(df: DataFrame,
@@ -109,7 +133,9 @@ object TextDedup {
                       bandRows: Int = 2,
                       threshold: Double = 0.5,
                       seed: Long = 42L,
-                      maxBucket: Int = 4096): DataFrame = {
+                      maxBucket: Int = 4096,
+                      prefilterMinDocs: Long = 100000L,
+                      staged: Boolean = false): DataFrame = {
     require(numHashes % bandRows == 0, "numHashes must be divisible by bandRows")
     // persisted: consumed by both sides of the candidate self-join and by
     // the verification joins — avoids recomputing the 128-hash signatures.
@@ -132,8 +158,65 @@ object TextDedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     val bands = base.select(col(idCol), explode(col("__bands")).as("__band"))
+
+    // ONE eager probe job yields BOTH gates: max raw band occupancy (the
+    // [[LshBuckets.candidates]] mega-bucket guard signal, handed down as
+    // knownMaxOcc so no second probe runs) and the corpus size (total
+    // band rows / numBands — the prefilter gate). The agg materializes
+    // `base`'s cache as a side effect, exactly as the old in-candidates
+    // probe did.
+    val numBands = numHashes / bandRows
+    val probeRow = bands.groupBy(col("__band")).agg(count(lit(1)).as("__occ"))
+      .agg(max(col("__occ")), sum(col("__occ"))).head()
+    val maxOcc = if (probeRow.isNullAt(0)) 0L else probeRow.getLong(0)
+    val nDocs = (if (probeRow.isNullAt(1)) 0L else probeRow.getLong(1)) / numBands
+    // staged: the probe's group-by exchange carries ~every distinct band
+    // key (≈ docs × bands rows pre-combine) — release it before the
+    // candidate stage piles its own exchanges on top
+    if (staged) Caches.purgeShuffles(df)
+
     // boilerplate/mega-cluster guard — see [[LshBuckets.candidates]]
-    val candidates = LshBuckets.candidates(bands, idCol, "__band", maxBucket)
+    val candidatesPlan =
+      LshBuckets.candidates(bands, idCol, "__band", maxBucket,
+        knownMaxOcc = Some(maxOcc))
+
+    // exact-Jaccard verification against a gram frame — shared by the
+    // direct (small-corpus) and prefiltered (large-corpus) paths.
+    // The joins stay sort-merge: the shingle side is ~1 KB/doc, so a
+    // shuffled-hash build (docs/partitions rows PER CONCURRENT TASK,
+    // on-heap) measured as a heap OOM at 3M docs / 32 tasks / 24 g,
+    // while SMJ's external sort spills and completes. Contrast
+    // cosinePairsLsh, where the ~dim·4-byte vector side IS hash-built —
+    // build width decides the strategy.
+    def verifyExact(pairs: DataFrame, gramFrame: DataFrame): DataFrame =
+      pairs
+        .join(gramFrame.select(col(idCol).as("__id1"), col("__grams").as("__g1")), "__id1")
+        .join(gramFrame.select(col(idCol).as("__id2"), col("__grams").as("__g2")), "__id2")
+        .withColumn("jaccard",
+          expr("size(array_intersect(__g1, __g2)) / cast(size(array_union(__g1, __g2)) AS double)"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("__id1").as(s"${idCol}_1"), col("__id2").as(s"${idCol}_2"),
+          round(col("jaccard"), 3).as("jaccard"))
+
+    // small corpus: candidates → exact verification, no prefilter
+    // plumbing (see the scaladoc gate rationale). Recall here is the
+    // pure LSH guarantee — the over-cap chain/star edges are verified
+    // EXACTLY, with no prefilter miss rate at all.
+    if (nDocs < prefilterMinDocs)
+      return verifyExact(candidatesPlan, base.select(col(idCol), col("__grams")))
+
+    // staged: the candidate stage (bucket distinct/occupancy machinery +
+    // the band self-join) is the pipeline's widest shuffle consumer;
+    // materialize its narrow (two-long) pair output and release those
+    // exchanges before the prefilter joins run
+    val candidates =
+      if (staged) {
+        val c = Caches.registered(candidatesPlan
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        c.count()
+        Caches.purgeShuffles(df)
+        c
+      } else candidatesPlan
 
     // Estimated-Jaccard prefilter (the Hamming-prefilter move from
     // [[Similarity.cosinePairsLsh]]): a candidate pair's byte-packed
@@ -171,6 +254,9 @@ object TextDedup {
         GraftColumnBridge.expression(col("__p2")))) >= minAgree)
       .select(col("__id1"), col("__id2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // staged: materialize the (duplicate-rate-∝) prefiltered pair cache
+    // and release the prefilter joins' exchanges before verification
+    if (staged) { prefiltered.count(); Caches.purgeShuffles(df) }
 
     // Semi-prune the gram frame to ids that SURVIVED the prefilter
     // before the wide verification joins: without this, BOTH pair joins
@@ -187,22 +273,9 @@ object TextDedup {
       .distinct()
     val grams = base.select(col(idCol), col("__grams"))
       .join(survivorIds, Seq(idCol), "left_semi")
-    // the verification joins stay sort-merge: the shingle side is
-    // ~1 KB/doc, so a shuffled-hash build (docs/partitions rows PER
-    // CONCURRENT TASK, on-heap) measured as a heap OOM at 3M docs /
-    // 32 tasks / 24 g, while SMJ's external sort spills and completes —
-    // post-prune both sides are survivor-sized, so strategy hardly
-    // matters; SMJ is kept as the spill-safe default.
-    // Contrast cosinePairsLsh, where the ~dim·4-byte vector side IS
-    // hash-built — build width decides the strategy.
-    prefiltered
-      .join(grams.select(col(idCol).as("__id1"), col("__grams").as("__g1")), "__id1")
-      .join(grams.select(col(idCol).as("__id2"), col("__grams").as("__g2")), "__id2")
-      .withColumn("jaccard",
-        expr("size(array_intersect(__g1, __g2)) / cast(size(array_union(__g1, __g2)) AS double)"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("__id1").as(s"${idCol}_1"), col("__id2").as(s"${idCol}_2"),
-        round(col("jaccard"), 3).as("jaccard"))
+    // post-prune both verification sides are survivor-sized — see
+    // verifyExact for why the joins stay sort-merge
+    verifyExact(prefiltered, grams)
   }
 
   /** SimHash signature packed into ONE bigint — the native
