@@ -336,6 +336,53 @@ object Bench {
         name -> runs
       }
 
+    // ---- items-ETL volume point (OP-A, the items counterpart of the
+    // header sweep — the reference ships no published items curve, so
+    // this is the engine's own record): batch2 (50% new contracts + 50%
+    // price-changed re-sends) against an n-item table is the measured
+    // batch, same rep-0-warmup + settle protocol as the header sweep.
+    // Defaults off in SKIP_QUERIES iteration mode; SPARK_GRAFT_ITEMS_SIZES=
+    // (empty) skips it entirely.
+    val itemsSizes = sys.env.getOrElse("SPARK_GRAFT_ITEMS_SIZES",
+        if (skipQueries) "" else "1000000")
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong)
+    val itemsRuns: Seq[(Long, Seq[graft.jobs.ItemsRunMetrics])] =
+      itemsSizes.toSeq.flatMap { n =>
+        var tmpDir: Option[String] = None
+        try {
+          quiesce(maxWaitS = 45)
+          val tmp = Files.createTempDirectory(s"graft-bench-items-$n").toString
+          tmpDir = Some(tmp)
+          graft.tools.ItemsDataGen.writeBatch1(spark, n, "20230123",
+            s"$tmp/crm", cpus.toInt, seed = 42)
+          graft.tools.ItemsDataGen.writeBatch2(spark, n, "20230125",
+            s"$tmp/crm", cpus.toInt, seed = 43)
+          val ms = (0 to 2).map { i =>
+            if (i > 0) {
+              Seq("table", "metrics").foreach(d =>
+                deleteRecursively(new java.io.File(s"$tmp/$d")))
+              System.gc()
+            }
+            settle()
+            graft.jobs.ItemsEtlJob.runWithMetrics(spark,
+              s"$tmp/crm/items_20230123.txt", s"$tmp/table",
+              Some(s"$tmp/metrics"))
+            settle()
+            graft.jobs.ItemsEtlJob.runWithMetrics(spark,
+              s"$tmp/crm/items_20230125.txt", s"$tmp/table",
+              Some(s"$tmp/metrics"))
+          }.drop(1) // rep 0 is the untimed warmup
+          deleteRecursively(new java.io.File(tmp))
+          Some(n -> ms)
+        } catch {
+          case e: Throwable =>
+            errors(s"items_etl_$n") =
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            tmpDir.foreach(t => deleteRecursively(new java.io.File(t)))
+            None
+        }
+      }
+
     // ---- CPU-scaling sweep (the local analog of the reference's
     // infra/scale_horizontal_runner.sh:140-160 6→1-worker sweep): the 1M
     // batch2 workload at shrinking core counts, one fresh session each.
@@ -404,13 +451,26 @@ object Bench {
         s""""staged":${m0.staged_count},"inserted":${m0.inserted_count},""" +
         s""""closed":${m0.closed_count},"dq_kept":${m0.dq_kept},"dq_discarded":${m0.dq_discarded}}"""
     }.mkString("{", ",", "}")
+    // items sweep: per-size [total, extract, dedup, transform, merge]
+    // per run + medians and the accounting counts (last rep's)
+    val itemsJson = itemsRuns.map { case (n, ms) =>
+      val runs = ms.map(m => Seq(m.duration_s, m.duration_s_extract,
+        m.duration_s_dedup, m.duration_s_transform, m.duration_s_merge)
+        .map(r3).mkString("[", ",", "]")).mkString("[", ",", "]")
+      val m0 = ms.last
+      s""""$n":{"runs_tedtm":$runs,"median_s":${r3(median(ms.map(_.duration_s)))},""" +
+        s""""median_merge_s":${r3(median(ms.map(_.duration_s_merge)))},""" +
+        s""""staged":${m0.staged_count},"duplicated":${m0.duplicated_count},""" +
+        s""""inserted":${m0.inserted_count},"closed":${m0.closed_count}}"""
+    }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     // a query's headline number is its MEDIAN across reps; total sums medians
     val queryMedians: Seq[(String, Double)] =
       results.map { case (k, runs) => k -> (if (runs.isEmpty) -1.0 else median(runs)) }
     val queriesTotal = queryMedians.collect { case (_, v) if v >= 0 => v }.sum
     val total = queriesTotal +
-      headerRuns.map { case (_, ms) => median(ms.map(_.duration_s)) }.sum
+      headerRuns.map { case (_, ms) => median(ms.map(_.duration_s)) }.sum +
+      itemsRuns.map { case (_, ms) => median(ms.map(_.duration_s)) }.sum
     // ---- output ---------------------------------------------------------
     // The driver records only a bounded TAIL of this process's output
     // (BENCH_r04.json lost q1/q10-q25 + the total when one giant JSON line
@@ -432,10 +492,17 @@ object Bench {
       }.toSeq
     val out = Seq(
       s"""{"section":"header_etl_batch2","detail":$headerJson}""") ++
+      (if (itemsRuns.nonEmpty)
+        Seq(s"""{"section":"items_etl_batch2","detail":$itemsJson}""")
+      else Nil) ++
       qLines ++ Seq(
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries_total_s":${r3(queriesTotal)},""" +
         s""""header_etl_median_s":{${headerRuns.map { case (n, ms) =>
           s""""$n":${r3(median(ms.map(_.duration_s)))}""" }.mkString(",")}}""" +
+        (if (itemsRuns.nonEmpty)
+          s""","items_etl_median_s":{${itemsRuns.map { case (n, ms) =>
+            s""""$n":${r3(median(ms.map(_.duration_s)))}""" }.mkString(",")}}"""
+        else "") +
         (extraJson ++ cpuJson).mkString(if (extraJson.nonEmpty || cpuJson.nonEmpty) "," else "", ",", "") +
         s""","errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()

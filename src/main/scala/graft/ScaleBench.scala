@@ -174,8 +174,14 @@ object ScaleBench {
       // every exchange live at once and no-spaced the 300× row on this
       // host's ~80 GB quota). SPARK_GRAFT_MINHASH_STAGED=0 restores the
       // single-action shape for comparison runs.
+      // prefilterMinDocs = 0: BOTH scale points must run the SAME
+      // (large-corpus, prefiltered) pipeline or the ratio compares two
+      // different algorithms — the 30k-doc 1× baseline would otherwise
+      // take the small-corpus direct path the gate reserves for fixture
+      // workloads and flatter t1 by ~4×.
       "minhash_lsh_pairs" -> ((docs, _, _) => () =>
         graft.ops.TextDedup.minHashLshPairs(docs, "doc_id", "text",
+          prefilterMinDocs = 0L,
           staged = !sys.env.get("SPARK_GRAFT_MINHASH_STAGED").contains("0"))),
       "span_dedup" -> ((docs, _, _) => () =>
         graft.ops.TextDedup.repeatedSpanDedup(docs, "doc_id", "text")),

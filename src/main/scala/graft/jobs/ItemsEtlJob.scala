@@ -7,6 +7,26 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DateType
 
+/** Per-run metrics of one items batch — the OP-A counterpart of
+  * [[HeaderRunMetrics]], so the bench can publish an items volume curve
+  * with the same phase breakdown the header job reports. Phase
+  * boundaries mirror the reference's logged steps
+  * (reference: src/items_etl.py:49-143): extract (plan + dedup-count
+  * action), transform (plan), merge (init write or SCD2 merge).
+  * inserted/closed come from the table's COMMIT METRICS, never a table
+  * rescan (the same no-rescan accounting rule as the header job). */
+case class ItemsRunMetrics(batch_id: String,
+                           duration_s: Double,
+                           duration_s_extract: Double,
+                           duration_s_dedup: Double,
+                           duration_s_transform: Double,
+                           duration_s_merge: Double,
+                           staged_count: Long,
+                           duplicated_count: Long,
+                           inserted_count: Long,
+                           closed_count: Long,
+                           spark_app_id: String)
+
 /** OP-A: date-grained SCD2 for contract items
   * (reference: src/items_etl.py:46-143).
   *
@@ -36,24 +56,43 @@ object ItemsEtlJob {
 
   /** @return number of duplicated rows dropped by the dedup step (the
     *         reference logs this count — src/items_etl.py:57-61). */
-  def run(spark: SparkSession, readPath: String, writePath: String): Long = {
+  def run(spark: SparkSession, readPath: String, writePath: String): Long =
+    runWithMetrics(spark, readPath, writePath).duplicated_count
+
+  /** [[run]] with the full phase-timing/count breakdown; when
+    * `metricsPath` is given, appends the row as a one-line header CSV
+    * under `metricsPath/<batch_id>` (the header job's metrics-sink
+    * shape — reference logs these values, src/items_etl.py:57-61). */
+  def runWithMetrics(spark: SparkSession, readPath: String, writePath: String,
+                     metricsPath: Option[String] = None): ItemsRunMetrics = {
+    val t0 = System.nanoTime()
+    val filename = readPath.split("/").last
+    val batchId = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now()) + "_" + filename
+
     // ---- EXTRACT (reference: src/items_etl.py:49-52) -------------------
+    val tExtract0 = System.nanoTime()
     val dfExtracted = spark.read
       .option("header", "true").option("sep", "|")
       .schema(Schemas.Items)
       .csv(readPath)
       .withColumn("valid_from",
         regexp_extract(input_file_name(), Schemas.ItemsDateRegex, 1))
+    val durExtract = secondsSince(tExtract0)
 
     // ---- DEDUP: drop ALL copies of keys occurring >1 time --------------
     // (reference quirk, preserved: src/items_etl.py:57-64 keeps flag==1
     // and logs flag==2 — keys with 3+ copies are dropped but not counted)
+    val tDedup0 = System.nanoTime()
     val wDup = Window.partitionBy(Schemas.ItemsDedupKeys.map(col): _*)
     val flagged = dfExtracted.withColumn("flag", count(lit(1)).over(wDup))
     val duplicatedCount = flagged.filter(col("flag") === 2).count()
     val deduped = flagged.filter(col("flag") === 1)
+    val durDedup = secondsSince(tDedup0)
 
     // ---- TRANSFORM (reference: src/items_etl.py:68-73) -----------------
+    val tTransform0 = System.nanoTime()
     val dfTransformed = deduped
       .withColumn("valid_from", to_date(col("valid_from"), "yyyyMMdd").cast(DateType))
       .withColumn("valid_to", to_date(lit(Schemas.MaxDate), "yyyyMMdd").cast(DateType))
@@ -61,10 +100,20 @@ object ItemsEtlJob {
       .withColumn("valid_from_month", month(col("valid_from")))
       .withColumn("valid_from_day", dayofmonth(col("valid_from")))
       .drop("flag")
+    val durTransform = secondsSince(tTransform0)
 
-    if (!VersionedTable.isTable(spark, writePath)) {
+    // ---- MERGE / INIT (reference: src/items_etl.py:79-143) -------------
+    // persisted: consumed by the staged count and by both arms of the
+    // merge's staged union — one evaluation of the dedup window instead
+    // of three
+    val tMerge0 = System.nanoTime()
+    dfTransformed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stagedCount = dfTransformed.count()
+    val (insertedCount, closedCount) =
+      if (!VersionedTable.isTable(spark, writePath)) {
       // ---- INIT (reference: src/items_etl.py:79-81) --------------------
       VersionedTable.create(spark, dfTransformed, writePath, Schemas.PartitionColumns)
+      (lastMetric(VersionedTable.forPath(spark, writePath), "numOutputRows"), 0L)
     } else {
       // ---- SCD2 MERGE (reference: src/items_etl.py:86-143) -------------
       val table = VersionedTable.forPath(spark, writePath)
@@ -98,7 +147,39 @@ object ItemsEtlJob {
         .whenNotMatchedInsert(values =
           InsertColumns.map(c => c -> s"staged_updates.$c").toMap)
         .execute()
+      (lastMetric(table, "numTargetRowsInserted"),
+        lastMetric(table, "numTargetRowsUpdated"))
     }
-    duplicatedCount
+    val durMerge = secondsSince(tMerge0)
+    dfTransformed.unpersist(false)
+
+    val metrics = ItemsRunMetrics(
+      batch_id = batchId,
+      duration_s = secondsSince(t0),
+      duration_s_extract = durExtract,
+      duration_s_dedup = durDedup,
+      duration_s_transform = durTransform,
+      duration_s_merge = durMerge,
+      staged_count = stagedCount,
+      duplicated_count = duplicatedCount,
+      inserted_count = insertedCount,
+      closed_count = closedCount,
+      spark_app_id = spark.sparkContext.applicationId)
+    metricsPath.foreach { p =>
+      import spark.implicits._
+      Seq(metrics).toDF().coalesce(1)
+        .write.mode("append").option("header", "true").csv(s"$p/$batchId")
+    }
+    metrics
   }
+
+  /** One operationMetrics value from the table's latest commit. */
+  private def lastMetric(table: VersionedTable, key: String): Long =
+    table.history(1).select("operationMetrics")
+      .collect().headOption
+      .flatMap(_.getAs[Map[String, String]](0).get(key))
+      .map(_.toLong).getOrElse(-1L)
+
+  private def secondsSince(nanos: Long): Double =
+    (System.nanoTime() - nanos) / 1e9
 }

@@ -89,6 +89,76 @@ class LshBucketsSpec extends AnyFunSuite {
       s"clean probe must skip the guard → exact all-pairs, got ${unguarded.size}")
   }
 
+  test("chain redundancy: losing any SINGLE chain edge never detaches a member (≥3-member segments)") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    import spark.implicits._
+    // the claim behind the prefilter-miss mitigation documented on
+    // Similarity.cosinePairsLsh / TextDedup.minHashLshPairs: a single
+    // dropped borderline chain edge (prefilter miss, ~1e-7) leaves the
+    // over-cap bucket connected through the surviving parallel edges.
+    // True statement (and the one the scaladoc now makes): with
+    // chainLinks = 2 the d1+d2 successor edges of a segment with ≥ 3
+    // members form a 2-EDGE-CONNECTED graph — every id-ordered cut is
+    // crossed by at least one surviving d2 edge — so removal of ANY one
+    // chain edge preserves one component. (The 2-member-segment corner,
+    // where the non-min member has exactly one incident chain edge, is
+    // documented, not claimed away.)
+    val n = 3000L
+    val rows = (0L until n).map(i => (i, 9L))
+    val cand = edges(LshBuckets.candidates(rows.toDF("id", "b"), "id", "b",
+      maxBucket = 100, chainLinks = 2, segmentRows = 256))
+    // recompute each id's hash-salted segment with the SAME expression
+    // the guard uses (numSegs = 2^ceil(log2(3000/256)) = 16) so chain
+    // edges (same segment) separate from star edges (cross segment)
+    val segOf = (0L until n).toDF("id")
+      .select(col("id"), pmod(xxhash64(col("id")), lit(16L)).as("seg"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val segSizes = segOf.values.groupBy(identity).map(_._2.size)
+    assert(segSizes.forall(_ >= 3),
+      s"construction must yield ≥3-member segments, got min ${segSizes.min}")
+    val chainEdges = cand.filter(e => segOf(e._1) == segOf(e._2))
+    assert(chainEdges.nonEmpty)
+    val ids = (0L until n).toSet
+    chainEdges.foreach { e =>
+      assert(components(ids, cand - e) == 1,
+        s"single chain-edge loss $e detached a member")
+    }
+    // and the redundancy is structural: every member touches ≥ 2 edges
+    val degree = cand.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map(_._2.size)
+    assert(degree.forall(_ >= 2), "every over-cap member carries ≥2 incident edges")
+  }
+
+  test("planted boundary pair inside an over-cap LSH bucket survives the Hamming prefilter") {
+    import spark.implicits._
+    // end-to-end through Similarity.cosinePairsLsh: a mega-cluster of 60
+    // identical vectors (every table's bucket is over an 8-cap → chain
+    // edges only) plus ONE member at cosine ≈ 0.905, just above the 0.9
+    // threshold — the worst TRUE pair the prefilter must pass. Its
+    // expected 128-bit Hamming distance (~36) sits far under the 5σ
+    // cutoff (~61), so with the op's fixed seed the boundary member
+    // stays attached through its verified chain edges and the component
+    // consumers (SemDeDup-style) recover the FULL cluster.
+    val dim = 32
+    val u = Array.tabulate(dim)(i => if (i == 0) 1.0f else 0.0f)
+    val theta = math.acos(0.905)
+    val w = Array.tabulate(dim)(i =>
+      if (i == 0) math.cos(theta).toFloat
+      else if (i == 1) math.sin(theta).toFloat else 0.0f)
+    val emb = ((0L until 60L).map(i => (i, u.toSeq)) :+ (60L, w.toSeq))
+      .toDF("id", "vec")
+    val pairs = Similarity.cosinePairsLsh(emb, "id", "vec",
+        threshold = 0.9, maxBucket = 8)
+      .select("id_1", "id_2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Caches.releaseAll()
+    assert(pairs.nonEmpty)
+    assert(components((0L until 61L).toSet, pairs) == 1,
+      "boundary member detached — prefilter dropped its chain edges")
+    assert(pairs.exists(e => e._1 == 60L || e._2 == 60L),
+      "no verified edge touches the boundary member")
+  }
+
   test("maxBucket = Int.MaxValue short-circuits to exact all-pairs") {
     import spark.implicits._
     val rows = (0L until 6L).map(i => (i, 1L)) ++ (10L until 13L).map(i => (i, 2L))
