@@ -57,14 +57,20 @@ object ItemsEtlJob {
   /** @return number of duplicated rows dropped by the dedup step (the
     *         reference logs this count — src/items_etl.py:57-61). */
   def run(spark: SparkSession, readPath: String, writePath: String): Long =
-    runWithMetrics(spark, readPath, writePath).duplicated_count
+    runWithMetrics(spark, readPath, writePath,
+      collectCounts = false).duplicated_count
 
   /** [[run]] with the full phase-timing/count breakdown; when
     * `metricsPath` is given, appends the row as a one-line header CSV
     * under `metricsPath/<batch_id>` (the header job's metrics-sink
-    * shape — reference logs these values, src/items_etl.py:57-61). */
+    * shape — reference logs these values, src/items_etl.py:57-61).
+    * `collectCounts = false` skips the staged-count action and the
+    * commit-metrics history reads (those fields read -1) — the plain
+    * [[run]] entry point uses it so correctness replays and tests
+    * don't pay ~0.6 s of accounting-only driver jobs per batch. */
   def runWithMetrics(spark: SparkSession, readPath: String, writePath: String,
-                     metricsPath: Option[String] = None): ItemsRunMetrics = {
+                     metricsPath: Option[String] = None,
+                     collectCounts: Boolean = true): ItemsRunMetrics = {
     val t0 = System.nanoTime()
     val filename = readPath.split("/").last
     val batchId = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss")
@@ -108,12 +114,14 @@ object ItemsEtlJob {
     // of three
     val tMerge0 = System.nanoTime()
     dfTransformed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val stagedCount = dfTransformed.count()
+    val stagedCount = if (collectCounts) dfTransformed.count() else -1L
     val (insertedCount, closedCount) =
       if (!VersionedTable.isTable(spark, writePath)) {
       // ---- INIT (reference: src/items_etl.py:79-81) --------------------
       VersionedTable.create(spark, dfTransformed, writePath, Schemas.PartitionColumns)
-      (lastMetric(VersionedTable.forPath(spark, writePath), "numOutputRows"), 0L)
+      if (collectCounts)
+        (lastMetric(VersionedTable.forPath(spark, writePath), "numOutputRows"), 0L)
+      else (-1L, -1L)
     } else {
       // ---- SCD2 MERGE (reference: src/items_etl.py:86-143) -------------
       val table = VersionedTable.forPath(spark, writePath)
@@ -147,8 +155,10 @@ object ItemsEtlJob {
         .whenNotMatchedInsert(values =
           InsertColumns.map(c => c -> s"staged_updates.$c").toMap)
         .execute()
-      (lastMetric(table, "numTargetRowsInserted"),
-        lastMetric(table, "numTargetRowsUpdated"))
+      if (collectCounts)
+        (lastMetric(table, "numTargetRowsInserted"),
+          lastMetric(table, "numTargetRowsUpdated"))
+      else (-1L, -1L)
     }
     val durMerge = secondsSince(tMerge0)
     dfTransformed.unpersist(false)
