@@ -32,6 +32,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.tune(spark)
+    watchStreamingResidue(spark)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
     // START-OF-RUN QUIESCE (the r11 ask): the driver invokes this main
@@ -43,7 +44,7 @@ object Bench {
     // i.e. the co-tenant drains a few minutes in. settle() only watches
     // writeback; this also waits (bounded) for external CPU consumers to
     // go quiet before any timed section starts.
-    quiesce(maxWaitS = 120)
+    quiesce(maxWaitS = 120, label = "start")
 
     // ---- warmup (untimed) ----------------------------------------------
     // One throwaway query + one small end-to-end header batch absorb JIT,
@@ -122,8 +123,15 @@ object Bench {
     // writes — may still be flushing; drain it AND wait for any external
     // CPU consumer so the sweep's first size starts from the same quiet
     // state as a standalone run
-    quiesce(maxWaitS = 90)
-    val headerRuns: Seq[(Long, Seq[graft.jobs.HeaderRunMetrics])] =
+    quiesce(maxWaitS = 90, label = "pre_header")
+    // per size: accepted reps as (metrics, extCpuAvg, extCpuMax) plus the
+    // retry count — the r12 verdict's detect-don't-prevent ask. Each rep
+    // SAMPLES external CPU during the measured batch2 window and a rep
+    // trampled past ~1 core is re-run (bounded); the artifact records
+    // per-rep ext_cpu_cores and a clean_median over uncontaminated reps,
+    // so a mid-rep co-tenant stall (r12: one 226.5 s rep beside a 44.3 s
+    // one) is named in the record instead of poisoning the median.
+    val headerRuns: Seq[(Long, Seq[(graft.jobs.HeaderRunMetrics, Double, Double)], Int)] =
       headerSizes.toSeq.zip(repeatList).flatMap { case (n, reps) =>
         var thisTmp: Option[String] = None
         try {
@@ -141,38 +149,36 @@ object Bench {
             seed = 43, existingCount = n, pctNew = 50.0)
           // each repetition replays init + merge on a FRESH table from the
           // same generated CSVs — the batch2 merge is the measured number.
-          // Rep 0 is an UNTIMED warmup (discarded below): the same
-          // first-rep discipline the query section earned in r8 (7/92
-          // wide vs 46/91) applied to the ETL sweep — each size's first
-          // replay absorbs the first-touch read of the fresh multi-GB
-          // CSVs and any plan/codegen unique to that size's stats, so
-          // the TIMED reps start from an identical warm state. BENCH_r08
-          // under driver load spread 2.1-2.6× per size with medians in
-          // bar; the committed idle record spread 1.05× — the warmup rep
-          // removes the one systematic (non-load) term that remained.
-          val ms = (0 to reps).map { i =>
-            if (i > 0) {
+          // One rep = delete previous rep's outputs, settle the page cache
+          // around the UNTIMED writes (CSV generation, the deletes, and
+          // above all the batch1 INIT LOAD — a multi-GB table write whose
+          // async writeback otherwise lands inside the measurement: reps
+          // swung 13 → 42 s at 1M purely from flush overlap), then the
+          // measured batch2 under the external-CPU sampler.
+          def oneRep(deleteFirst: Boolean): (graft.jobs.HeaderRunMetrics, Double, Double) = {
+            if (deleteFirst) {
               Seq("table", "discarded", "metrics").foreach(d =>
                 deleteRecursively(new java.io.File(s"$tmp/$d")))
               System.gc()
             }
-            // settle the page cache around the UNTIMED writes: the CSV
-            // generation, the previous rep's deletes, and above all the
-            // batch1 INIT LOAD (a multi-GB table write immediately
-            // before the measured run) leave dirty pages whose async
-            // writeback otherwise lands inside the measurement — reps
-            // measured swinging 13 s → 42 s (1M) and 20 s → 142 s (5M)
-            // purely from flush overlap; sync serializes that cost
-            // OUTSIDE the timed window
-            settle()
+            settle(label = s"header_$n")
             HeaderEtlJob.run(spark, s"$tmp/crm/header_20230127.csv",
               s"$tmp/table", s"$tmp/discarded", s"$tmp/metrics")
-            settle()
-            HeaderEtlJob.run(spark, s"$tmp/crm/header_20230228.csv",
+            settle(label = s"header_$n")
+            val sampler = new ExtCpuSampler
+            val m = HeaderEtlJob.run(spark, s"$tmp/crm/header_20230228.csv",
               s"$tmp/table", s"$tmp/discarded", s"$tmp/metrics")
-          }.drop(1) // rep 0 is the untimed warmup
+            val (extAvg, extMax) = sampler.stop()
+            (m, extAvg, extMax)
+          }
+          // untimed warmup rep: first-touch read of the fresh multi-GB
+          // CSVs + size-specific plan/codegen land here, so the TIMED
+          // reps start from an identical warm state (the r8 first-rep
+          // discipline — idle spreads tightened 2.1-2.6× → 1.05×)
+          oneRep(deleteFirst = false)
+          val (ms, retries) = guardedReps(reps)(() => oneRep(deleteFirst = true))
           lastTablePath = Some(s"$tmp/table")
-          Some(n -> ms)
+          Some((n, ms, retries))
         } catch {
           case e: Throwable =>
             errors(s"header_etl_$n") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -196,7 +202,7 @@ object Bench {
         // SECTION SETTLE: the largest ETL size's final merge just wrote
         // a multi-GB table; its flush otherwise lands inside the
         // partitioned-count / sweep timings
-        quiesce(maxWaitS = 45)
+        quiesce(maxWaitS = 45, label = "pre_extras")
         import org.apache.spark.sql.functions.{col, lit}
         val t = graft.tables.VersionedTable.forPath(spark, path)
         // partition-pruned count (reference: src/utils/partitioning_test.py:24
@@ -265,7 +271,7 @@ object Bench {
         // deleted tens of GB of temp tables; drain the writeback (and
         // any external CPU consumer) before the first timed queries
         // (alphabetically q1-q10) absorb it
-        quiesce(maxWaitS = 90)
+        quiesce(maxWaitS = 90, label = "pre_queries")
         SparkEntry.queries("q1_agg")(spark, sfDir).count()
         SparkEntry.queries("q6_nullsafe_diff")(spark, sfDir).count()
         graft.ops.Caches.releaseAll()
@@ -300,7 +306,15 @@ object Bench {
       // so this normally returns on the first poll
       awaitWritebackDrain(3)
     }
-    val results: Seq[(String, Seq[Double])] =
+    // per-rep contamination detection applies to the query section too:
+    // each timed rep runs under an ExtCpuSampler and its external-CPU
+    // average is recorded next to the time; a trampled rep (> 1 core)
+    // is re-run once, drawing from a SECTION-WIDE retry budget so a
+    // persistently busy host can at most add ~20 reps of wall time
+    // instead of doubling a 94-query pass.
+    var queryRetryBudget = 20
+    var queryRetries = 0
+    val results: Seq[(String, Seq[(Double, Double)])] =
       (if (skipQueries) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
        else if (onlyQueries.nonEmpty) SparkEntry.queries.view.filterKeys(onlyQueries).toMap
        else SparkEntry.queries).toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -315,22 +329,41 @@ object Bench {
               failed = true
           }
           graft.ops.Caches.releaseAll()
+          drainStreamingResidue(spark)
         }
+        def oneTimedRep(): Option[(Double, Double)] = {
+          if (heavy) settleLight()
+          val sampler = new ExtCpuSampler
+          val t0 = System.nanoTime()
+          val r =
+            try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+            catch {
+              case e: Throwable =>
+                errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+                failed = true
+                None
+            }
+          val (extAvg, _) = sampler.stop()
+          graft.ops.Caches.releaseAll()
+          drainStreamingResidue(spark)
+          r.map(t => (t, extAvg))
+        }
+        // query threshold 1.5 cores (vs the ETL sweep's 1.0): streaming
+        // queries' per-checkpoint-file Hadoop chmod/stat subprocesses are
+        // OUR work in child pids — unattributable to self — and read up
+        // to ~1.1 "external" cores on a measured-idle host; the ETL
+        // sweep forks nothing and keeps the tighter bar
         val runs = (1 to queryReps).flatMap { _ =>
           if (failed) None // a failing query would just re-fail; don't re-time it
-          else {
-            if (heavy) settleLight()
-            val t0 = System.nanoTime()
-            val r =
-              try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-              catch {
-                case e: Throwable =>
-                  errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-                  failed = true
-                  None
+          else oneTimedRep() match {
+            case Some((t, ext)) if ext > 1.5 && queryRetryBudget > 0 && !failed =>
+              queryRetryBudget -= 1
+              queryRetries += 1
+              oneTimedRep() match {
+                case Some(retry) if retry._2 >= 0 && retry._2 < ext => Some(retry)
+                case _ => Some((t, ext)) // keep the annotated original
               }
-            graft.ops.Caches.releaseAll()
-            r
+            case other => other
           }
         }
         name -> runs
@@ -343,37 +376,49 @@ object Bench {
     // batch, same rep-0-warmup + settle protocol as the header sweep.
     // Defaults off in SKIP_QUERIES iteration mode; SPARK_GRAFT_ITEMS_SIZES=
     // (empty) skips it entirely.
+    // Default grid mirrors the header curve's four sizes (the r12 verdict
+    // ask: symmetric volume-scaling records for both pipelines), with the
+    // header sweep's rep policy — 3 timed reps from 1M up, 2 at 100k.
     val itemsSizes = sys.env.getOrElse("SPARK_GRAFT_ITEMS_SIZES",
-        if (skipQueries) "" else "1000000")
+        if (skipQueries) "" else "100000,1000000,5000000,10000000")
       .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong)
-    val itemsRuns: Seq[(Long, Seq[graft.jobs.ItemsRunMetrics])] =
+    val itemsRuns: Seq[(Long, Seq[(graft.jobs.ItemsRunMetrics, Double, Double)], Int)] =
       itemsSizes.toSeq.flatMap { n =>
         var tmpDir: Option[String] = None
         try {
-          quiesce(maxWaitS = 45)
+          quiesce(maxWaitS = 45, label = s"items_$n")
           val tmp = Files.createTempDirectory(s"graft-bench-items-$n").toString
           tmpDir = Some(tmp)
           graft.tools.ItemsDataGen.writeBatch1(spark, n, "20230123",
             s"$tmp/crm", cpus.toInt, seed = 42)
+          // batch2 re-sends derive from batch1's seed — the contract that
+          // makes re-sent rows TRUE re-sends (identical untracked fields,
+          // a guaranteed tracked-price change; see ItemsDataGen.writeBatch2)
           graft.tools.ItemsDataGen.writeBatch2(spark, n, "20230125",
-            s"$tmp/crm", cpus.toInt, seed = 43)
-          val ms = (0 to 2).map { i =>
-            if (i > 0) {
+            s"$tmp/crm", cpus.toInt, baseSeed = 42)
+          def oneRep(deleteFirst: Boolean): (graft.jobs.ItemsRunMetrics, Double, Double) = {
+            if (deleteFirst) {
               Seq("table", "metrics").foreach(d =>
                 deleteRecursively(new java.io.File(s"$tmp/$d")))
               System.gc()
             }
-            settle()
+            settle(label = s"items_$n")
             graft.jobs.ItemsEtlJob.runWithMetrics(spark,
               s"$tmp/crm/items_20230123.txt", s"$tmp/table",
               Some(s"$tmp/metrics"))
-            settle()
-            graft.jobs.ItemsEtlJob.runWithMetrics(spark,
+            settle(label = s"items_$n")
+            val sampler = new ExtCpuSampler
+            val m = graft.jobs.ItemsEtlJob.runWithMetrics(spark,
               s"$tmp/crm/items_20230125.txt", s"$tmp/table",
               Some(s"$tmp/metrics"))
-          }.drop(1) // rep 0 is the untimed warmup
+            val (extAvg, extMax) = sampler.stop()
+            (m, extAvg, extMax)
+          }
+          oneRep(deleteFirst = false) // untimed warmup rep
+          val reps = if (n >= 1000000L) 3 else 2
+          val (ms, retries) = guardedReps(reps)(() => oneRep(deleteFirst = true))
           deleteRecursively(new java.io.File(tmp))
-          Some(n -> ms)
+          Some((n, ms, retries))
         } catch {
           case e: Throwable =>
             errors(s"items_etl_$n") =
@@ -439,26 +484,40 @@ object Bench {
     }
     // Per-size: every run's [total, extract, validation, transform, merge]
     // plus the median total — the spread IS the evidence (a single 10M
-    // sample cannot separate host load from algorithm).
-    val headerJson = headerRuns.map { case (n, ms) =>
+    // sample cannot separate host load from algorithm). ext_cpu_cores
+    // (per-rep average external cores DURING the measured window, -1 =
+    // /proc unreadable) and clean_median_s (median over reps with ext
+    // ≤ 1 core; -1 = every rep trampled) make contamination a recorded
+    // fact instead of an inference from elevated numbers.
+    val headerJson = headerRuns.map { case (n, reps, retries) =>
+      val ms = reps.map(_._1)
       val runs = ms.map(m => Seq(m.duration_s, m.duration_s_extract,
         m.duration_s_validation, m.duration_s_transform, m.duration_s_merge)
         .map(r3).mkString("[", ",", "]")).mkString("[", ",", "]")
       val m0 = ms.last
       s""""$n":{"runs_tevm":$runs,"median_s":${r3(median(ms.map(_.duration_s)))},""" +
+        s""""clean_median_s":${r3(cleanMedian(reps.map(r => (r._1.duration_s, r._2))))},""" +
+        s""""ext_cpu_cores":${reps.map(r => r3(r._2)).mkString("[", ",", "]")},""" +
+        s""""ext_cpu_max":${reps.map(r => r3(r._3)).mkString("[", ",", "]")},""" +
+        s""""retries":$retries,""" +
         s""""median_merge_s":${r3(median(ms.map(_.duration_s_merge)))},""" +
         s""""median_validation_s":${r3(median(ms.map(_.duration_s_validation)))},""" +
         s""""staged":${m0.staged_count},"inserted":${m0.inserted_count},""" +
         s""""closed":${m0.closed_count},"dq_kept":${m0.dq_kept},"dq_discarded":${m0.dq_discarded}}"""
     }.mkString("{", ",", "}")
     // items sweep: per-size [total, extract, dedup, transform, merge]
-    // per run + medians and the accounting counts (last rep's)
-    val itemsJson = itemsRuns.map { case (n, ms) =>
+    // per run + medians and the accounting counts (last rep's), with the
+    // same per-rep contamination record as the header sweep
+    val itemsJson = itemsRuns.map { case (n, reps, retries) =>
+      val ms = reps.map(_._1)
       val runs = ms.map(m => Seq(m.duration_s, m.duration_s_extract,
         m.duration_s_dedup, m.duration_s_transform, m.duration_s_merge)
         .map(r3).mkString("[", ",", "]")).mkString("[", ",", "]")
       val m0 = ms.last
       s""""$n":{"runs_tedtm":$runs,"median_s":${r3(median(ms.map(_.duration_s)))},""" +
+        s""""clean_median_s":${r3(cleanMedian(reps.map(r => (r._1.duration_s, r._2))))},""" +
+        s""""ext_cpu_cores":${reps.map(r => r3(r._2)).mkString("[", ",", "]")},""" +
+        s""""retries":$retries,""" +
         s""""median_merge_s":${r3(median(ms.map(_.duration_s_merge)))},""" +
         s""""staged":${m0.staged_count},"duplicated":${m0.duplicated_count},""" +
         s""""inserted":${m0.inserted_count},"closed":${m0.closed_count}}"""
@@ -466,11 +525,13 @@ object Bench {
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     // a query's headline number is its MEDIAN across reps; total sums medians
     val queryMedians: Seq[(String, Double)] =
-      results.map { case (k, runs) => k -> (if (runs.isEmpty) -1.0 else median(runs)) }
+      results.map { case (k, runs) => k -> (if (runs.isEmpty) -1.0 else median(runs.map(_._1))) }
     val queriesTotal = queryMedians.collect { case (_, v) if v >= 0 => v }.sum
+    // "total" keeps its pre-r12 definition (queries + header sweep) so
+    // round-over-round totals stay comparable; the items sweep reports
+    // under its own items_etl_median_s key only (ADVICE r12).
     val total = queriesTotal +
-      headerRuns.map { case (_, ms) => median(ms.map(_.duration_s)) }.sum +
-      itemsRuns.map { case (_, ms) => median(ms.map(_.duration_s)) }.sum
+      headerRuns.map { case (_, reps, _) => median(reps.map(_._1.duration_s)) }.sum
     // ---- output ---------------------------------------------------------
     // The driver records only a bounded TAIL of this process's output
     // (BENCH_r04.json lost q1/q10-q25 + the total when one giant JSON line
@@ -482,8 +543,9 @@ object Bench {
     // failure); chunked ~10 queries per line so every line stays well inside
     // the recorder's bounded output tail
     val qSeq = results.map { case (k, runs) =>
-      val m = if (runs.isEmpty) -1.0 else median(runs)
-      s""""${esc(k)}":{"median":${r3(m)},"runs":${runs.map(r3).mkString("[", ",", "]")}}"""
+      val m = if (runs.isEmpty) -1.0 else median(runs.map(_._1))
+      s""""${esc(k)}":{"median":${r3(m)},"runs":${runs.map(r => r3(r._1)).mkString("[", ",", "]")},""" +
+        s""""ext":${runs.map(r => r3(r._2)).mkString("[", ",", "]")}}"""
     }
     val qLines =
       if (qSeq.isEmpty) Nil
@@ -497,14 +559,16 @@ object Bench {
       else Nil) ++
       qLines ++ Seq(
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries_total_s":${r3(queriesTotal)},""" +
-        s""""header_etl_median_s":{${headerRuns.map { case (n, ms) =>
-          s""""$n":${r3(median(ms.map(_.duration_s)))}""" }.mkString(",")}}""" +
+        s""""header_etl_median_s":{${headerRuns.map { case (n, reps, _) =>
+          s""""$n":${r3(median(reps.map(_._1.duration_s)))}""" }.mkString(",")}}""" +
         (if (itemsRuns.nonEmpty)
-          s""","items_etl_median_s":{${itemsRuns.map { case (n, ms) =>
-            s""""$n":${r3(median(ms.map(_.duration_s)))}""" }.mkString(",")}}"""
+          s""","items_etl_median_s":{${itemsRuns.map { case (n, reps, _) =>
+            s""""$n":${r3(median(reps.map(_._1.duration_s)))}""" }.mkString(",")}}"""
         else "") +
         (extraJson ++ cpuJson).mkString(if (extraJson.nonEmpty || cpuJson.nonEmpty) "," else "", ",", "") +
-        s""","errors":$errJson,"sf":"$sfDir"}""")
+        s""","query_retries":$queryRetries,"quiesce_expired":${
+          quiesceExpired.map(l => s""""${esc(l)}"""").mkString("[", ",", "]")},""" +
+        s""""errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     // Durable copy: the recorder keeps only a bounded tail of stdout, so
     // the COMPLETE section lines also land in a repo file the next reader
@@ -521,6 +585,43 @@ object Bench {
   private def deleteRecursively(f: java.io.File): Unit =
     GraftSession.deleteRec(f)
 
+  // ---- streaming-residue drain ------------------------------------------
+  // A drained streaming query leaves two kinds of residue in the session
+  // that land inside the NEXT query's timed window (the three-round
+  // q52_late_split elevation: 6.2 s alone → 7.2-9.5 s after the three
+  // streaming queries that precede it alphabetically, external CPU 0 —
+  // in-JVM, not a co-tenant; a non-streaming control trio showed no
+  // elevation): loaded state-store providers (unloaded only when the
+  // maintenance thread notices the deactivation, up to a minute later)
+  // and the GC/ContextCleaner debt of its micro-batches' RDDs,
+  // broadcasts and checkpoint file handles, which the async cleaner
+  // drains WHILE the next query runs. A terminated-query listener flags
+  // the residue; the query loop then releases it OUTSIDE any timed
+  // window: unload the providers, GC, and give the cleaner a bounded
+  // head start (the 2 s pause measured as the difference between a
+  // 6.4 s and a 7.2-7.7 s q52 median).
+  private val streamingResidue = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def watchStreamingResidue(spark: SparkSession): Unit =
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        streamingResidue.set(true)
+    })
+
+  private def drainStreamingResidue(spark: SparkSession): Unit =
+    if (streamingResidue.getAndSet(false)) {
+      try org.apache.spark.sql.GraftColumnBridge.unloadStateStores()
+      catch { case scala.util.control.NonFatal(_) => }
+      spark.streams.resetTerminated()
+      System.gc()
+      Thread.sleep(2000)
+    }
+
   /** Block until outstanding page-cache writeback is flushed (plus a GC):
     * run between data generation and a timed rep so the flush of the
     * GENERATOR's (or previous rep's) writes doesn't land inside the
@@ -533,7 +634,7 @@ object Bench {
     * a fixed sleep doesn't cover the multi-GB flush tails a stacked
     * bench process produces. Polling makes the settle as long as the
     * contamination actually is — and no longer. */
-  private[graft] def settle(maxWaitS: Int = 30): Unit = {
+  private[graft] def settle(maxWaitS: Int = 30, label: String = "settle"): Unit = {
     // sync → gc → sync: the GC's finalizers can close buffered streams
     // and re-dirty pages after the first flush; the second sync picks
     // those up so the timed window starts with a genuinely clean cache
@@ -549,59 +650,199 @@ object Bench {
     // driver record's 1M/5M ETL reps read 2× settled values despite
     // per-rep writeback settles, the signature of CPU contention, not
     // flush overlap
-    awaitExternalCpuQuiet(math.min(maxWaitS, 10))
+    awaitExternalCpuQuiet(math.min(maxWaitS, 10), label)
   }
 
   /** Section-boundary quiesce: full writeback settle plus a LONGER wait
     * for external CPU consumers to go quiet (the driver's own post-verify
     * work shares the host when it invokes this main back-to-back). */
-  private[graft] def quiesce(maxWaitS: Int): Unit = {
-    settle(maxWaitS)
-    awaitExternalCpuQuiet(maxWaitS)
+  private[graft] def quiesce(maxWaitS: Int, label: String = "quiesce"): Unit = {
+    settle(maxWaitS, label)
+    awaitExternalCpuQuiet(maxWaitS, label)
   }
 
-  /** Poll /proc/stat vs /proc/self/stat over 500 ms windows until CPU
-    * burned by OTHER processes drops under ~0.75 cores, or `maxWaitS`
-    * elapses. Subtracting our own process's jiffies keeps concurrent GC
-    * or JIT threads from reading as a co-tenant. Non-Linux → no-op. */
-  private def awaitExternalCpuQuiet(maxWaitS: Int): Unit = {
-    def totalBusyJiffies(): Option[Long] =
-      try {
-        val l = java.nio.file.Files.readAllLines(
-          java.nio.file.Paths.get("/proc/stat")).get(0)
-        val f = l.trim.split("\\s+")
-        // cpu user nice system idle iowait irq softirq steal ...
-        // busy = everything except idle (4) and iowait (5)
-        val vals = f.drop(1).map(_.toLong)
-        Some(vals.zipWithIndex.collect {
-          case (v, i) if i != 3 && i != 4 => v }.sum)
-      } catch { case scala.util.control.NonFatal(_) => None }
-    def selfJiffies(): Option[Long] =
-      try {
-        val s = java.nio.file.Files.readString(
-          java.nio.file.Paths.get("/proc/self/stat"))
-        // comm may contain spaces — fields restart after the last ')'
-        val rest = s.substring(s.lastIndexOf(')') + 2).split("\\s+")
-        // after (state) at 0: utime is field 14 overall → index 11 here
-        Some(rest(11).toLong + rest(12).toLong)
-      } catch { case scala.util.control.NonFatal(_) => None }
-    val hz = 100.0 // Linux USER_HZ; only used for a threshold, not a metric
+  // ---- external-CPU accounting ------------------------------------------
+  // Shared /proc readers for the quiet-gate and the per-rep sampler.
+  // "External" = host USER-MODE jiffies minus THIS process minus its
+  // parent. User+nice only, deliberately: a co-tenant trampling a timed
+  // rep (the five rounds of driver-record contamination this detects)
+  // burns user time, while the kernel work our OWN I/O induces —
+  // writeback flushers, jbd2, fs kworkers — is pure system time and
+  // measured ~2-2.8 "external" cores during checkpoint-heavy streaming
+  // queries when system time was counted, tripping false retries on an
+  // idle host. (user already includes guest, so skipping the guest
+  // fields double-counts nothing.) Subtracting self keeps our own
+  // threads out; subtracting the parent exempts the mostly-idle sbt JVM
+  // that forked us — its log pump otherwise holds quiet-waits at their
+  // cap with no real co-tenant present.
+  private val Hz = 100.0 // Linux USER_HZ
+
+  /** Host user+nice jiffies (see the accounting rationale above). */
+  private def hostBusyJiffies(): Option[Long] =
+    try {
+      val l = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0)
+      // cpu user nice system idle iowait irq softirq steal guest guest_nice
+      val vals = l.trim.split("\\s+").drop(1).map(_.toLong)
+      Some(vals(0) + vals(1))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** utime of one pid ("self" works) — user-mode only, matching the
+    * host-side sum; None once the pid is gone. */
+  private def procJiffies(pid: String): Option[Long] =
+    try {
+      val s = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"/proc/$pid/stat"))
+      // comm may contain spaces — fields restart after the last ')'
+      val rest = s.substring(s.lastIndexOf(')') + 2).split("\\s+")
+      // after (state) at 0: utime is field 14 overall → idx 11
+      Some(rest(11).toLong)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private lazy val parentPid: Option[String] =
+    try {
+      val s = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/self/stat"))
+      val rest = s.substring(s.lastIndexOf(')') + 2).split("\\s+")
+      Some(rest(1)) // state ppid pgrp ... → idx 1
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** One (hostBusy, self+parent) snapshot; None on non-Linux. */
+  private def cpuSnap(): Option[(Long, Long)] =
+    hostBusyJiffies().flatMap { b =>
+      procJiffies("self").map { s =>
+        (b, s + parentPid.flatMap(procJiffies).getOrElse(0L))
+      }
+    }
+
+  /** Background sampler recording external-CPU cores DURING a timed rep
+    * (the r12 verdict's detection ask): a pre-rep quiet-gate cannot see
+    * contention that STARTS mid-rep — the r12 driver record's 226.5 s
+    * 10M outlier sat beside a 44.3 s rep in the same artifact. A daemon
+    * thread snapshots /proc at ~2 Hz; [[stop]] returns (avg, max) cores
+    * burned by processes other than this JVM (and its parent) across the
+    * rep, so every recorded run self-describes how trampled it was.
+    * Costs two file reads per 500 ms — nothing against a seconds-scale
+    * rep. Unreadable /proc (non-Linux) → (-1, -1). */
+  private[graft] final class ExtCpuSampler {
+    @volatile private var running = true
+    private val windows = scala.collection.mutable.ArrayBuffer[Double]()
+    private val t0 = System.nanoTime()
+    private val snap0 = cpuSnap()
+    private val thread = new Thread(() => {
+      var prev = snap0
+      var prevT = t0
+      while (running) {
+        try Thread.sleep(500) catch { case _: InterruptedException => }
+        if (running) {
+          val cur = cpuSnap()
+          val curT = System.nanoTime()
+          for ((b0, s0) <- prev; (b1, s1) <- cur) {
+            val dt = (curT - prevT) / 1e9
+            if (dt > 0.05) windows.synchronized {
+              windows += ((b1 - b0) - (s1 - s0)) / Hz / dt
+            }
+          }
+          prev = cur
+          prevT = curT
+        }
+      }
+    })
+    thread.setDaemon(true)
+    thread.start()
+
+    /** @return (avgCores, maxWindowCores) of external CPU over the
+      *         sampler's lifetime; (-1, -1) when /proc is unreadable. */
+    def stop(): (Double, Double) = {
+      running = false
+      thread.interrupt()
+      try thread.join(1500) catch { case _: InterruptedException => }
+      val overall = for {
+        (b0, s0) <- snap0
+        (b1, s1) <- cpuSnap()
+      } yield {
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (dt > 0.05) ((b1 - b0) - (s1 - s0)) / Hz / dt else -1.0
+      }
+      overall match {
+        case Some(avg) if avg >= -0.5 =>
+          val mx = windows.synchronized {
+            if (windows.isEmpty) avg else windows.max }
+          (math.max(avg, 0.0), math.max(mx, 0.0))
+        case _ => (-1.0, -1.0)
+      }
+    }
+  }
+
+  /** Rep loop with the detect-and-retry discipline: run `attempt` (which
+    * must time its own measured window under an [[ExtCpuSampler]] and
+    * return (result, extAvgCores, extMaxCores)); a rep whose external
+    * CPU average exceeds `thresholdCores` is re-run up to
+    * `maxRetriesPerRep` times, keeping the least-contaminated attempt.
+    * Unreadable /proc (ext = -1) counts as clean — there is nothing to
+    * detect against. @return (accepted reps, total retries taken) */
+  private def guardedReps[T](nReps: Int, thresholdCores: Double = 1.0,
+                             maxRetriesPerRep: Int = 2)
+                            (attempt: () => (T, Double, Double)): (Seq[(T, Double, Double)], Int) = {
+    var retries = 0
+    val out = (1 to nReps).map { _ =>
+      var best = attempt()
+      var tries = 0
+      while (best._2 > thresholdCores && tries < maxRetriesPerRep) {
+        tries += 1
+        retries += 1
+        val a = attempt()
+        if (a._2 >= 0 && a._2 < best._2) best = a
+        if (best._2 <= thresholdCores) tries = maxRetriesPerRep // clean — stop
+      }
+      best
+    }
+    (out, retries)
+  }
+
+  /** Median over the CLEAN reps only (ext avg under the threshold, or
+    * unreadable); -1 when every rep was contaminated — the artifact then
+    * says "no uncontaminated measurement exists" instead of laundering a
+    * trampled median as the headline. */
+  private def cleanMedian(reps: Seq[(Double, Double)],
+                          thresholdCores: Double = 1.0): Double = {
+    val clean = reps.collect { case (v, ext) if ext <= thresholdCores => v }
+    if (clean.isEmpty) -1.0
+    else {
+      val s = clean.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+    }
+  }
+
+  // quiet-waits that expired without reaching quiet, by call site — the
+  // artifact records that the run STARTED contaminated instead of the
+  // reader inferring it from elevated numbers (ADVICE r12: a wait that
+  // expires silently adds minutes of wall time and hides the cause)
+  private val quiesceExpired = scala.collection.mutable.ArrayBuffer[String]()
+
+  /** Poll external-CPU (see [[cpuSnap]]) over 500 ms windows until other
+    * processes drop under ~0.75 cores, or `maxWaitS` elapses — in which
+    * case the expiry is recorded under `label` in the artifact's
+    * `quiesce_expired` list. Non-Linux → no-op. */
+  private def awaitExternalCpuQuiet(maxWaitS: Int, label: String): Unit = {
     val quietCores = 0.75
     val deadline = System.nanoTime() + maxWaitS * 1000000000L
     var done = false
     while (!done && System.nanoTime() < deadline) {
-      (totalBusyJiffies(), selfJiffies()) match {
-        case (Some(b0), Some(s0)) =>
+      cpuSnap() match {
+        case Some((b0, s0)) =>
           Thread.sleep(500)
-          (totalBusyJiffies(), selfJiffies()) match {
-            case (Some(b1), Some(s1)) =>
+          cpuSnap() match {
+            case Some((b1, s1)) =>
               val external = (b1 - b0) - (s1 - s0)
-              done = external < quietCores * hz * 0.5 // 0.5 s window
+              done = external < quietCores * Hz * 0.5 // 0.5 s window
             case _ => done = true
           }
         case _ => done = true // unreadable proc → don't spin
       }
     }
+    if (!done) quiesceExpired += label
   }
 
   /** Poll Dirty+Writeback (kB) until under 48 MB or `maxWaitS` elapses;

@@ -72,4 +72,16 @@ object GraftColumnBridge {
     s.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
       isStreaming = false)
   }
+
+  /** Unload every cached state-store provider (`StateStore.unloadAll`
+    * is `private[sql]`, hence the bridge). A terminated streaming query
+    * leaves its executor-side providers — and their in-memory version
+    * maps — in the load cache until the maintenance thread notices the
+    * deactivation, up to a minute later; a caller that has fully
+    * consumed a drained query's output releases that state immediately,
+    * the same way it unpersists caches. The next streaming query
+    * re-loads providers on demand (and restarts maintenance), so this
+    * is always safe between queries. */
+  def unloadStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
 }
