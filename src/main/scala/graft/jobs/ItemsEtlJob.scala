@@ -114,6 +114,10 @@ object ItemsEtlJob {
     // of three
     val tMerge0 = System.nanoTime()
     dfTransformed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // try/finally: a throwing merge/init must not leak the cached frame
+    // into a long-lived session (a bench catches the error and keeps
+    // running later sections with the stale cache still pinned)
+    val (stagedCount, insertedCount, closedCount) = try {
     val stagedCount = if (collectCounts) dfTransformed.count() else -1L
     val (insertedCount, closedCount) =
       if (!VersionedTable.isTable(spark, writePath)) {
@@ -160,8 +164,9 @@ object ItemsEtlJob {
           lastMetric(table, "numTargetRowsUpdated"))
       else (-1L, -1L)
     }
+    (stagedCount, insertedCount, closedCount)
+    } finally dfTransformed.unpersist(false)
     val durMerge = secondsSince(tMerge0)
-    dfTransformed.unpersist(false)
 
     val metrics = ItemsRunMetrics(
       batch_id = batchId,
