@@ -46,6 +46,15 @@ object ScaleBench {
       // production deployment makes. Bench keeps lz4 so query medians
       // stay comparable across rounds.
       .config("spark.io.compression.codec", "zstd")
+      // Compress disk-spilled CACHE blocks with the same codec: the
+      // staged minhash pipeline persists a wide gram/signature frame
+      // (MEMORY_AND_DISK) whose int-array columns the columnar cache
+      // stores with PassThrough encoding — spilled raw, they sit at the
+      // disk-quota edge during the 300× run and the resulting spill
+      // pressure was the r12 verdict's named superlinearity suspect.
+      // Same deployment-knob rule as the codec above: set here, never
+      // in the library session.
+      .config("spark.rdd.compress", "true")
       // Bound every unsafe sorter (shuffle writers, external sorts) to
       // ~4M records before it spills. local[32] shares one 24 g heap:
       // left unbounded, 32 concurrent shuffle-map tasks legitimately
@@ -477,9 +486,21 @@ object ScaleBench {
     }
     val errJson = errors
       .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
+    // top-level self-description of 1× baseline noise (ADVICE r11): the
+    // WORST per-op baseline spread, so a reader of just the summary line
+    // knows how soft the ratios' denominators are without opening the
+    // per-op records
+    val baselineSpreadMax = {
+      val spreads = allRuns.collect {
+        case ((_, 1), runs) if runs.size >= 2 && runs.head > 0 =>
+          runs.last / runs.head
+      }
+      if (spreads.isEmpty) -1.0 else spreads.max
+    }
     val summary =
       s"""{"metric":"scale","unit":"ratio","base_docs":$baseDocs,"base_vecs":$baseVecs,"base_events":$baseEvents,""" +
-        s""""factor":$factor,"cpus":$cpus,"ops":{${ratios.mkString(",")}},"errors":$errJson}"""
+        s""""factor":$factor,"cpus":$cpus,"baseline_spread_max":${r3(baselineSpreadMax)},""" +
+        s""""ops":{${ratios.mkString(",")}},"errors":$errJson}"""
     out += summary
 
     try {

@@ -109,8 +109,9 @@ object TextDedup {
     * gate verify candidates directly against the gram frame — the exact
     * same output, since the prefilter only REMOVES candidates the exact
     * Jaccard join would reject anyway (up to its ~3e-7 miss rate, which
-    * the direct path doesn't have). The doc count comes free from the
-    * occupancy probe (one agg yields max occupancy AND total band rows).
+    * the direct path doesn't have). The doc count is a count() on the
+    * cache the occupancy probe just materialized — batch-stat metadata,
+    * no extra shuffle.
     *
     * `staged = true` bounds live shuffle-disk footprint for dedicated
     * batch runs: each pipeline stage's (small) output is materialized
@@ -159,17 +160,20 @@ object TextDedup {
 
     val bands = base.select(col(idCol), explode(col("__bands")).as("__band"))
 
-    // ONE eager probe job yields BOTH gates: max raw band occupancy (the
+    // The eager probe job yields the max raw band occupancy (the
     // [[LshBuckets.candidates]] mega-bucket guard signal, handed down as
-    // knownMaxOcc so no second probe runs) and the corpus size (total
-    // band rows / numBands — the prefilter gate). The agg materializes
-    // `base`'s cache as a side effect, exactly as the old in-candidates
-    // probe did.
-    val numBands = numHashes / bandRows
+    // knownMaxOcc so no second probe runs) and materializes `base`'s
+    // cache as a side effect. The prefilter gate's corpus size is then a
+    // count() ON THE MATERIALIZED CACHE — an InMemoryTableScan over
+    // batch row counts, no shuffle — rather than band rows / numBands:
+    // inferring docs from the explode undercounts any doc whose band
+    // array came out null/empty, and an undercount at the gate boundary
+    // would silently flip a large corpus onto the direct (unprefiltered)
+    // path — output-identical but defeating the scale path (ADVICE r12).
     val probeRow = bands.groupBy(col("__band")).agg(count(lit(1)).as("__occ"))
-      .agg(max(col("__occ")), sum(col("__occ"))).head()
+      .agg(max(col("__occ"))).head()
     val maxOcc = if (probeRow.isNullAt(0)) 0L else probeRow.getLong(0)
-    val nDocs = (if (probeRow.isNullAt(1)) 0L else probeRow.getLong(1)) / numBands
+    val nDocs = base.count()
     // staged: the probe's group-by exchange carries ~every distinct band
     // key (≈ docs × bands rows pre-combine) — release it before the
     // candidate stage piles its own exchanges on top
