@@ -765,7 +765,15 @@ object Bench {
         if (dt > 0.05) ((b1 - b0) - (s1 - s0)) / Hz / dt else -1.0
       }
       overall match {
-        case Some(avg) if avg >= -0.5 =>
+        // clamp ANY negative to 0: external load cannot be negative — a
+        // negative reading is host-vs-process jiffy accounting drift
+        // (host /proc/stat aggregates on tick boundaries; over a long
+        // mostly-saturated rep the process utime sum can exceed the
+        // host's user+nice sum by >0.5 cores). The r13-pre record showed
+        // long ETL reps reading -1 ("unreadable") from exactly this,
+        // which silently disabled contamination detection on the reps
+        // that need it most. -1 now ONLY means /proc was unreadable.
+        case Some(avg) =>
           val mx = windows.synchronized {
             if (windows.isEmpty) avg else windows.max }
           (math.max(avg, 0.0), math.max(mx, 0.0))

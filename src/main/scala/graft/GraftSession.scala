@@ -27,6 +27,21 @@ object GraftSession {
     // read as raw nanos; SparkEntry.tbl converts the long back to a
     // microsecond timestamp.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Spark 4.1's checkpoint-file checksums (on by default) wrap EVERY
+    // state-store/offset/commit file in a ChecksumCheckpointFileManager:
+    // a sidecar .checksum file per checkpoint file (doubling the
+    // create+fsync+rename+chmod sequence — on a local FS each chmod is a
+    // forked subprocess) plus a per-provider thread pool (thread dumps
+    // during a stream-stream drain showed 512 live
+    // ChecksumCheckpointFileManager threads for 32 partitions × 4 join
+    // state stores). The engine's streaming checkpoints are ephemeral
+    // and single-run — written and consumed by the same process on local
+    // disk, where the kernel already checksums at the block layer — so
+    // the integrity feature buys nothing and costs 2× the per-store
+    // fixed I/O that dominates a fixture-scale drain. A deployment whose
+    // checkpoints live on remote/unreliable storage should re-enable it
+    // with the standard conf.
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     // Deliberately NOT set here: reducer-count headroom
     // (spark.sql.shuffle.partitions / AQE initialPartitionNum). That is
     // DEPLOYMENT tuning — a 1000-executor cluster wants thousands of

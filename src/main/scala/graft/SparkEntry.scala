@@ -72,6 +72,44 @@ object SparkEntry {
     }
   }
 
+  /** Scale-adaptive shuffle parallelism for a streaming drain (guide §2:
+    * derive partitioning from input size, never a constant tuned for
+    * either local mode or the cluster). Stateful streaming operators
+    * place one state store per shuffle partition, and every micro-batch
+    * pays per-store FIXED costs — provider load, delta-file
+    * create+fsync+rename (each chmod a forked subprocess on a local FS),
+    * commit bookkeeping — so partition count is a direct multiplier on
+    * checkpoint I/O. At 100 TB you want hundreds of stores; on a
+    * megabyte fixture the session's core-count constant buys 32× the
+    * fixed cost for zero parallelism gain.
+    *
+    * partitions = clamp(ceil(inputBytes / 16 MB), 1, session setting) —
+    * the session's own value (the deployment's parallelism choice) stays
+    * the CEILING, so production volumes keep production parallelism and
+    * only provably-small inputs scale down.
+    * SPARK_GRAFT_STREAM_MB_PER_PARTITION overrides the 16 MB/partition
+    * target. The previous setting is restored after the drain; the conf
+    * is read at stream start, so the scope covers start→awaitTermination
+    * (results are partitioning-independent — only the plan changes). */
+  private def withScaledStreamShuffle[T](s: SparkSession, inputPath: String)
+                                        (body: => T): T = {
+    val bytes =
+      try {
+        val f = new java.io.File(inputPath)
+        if (f.isDirectory)
+          Option(f.listFiles()).map(_.filter(_.isFile).map(_.length).sum).getOrElse(0L)
+        else f.length
+      } catch { case scala.util.control.NonFatal(_) => 0L }
+    val mbPerPart = sys.env.getOrElse("SPARK_GRAFT_STREAM_MB_PER_PARTITION", "16")
+      .trim.toLong
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val perPart = mbPerPart * 1024 * 1024
+    val target = math.max(1L,
+      math.min(prev.toLong, (bytes + perPart - 1) / perPart))
+    s.conf.set("spark.sql.shuffle.partitions", target.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Normalize an events-shaped frame's `ts` to session-zone TIMESTAMP,
     * whatever physical encoding the driver's testdata uses for it:
     *  - parquet TIMESTAMP(NANOS), which Spark 4 only reads as a raw long
@@ -993,14 +1031,16 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val sink = "q47_win_" + java.util.UUID.randomUUID.toString.replace("-", "")
       withStreamDir(dir, "events", "q47") { in =>
-        // same ts normalization tbl() applies to the batch read
-        val stream = normalizeTs(s.readStream.schema(schema).parquet(in))
-        val q = graft.streaming.StreamingEventStats.windowedCounts(stream)
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("complete")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        withScaledStreamShuffle(s, in) {
+          // same ts normalization tbl() applies to the batch read
+          val stream = normalizeTs(s.readStream.schema(schema).parquet(in))
+          val q = graft.streaming.StreamingEventStats.windowedCounts(stream)
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("complete")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
       }
       graft.ops.Caches.registeredRelease { () =>
         s.catalog.dropTempView(sink); ()
@@ -1052,14 +1092,16 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val sink = "q50_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
       withStreamDir(dir, "events", "q50") { in =>
-        val q = s.readStream.schema(schema).parquet(in)
-          .select("user_id", "event_type")
-          .dropDuplicates("user_id", "event_type")
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        withScaledStreamShuffle(s, in) {
+          val q = s.readStream.schema(schema).parquet(in)
+            .select("user_id", "event_type")
+            .dropDuplicates("user_id", "event_type")
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
       }
       graft.ops.Caches.registeredRelease { () =>
         s.catalog.dropTempView(sink); ()
@@ -1078,15 +1120,17 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val sink = "q51_state_" + java.util.UUID.randomUUID.toString.replace("-", "")
       withStreamDir(dir, "events", "q51") { in =>
-        val events = normalizeTs(s.readStream.schema(schema).parquet(in))
-          .select(col("user_id").as("userId"), col("ts"), col("value"))
-          .as[graft.streaming.StreamingEventStats.UserEvent]
-        val q = graft.streaming.StreamingEventStats.runningUserStats(events)
-          .writeStream.format("memory").queryName(sink)
-          .outputMode(graft.streaming.StreamingEventStats.RunningStatsOutputMode)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        withScaledStreamShuffle(s, in) {
+          val events = normalizeTs(s.readStream.schema(schema).parquet(in))
+            .select(col("user_id").as("userId"), col("ts"), col("value"))
+            .as[graft.streaming.StreamingEventStats.UserEvent]
+          val q = graft.streaming.StreamingEventStats.runningUserStats(events)
+            .writeStream.format("memory").queryName(sink)
+            .outputMode(graft.streaming.StreamingEventStats.RunningStatsOutputMode)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
       }
       graft.ops.Caches.registeredRelease { () =>
         s.catalog.dropTempView(sink); ()
@@ -1250,25 +1294,27 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val sink = "q56_ssj_" + java.util.UUID.randomUUID.toString.replace("-", "")
       withStreamDir(dir, "events", "q56") { in =>
-        def src = normalizeTs(s.readStream.schema(schema).parquet(in))
-        val clicks = src.filter(col("event_type") === "click")
-          .select(col("user_id"), col("ts").as("click_ts"),
-            col("event_id").as("click_id"))
-          .withWatermark("click_ts", "1 hour")
-        val purchases = src.filter(col("event_type") === "purchase")
-          .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
-            col("event_id").as("purchase_id"))
-          .withWatermark("purchase_ts", "1 hour")
-        val q = clicks.join(purchases,
-            col("user_id") === col("p_user") &&
-              col("purchase_ts") >= col("click_ts") &&
-              col("purchase_ts") <= col("click_ts") + expr("interval 2 hours"))
-          .select(col("user_id"), col("click_id"), col("purchase_id"))
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        withScaledStreamShuffle(s, in) {
+          def src = normalizeTs(s.readStream.schema(schema).parquet(in))
+          val clicks = src.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts").as("click_ts"),
+              col("event_id").as("click_id"))
+            .withWatermark("click_ts", "1 hour")
+          val purchases = src.filter(col("event_type") === "purchase")
+            .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+              col("event_id").as("purchase_id"))
+            .withWatermark("purchase_ts", "1 hour")
+          val q = clicks.join(purchases,
+              col("user_id") === col("p_user") &&
+                col("purchase_ts") >= col("click_ts") &&
+                col("purchase_ts") <= col("click_ts") + expr("interval 2 hours"))
+            .select(col("user_id"), col("click_id"), col("purchase_id"))
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
       }
       graft.ops.Caches.registeredRelease { () =>
         s.catalog.dropTempView(sink); ()
@@ -1292,6 +1338,7 @@ object SparkEntry {
       val work = Files.createTempDirectory("graft-q57").toString
       val outDir = s"$work/out"
       withStreamDir(dir, "events", "q57") { in =>
+        withScaledStreamShuffle(s, in) {
         // foreachBatch parquet sink: unlike the memory sink it supports
         // RESTART from a checkpoint, which the two-drain flush needs
         def drain(): Unit = {
@@ -1324,6 +1371,7 @@ object SparkEntry {
         // whole dir.
         watermarkSentinel(s, dir, schema).write.mode("append").parquet(in)
         drain()
+        }
       }
       graft.ops.Caches.registeredRelease { () =>
         deleteRec(new java.io.File(work)); ()
@@ -1386,6 +1434,7 @@ object SparkEntry {
       val work = Files.createTempDirectory("graft-q59").toString
       val outDir = s"$work/out"
       withStreamDir(dir, "events", "q59") { in =>
+        withScaledStreamShuffle(s, in) {
         def drain(): Unit = {
           val events = normalizeTs(s.readStream.schema(schema).parquet(in))
             .select(col("user_id").as("userId"), col("ts"), col("value"))
@@ -1409,6 +1458,7 @@ object SparkEntry {
         // the TEMP stream dir only, corpus untouched, bounded collect)
         watermarkSentinel(s, dir, schema).write.mode("append").parquet(in)
         drain()
+        }
       }
       graft.ops.Caches.registeredRelease { () =>
         deleteRec(new java.io.File(work)); ()
@@ -1472,15 +1522,17 @@ object SparkEntry {
         q.awaitTermination()
       }
       val d = "2023-06-01 "
-      writeBatch(Seq((1L, d + "10:00:00", 1.0), (1L, d + "10:00:00", 1.0),
-        (2L, d + "10:01:00", 2.0), (3L, d + "10:00:00", 3.0),
-        (99L, d + "11:00:00", 9.0)))
-      drain()
-      writeBatch(Seq((5L, d + "10:59:00", 5.0)))
-      drain()
-      writeBatch(Seq((1L, d + "10:55:00", 1.5), (99L, d + "11:05:00", 9.5),
-        (4L, d + "10:58:00", 4.0), (4L, d + "10:58:00", 4.0)))
-      drain()
+      withScaledStreamShuffle(s, src) {
+        writeBatch(Seq((1L, d + "10:00:00", 1.0), (1L, d + "10:00:00", 1.0),
+          (2L, d + "10:01:00", 2.0), (3L, d + "10:00:00", 3.0),
+          (99L, d + "11:00:00", 9.0)))
+        drain()
+        writeBatch(Seq((5L, d + "10:59:00", 5.0)))
+        drain()
+        writeBatch(Seq((1L, d + "10:55:00", 1.5), (99L, d + "11:05:00", 9.5),
+          (4L, d + "10:58:00", 4.0), (4L, d + "10:58:00", 4.0)))
+        drain()
+      }
       graft.ops.Caches.registeredRelease { () =>
         deleteRec(new java.io.File(work)); ()
       }
@@ -2104,13 +2156,15 @@ object SparkEntry {
         ev.filter(col("event_id") % 2 === 0).repartition(4), path + "/t")
       t.append(ev.filter(col("event_id") % 2 === 1).repartition(4))
       val sink = "q88_cw_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val q = graft.streaming.StreamingEventStats
-        .windowedCounts(s.readStream.format("graft").load(path + "/t"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withScaledStreamShuffle(s, path + "/t/data") {
+        val q = graft.streaming.StreamingEventStats
+          .windowedCounts(s.readStream.format("graft").load(path + "/t"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       graft.ops.Caches.registeredRelease { () =>
         s.catalog.dropTempView(sink)
         deleteRec(new java.io.File(path)); ()

@@ -1710,6 +1710,32 @@ class VersionedTable private (val spark: SparkSession,
       else StructType(baseSchema.fields ++ evolvedCols)
     val dataCols = tableSchema.fields.toSeq
 
+    // --- source persist: mergeBody evaluates the source 2-3 times (the
+    // stats/cardinality agg, the touched-file probe, then the rewrite or
+    // the insert anti-join). Re-evaluating a trivially-cheap source (a
+    // caller-cached staged batch) costs nothing, but SCD2 merge sources
+    // are typically a join/aggregate over the TARGET TABLE itself
+    // (HeaderEtlJob Phase A's first-change frame, ItemsEtlJob's staged
+    // union) — without a persist every evaluation replays a table scan
+    // plus a shuffle join (guide §1.2: remove redundant passes first).
+    // Guarded: only plans containing a join/aggregate/window/generate
+    // are persisted — a plain projection over the caller's cache would
+    // just double-cache the batch — and
+    // spark.graft.merge.persistSource=false turns it off.
+    val persistSource =
+      spark.conf.get("spark.graft.merge.persistSource", "true") != "false"
+    val srcExpensive = {
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Join, Window => LWindow}
+      src.queryExecution.optimizedPlan.exists {
+        case _: Join | _: Aggregate | _: LWindow | _: Generate => true
+        case _ => false
+      }
+    }
+    val srcPersisted = persistSource && srcExpensive &&
+      src.storageLevel == StorageLevel.NONE
+    val src2 = if (srcPersisted) src.persist(StorageLevel.MEMORY_AND_DISK) else src
+    try {
+
     // --- stats pruning + cardinality fast path: ONE source-side agg -----
     // For each conjunctive equi-key, the agg computes its min/max — files
     // whose footer stats don't overlap EVERY key range cannot contain
@@ -1748,7 +1774,7 @@ class VersionedTable private (val spark: SparkSession,
               .as("__graft_nn"),
             countDistinct(keyExprs.head, keyExprs.tail: _*).as("__graft_nd"))
           val aggs = statAggs ++ dupAggs
-          val row = src.agg(aggs.head, aggs.tail: _*).collect()(0)
+          val row = src2.agg(aggs.head, aggs.tail: _*).collect()(0)
           if (wantDupCheck) {
             // rows with a NULL key can never equi-match a target row;
             // countDistinct skips them too, so compare against the
@@ -1771,6 +1797,24 @@ class VersionedTable private (val spark: SparkSession,
       } catch { case scala.util.control.NonFatal(_) => files }
     val statsSkipped = files.size - matchCandidates.size
 
+    // --- broadcast the source side of the probe/rewrite joins when its
+    // MATERIALIZED (cached) size is provably small: the other side is the
+    // table — at 100 TB the only sane plan ships the source to the data,
+    // never the reverse (guide §3.1). The size comes from the cache's own
+    // stats (exact once the stats agg above materialized it), never from
+    // a pre-execution estimate; an unpersisted or unmaterialized source
+    // conservatively stays un-hinted and Catalyst/AQE decides. Full-outer
+    // rewrites (update+insert merges) are excluded below — broadcast hash
+    // join does not support full-outer and the hint would be dead weight.
+    val bcastCapBytes = spark.conf.get(
+      "spark.graft.merge.broadcastSourceBytes",
+      (128L * 1024 * 1024).toString).toLong
+    val srcSmall = srcPersisted && (try {
+      src2.queryExecution.optimizedPlan.stats.sizeInBytes <= bcastCapBytes
+    } catch { case scala.util.control.NonFatal(_) => false })
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (srcSmall) broadcast(df) else df
+
     // --- fast path: insert-only merge rewrites NOTHING ------------------
     // With no matched-update/delete clause (e.g. the header job's Phase
     // B), matched target rows are untouched by definition — the merge
@@ -1784,7 +1828,7 @@ class VersionedTable private (val spark: SparkSession,
       // anti-join only against the stats-candidate files: rows in skipped
       // files cannot equal any source key, so they cannot absorb inserts
       val target = readFileEntries(matchCandidates, tableSchema).alias(targetAlias)
-      val unmatched = src.join(target, expr(condition), "left_anti")
+      val unmatched = src2.join(target, expr(condition), "left_anti")
       val toInsert = insCondOpt.fold(unmatched)(c => unmatched.filter(expr(c)))
       val rows = toInsert.select(dataCols.map { f =>
         insVals.get(f.name).map(expr).getOrElse(lit(null))
@@ -1835,7 +1879,7 @@ class VersionedTable private (val spark: SparkSession,
         // it now: after a DV anti-join, _metadata no longer resolves)
         val t = readFileEntries(matchCandidates, tableSchema, keepMeta = true)
           .alias(targetAlias)
-        val matched = t.join(src, expr(condition), "inner")
+        val matched = t.join(maybeBroadcast(src2), expr(condition), "inner")
         if (needExactCardinality) {
           val perFile = matched
             .groupBy(col(FileCol), col(RowIdxCol))
@@ -1859,9 +1903,20 @@ class VersionedTable private (val spark: SparkSession,
     // --- 2. rewrite touched files + insert unmatched source rows --------
     val touchedDF = readFileEntries(touchedFiles, tableSchema)
 
+    // An update/delete-only merge (no insert clause) preserves every
+    // target row and adds none, so a LEFT join is exactly equivalent to
+    // the full-outer: the source-only rows full-outer would emit are
+    // filtered out below (insCond is lit(false)). The switch matters
+    // because Spark can never execute a full-outer as a broadcast hash
+    // join — with it, a small source (e.g. the header job's Phase-A
+    // first-change keys) rewrites the touched files in one map-only scan
+    // instead of shuffling + sorting every touched row through a
+    // sort-merge join (guide §2.4/§3.1).
+    val rewriteJoinType = if (notMatchedInsert.isEmpty) "left_outer" else "full_outer"
     val t = touchedDF.withColumn(TPresent, lit(true)).alias(targetAlias)
-    val s = src.withColumn(SPresent, lit(true))
-    val joined = t.join(s, expr(condition), "full_outer")
+    val s = (if (rewriteJoinType == "left_outer") maybeBroadcast(src2) else src2)
+      .withColumn(SPresent, lit(true))
+    val joined = t.join(s, expr(condition), rewriteJoinType)
 
     val tPresent = col(TPresent) === lit(true)
     val sPresent = col(SPresent) === lit(true)
@@ -1927,6 +1982,22 @@ class VersionedTable private (val spark: SparkSession,
     }
     val rewritten = kept.select(outCols: _*)
 
+    // plan-audit hook: when spark.graft.merge.explainDir is set, dump the
+    // rewrite join's formatted physical plan there (one file per merge,
+    // named by target + version) so optimization claims about the merge's
+    // internal plan shape (join strategy, exchange count, cached source)
+    // are checkable — the merge plan never appears in any returned frame.
+    spark.conf.getOption("spark.graft.merge.explainDir").foreach { d =>
+      try {
+        val name = rootPath.getName + s"_v${pinnedV + 1}_rewrite.txt"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(d, name),
+          rewritten.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+      } catch { case scala.util.control.NonFatal(_) => }
+    }
+
     val doWrite = touchedFiles.nonEmpty || notMatchedInsert.nonEmpty
     val added = if (doWrite) writeFiles(rewritten, partCols) else Seq.empty
     // obs.get blocks until its action ran — only consult it after a write
@@ -1962,6 +2033,7 @@ class VersionedTable private (val spark: SparkSession,
         "numTargetRowsInserted" -> rowsInserted.toString,
         "numTargetRowsDeleted" -> rowsDeleted.toString,
         "numColumnsEvolved" -> evolvedCols.size.toString)), added)
+    } finally if (srcPersisted) src2.unpersist(false)
   }
 
   // ------------------------------------------------------------- helpers --
