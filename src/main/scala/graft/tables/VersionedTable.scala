@@ -1532,18 +1532,36 @@ class VersionedTable private (val spark: SparkSession,
                                    matchedDelete: Option[Option[String]] = None,
                                    deleteFirst: Boolean = false,
                                    schemaEvolution: Boolean = false): Unit = {
-    // The source is consumed twice (file-prune join, then the rewrite
-    // join). A typical merge source is a freshly-transformed batch with
-    // windows/joins upstream — persist it so the lineage runs once.
-    // try/finally: any failure (write, analysis, commit conflict) must
-    // still release the cached blocks, or they leak for the session.
-    // The retry loop sits INSIDE the persist scope: a CAS-losing merge
-    // re-runs against the winner's state reusing the already-cached source.
-    val src = source.persist(StorageLevel.MEMORY_AND_DISK)
+    // The source is consumed 2-3 times (stats/cardinality agg, file-prune
+    // join, then the rewrite or anti join) — persist it so the lineage
+    // runs once. GUARDED (guide §5: caching competes with execution
+    // memory): only a plan with a join/aggregate/window/generate above
+    // its scans is worth a second materialization. The common cheap
+    // shape — a projection over the caller's ALREADY-CACHED batch (the
+    // header job's Phase-B staging) — previously got persisted here
+    // unconditionally, writing a second full copy of the batch to
+    // storage memory per merge; re-running a projection over the
+    // existing cache costs less than that copy. Non-deterministic
+    // sources are persisted regardless of shape: re-evaluating one
+    // across the probe/rewrite passes would let the probe and the
+    // rewrite see DIFFERENT rows. try/finally: any failure must still
+    // release the cached blocks. The retry loop sits INSIDE the persist
+    // scope: a CAS-losing merge re-runs reusing the cached source.
+    val srcExpensive = {
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Join, Window => LWindow}
+      val plan = source.queryExecution.analyzed
+      plan.exists {
+        case _: Join | _: Aggregate | _: LWindow | _: Generate => true
+        case other => !other.deterministic
+      }
+    }
+    val doPersist = srcExpensive && source.storageLevel == StorageLevel.NONE &&
+      spark.conf.get("spark.graft.merge.persistSource", "true") != "false"
+    val src = if (doPersist) source.persist(StorageLevel.MEMORY_AND_DISK) else source
     try withCommitRetry {
       mergeBody(targetAlias, src, condition, matchedUpdate, notMatchedInsert,
         matchedDelete, deleteFirst, schemaEvolution)
-    } finally src.unpersist(false)
+    } finally if (doPersist) src.unpersist(false)
   }
 
   /** Simple conjunctive equi-predicates `targetAlias.col = <srcExpr>`
