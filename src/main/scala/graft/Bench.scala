@@ -131,7 +131,7 @@ object Bench {
     // per-rep ext_cpu_cores and a clean_median over uncontaminated reps,
     // so a mid-rep co-tenant stall (r12: one 226.5 s rep beside a 44.3 s
     // one) is named in the record instead of poisoning the median.
-    val headerRuns: Seq[(Long, Seq[(graft.jobs.HeaderRunMetrics, Double, Double)], Int)] =
+    val headerRuns: Seq[(Long, Seq[(graft.jobs.HeaderRunMetrics, ExtSample)], Int)] =
       headerSizes.toSeq.zip(repeatList).flatMap { case (n, reps) =>
         var thisTmp: Option[String] = None
         try {
@@ -155,7 +155,7 @@ object Bench {
           // async writeback otherwise lands inside the measurement: reps
           // swung 13 → 42 s at 1M purely from flush overlap), then the
           // measured batch2 under the external-CPU sampler.
-          def oneRep(deleteFirst: Boolean): (graft.jobs.HeaderRunMetrics, Double, Double) = {
+          def oneRep(deleteFirst: Boolean): (graft.jobs.HeaderRunMetrics, ExtSample) = {
             if (deleteFirst) {
               Seq("table", "discarded", "metrics").foreach(d =>
                 deleteRecursively(new java.io.File(s"$tmp/$d")))
@@ -168,8 +168,7 @@ object Bench {
             val sampler = new ExtCpuSampler
             val m = HeaderEtlJob.run(spark, s"$tmp/crm/header_20230228.csv",
               s"$tmp/table", s"$tmp/discarded", s"$tmp/metrics")
-            val (extAvg, extMax) = sampler.stop()
-            (m, extAvg, extMax)
+            (m, sampler.stop())
           }
           // untimed warmup rep: first-touch read of the fresh multi-GB
           // CSVs + size-specific plan/codegen land here, so the TIMED
@@ -314,7 +313,7 @@ object Bench {
     // instead of doubling a 94-query pass.
     var queryRetryBudget = 20
     var queryRetries = 0
-    val results: Seq[(String, Seq[(Double, Double)])] =
+    val results: Seq[(String, Seq[(Double, ExtSample)])] =
       (if (skipQueries) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
        else if (onlyQueries.nonEmpty) SparkEntry.queries.view.filterKeys(onlyQueries).toMap
        else SparkEntry.queries).toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -331,7 +330,7 @@ object Bench {
           graft.ops.Caches.releaseAll()
           drainStreamingResidue(spark)
         }
-        def oneTimedRep(): Option[(Double, Double)] = {
+        def oneTimedRep(): Option[(Double, ExtSample)] = {
           if (heavy) settleLight()
           val sampler = new ExtCpuSampler
           val t0 = System.nanoTime()
@@ -343,24 +342,28 @@ object Bench {
                 failed = true
                 None
             }
-          val (extAvg, _) = sampler.stop()
+          val sample = sampler.stop()
           graft.ops.Caches.releaseAll()
           drainStreamingResidue(spark)
-          r.map(t => (t, extAvg))
+          r.map(t => (t, sample))
         }
-        // query threshold 1.5 cores (vs the ETL sweep's 1.0): streaming
-        // queries' per-checkpoint-file Hadoop chmod/stat subprocesses are
-        // OUR work in child pids — unattributable to self — and read up
-        // to ~1.1 "external" cores on a measured-idle host; the ETL
-        // sweep forks nothing and keeps the tighter bar
+        // query threshold 1.5 external cores (vs the ETL sweep's 1.0):
+        // streaming queries' per-checkpoint-file Hadoop chmod/stat
+        // subprocesses are OUR work in child pids — unattributable to
+        // self — and read up to ~1.1 "external" cores on a measured-idle
+        // host; the ETL sweep forks nothing and keeps the tighter bar.
+        // Steal keeps the 1.0-core bar everywhere: forked subprocesses
+        // never show up as hypervisor steal.
+        def trampled(s: ExtSample): Boolean = s.avg > 1.5 || s.steal > 1.0
         val runs = (1 to queryReps).flatMap { _ =>
           if (failed) None // a failing query would just re-fail; don't re-time it
           else oneTimedRep() match {
-            case Some((t, ext)) if ext > 1.5 && queryRetryBudget > 0 && !failed =>
+            case Some((t, ext)) if trampled(ext) && queryRetryBudget > 0 && !failed =>
               queryRetryBudget -= 1
               queryRetries += 1
               oneTimedRep() match {
-                case Some(retry) if retry._2 >= 0 && retry._2 < ext => Some(retry)
+                case Some(retry) if retry._2.worst >= 0 && retry._2.worst < ext.worst =>
+                  Some(retry)
                 case _ => Some((t, ext)) // keep the annotated original
               }
             case other => other
@@ -382,7 +385,7 @@ object Bench {
     val itemsSizes = sys.env.getOrElse("SPARK_GRAFT_ITEMS_SIZES",
         if (skipQueries) "" else "100000,1000000,5000000,10000000")
       .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong)
-    val itemsRuns: Seq[(Long, Seq[(graft.jobs.ItemsRunMetrics, Double, Double)], Int)] =
+    val itemsRuns: Seq[(Long, Seq[(graft.jobs.ItemsRunMetrics, ExtSample)], Int)] =
       itemsSizes.toSeq.flatMap { n =>
         var tmpDir: Option[String] = None
         try {
@@ -396,7 +399,7 @@ object Bench {
           // a guaranteed tracked-price change; see ItemsDataGen.writeBatch2)
           graft.tools.ItemsDataGen.writeBatch2(spark, n, "20230125",
             s"$tmp/crm", cpus.toInt, baseSeed = 42)
-          def oneRep(deleteFirst: Boolean): (graft.jobs.ItemsRunMetrics, Double, Double) = {
+          def oneRep(deleteFirst: Boolean): (graft.jobs.ItemsRunMetrics, ExtSample) = {
             if (deleteFirst) {
               Seq("table", "metrics").foreach(d =>
                 deleteRecursively(new java.io.File(s"$tmp/$d")))
@@ -411,8 +414,7 @@ object Bench {
             val m = graft.jobs.ItemsEtlJob.runWithMetrics(spark,
               s"$tmp/crm/items_20230125.txt", s"$tmp/table",
               Some(s"$tmp/metrics"))
-            val (extAvg, extMax) = sampler.stop()
-            (m, extAvg, extMax)
+            (m, sampler.stop())
           }
           oneRep(deleteFirst = false) // untimed warmup rep
           val reps = if (n >= 1000000L) 3 else 2
@@ -497,8 +499,9 @@ object Bench {
       val m0 = ms.last
       s""""$n":{"runs_tevm":$runs,"median_s":${r3(median(ms.map(_.duration_s)))},""" +
         s""""clean_median_s":${r3(cleanMedian(reps.map(r => (r._1.duration_s, r._2))))},""" +
-        s""""ext_cpu_cores":${reps.map(r => r3(r._2)).mkString("[", ",", "]")},""" +
-        s""""ext_cpu_max":${reps.map(r => r3(r._3)).mkString("[", ",", "]")},""" +
+        s""""ext_cpu_cores":${reps.map(r => r3(r._2.avg)).mkString("[", ",", "]")},""" +
+        s""""ext_cpu_max":${reps.map(r => r3(r._2.max)).mkString("[", ",", "]")},""" +
+        s""""steal_cores":${reps.map(r => r3(r._2.steal)).mkString("[", ",", "]")},""" +
         s""""retries":$retries,""" +
         s""""median_merge_s":${r3(median(ms.map(_.duration_s_merge)))},""" +
         s""""median_validation_s":${r3(median(ms.map(_.duration_s_validation)))},""" +
@@ -516,7 +519,8 @@ object Bench {
       val m0 = ms.last
       s""""$n":{"runs_tedtm":$runs,"median_s":${r3(median(ms.map(_.duration_s)))},""" +
         s""""clean_median_s":${r3(cleanMedian(reps.map(r => (r._1.duration_s, r._2))))},""" +
-        s""""ext_cpu_cores":${reps.map(r => r3(r._2)).mkString("[", ",", "]")},""" +
+        s""""ext_cpu_cores":${reps.map(r => r3(r._2.avg)).mkString("[", ",", "]")},""" +
+        s""""steal_cores":${reps.map(r => r3(r._2.steal)).mkString("[", ",", "]")},""" +
         s""""retries":$retries,""" +
         s""""median_merge_s":${r3(median(ms.map(_.duration_s_merge)))},""" +
         s""""staged":${m0.staged_count},"duplicated":${m0.duplicated_count},""" +
@@ -545,7 +549,8 @@ object Bench {
     val qSeq = results.map { case (k, runs) =>
       val m = if (runs.isEmpty) -1.0 else median(runs.map(_._1))
       s""""${esc(k)}":{"median":${r3(m)},"runs":${runs.map(r => r3(r._1)).mkString("[", ",", "]")},""" +
-        s""""ext":${runs.map(r => r3(r._2)).mkString("[", ",", "]")}}"""
+        s""""ext":${runs.map(r => r3(r._2.avg)).mkString("[", ",", "]")},""" +
+        s""""steal":${runs.map(r => r3(r._2.steal)).mkString("[", ",", "]")}}"""
     }
     val qLines =
       if (qSeq.isEmpty) Nil
@@ -677,14 +682,20 @@ object Bench {
   // cap with no real co-tenant present.
   private val Hz = 100.0 // Linux USER_HZ
 
-  /** Host user+nice jiffies (see the accounting rationale above). */
-  private def hostBusyJiffies(): Option[Long] =
+  /** Host (user+nice, steal) jiffies (see the accounting rationale
+    * above). Steal is read alongside because it is the ONE external
+    * signal per-process accounting can never see: time the hypervisor
+    * ran a co-tenant VM instead of this vCPU. A mid-rep stall with zero
+    * in-guest external user CPU (the r12 226.5 s outlier's shape, and
+    * this round's 2× full-sweep ETL elevations that vanish in isolated
+    * re-runs) is exactly what steal measures. */
+  private def hostBusyJiffies(): Option[(Long, Long)] =
     try {
       val l = java.nio.file.Files.readAllLines(
         java.nio.file.Paths.get("/proc/stat")).get(0)
       // cpu user nice system idle iowait irq softirq steal guest guest_nice
       val vals = l.trim.split("\\s+").drop(1).map(_.toLong)
-      Some(vals(0) + vals(1))
+      Some((vals(0) + vals(1), if (vals.length > 7) vals(7) else 0L))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** utime of one pid ("self" works) — user-mode only, matching the
@@ -707,13 +718,26 @@ object Bench {
       Some(rest(1)) // state ppid pgrp ... → idx 1
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** One (hostBusy, self+parent) snapshot; None on non-Linux. */
-  private def cpuSnap(): Option[(Long, Long)] =
-    hostBusyJiffies().flatMap { b =>
+  /** One (hostBusy, self+parent, steal) snapshot; None on non-Linux. */
+  private def cpuSnap(): Option[(Long, Long, Long)] =
+    hostBusyJiffies().flatMap { case (b, st) =>
       procJiffies("self").map { s =>
-        (b, s + parentPid.flatMap(procJiffies).getOrElse(0L))
+        (b, s + parentPid.flatMap(procJiffies).getOrElse(0L), st)
       }
     }
+
+  /** One timed window's contamination readings: average/max external
+    * user-mode cores (co-tenant PROCESSES in this VM) and average steal
+    * cores (co-tenant VMs at the hypervisor). Either one above the
+    * threshold marks the rep contaminated — they detect disjoint
+    * mechanisms, and the five-round history of "elevated reps with
+    * nothing visible in ps" is precisely the steal-shaped kind. */
+  private[graft] final case class ExtSample(avg: Double, max: Double, steal: Double) {
+    def contaminated(thresholdCores: Double): Boolean =
+      avg > thresholdCores || steal > thresholdCores
+    /** Worst signal, for keep-the-least-contaminated retry comparisons. */
+    def worst: Double = math.max(avg, steal)
+  }
 
   /** Background sampler recording external-CPU cores DURING a timed rep
     * (the r12 verdict's detection ask): a pre-rep quiet-gate cannot see
@@ -721,9 +745,10 @@ object Bench {
     * 10M outlier sat beside a 44.3 s rep in the same artifact. A daemon
     * thread snapshots /proc at ~2 Hz; [[stop]] returns (avg, max) cores
     * burned by processes other than this JVM (and its parent) across the
-    * rep, so every recorded run self-describes how trampled it was.
+    * rep PLUS the average hypervisor-steal cores — the signal that
+    * catches co-tenant VMs, which no in-guest process accounting can see.
     * Costs two file reads per 500 ms — nothing against a seconds-scale
-    * rep. Unreadable /proc (non-Linux) → (-1, -1). */
+    * rep. Unreadable /proc (non-Linux) → (-1, -1, -1). */
   private[graft] final class ExtCpuSampler {
     @volatile private var running = true
     private val windows = scala.collection.mutable.ArrayBuffer[Double]()
@@ -737,7 +762,7 @@ object Bench {
         if (running) {
           val cur = cpuSnap()
           val curT = System.nanoTime()
-          for ((b0, s0) <- prev; (b1, s1) <- cur) {
+          for ((b0, s0, _) <- prev; (b1, s1, _) <- cur) {
             val dt = (curT - prevT) / 1e9
             if (dt > 0.05) windows.synchronized {
               windows += ((b1 - b0) - (s1 - s0)) / Hz / dt
@@ -751,18 +776,21 @@ object Bench {
     thread.setDaemon(true)
     thread.start()
 
-    /** @return (avgCores, maxWindowCores) of external CPU over the
-      *         sampler's lifetime; (-1, -1) when /proc is unreadable. */
-    def stop(): (Double, Double) = {
+    /** @return external user-mode cores (avg, max window) and steal cores
+      *         (avg) over the sampler's lifetime; all -1 when /proc is
+      *         unreadable. */
+    def stop(): ExtSample = {
       running = false
       thread.interrupt()
       try thread.join(1500) catch { case _: InterruptedException => }
       val overall = for {
-        (b0, s0) <- snap0
-        (b1, s1) <- cpuSnap()
+        (b0, s0, st0) <- snap0
+        (b1, s1, st1) <- cpuSnap()
       } yield {
         val dt = (System.nanoTime() - t0) / 1e9
-        if (dt > 0.05) ((b1 - b0) - (s1 - s0)) / Hz / dt else -1.0
+        if (dt > 0.05)
+          (((b1 - b0) - (s1 - s0)) / Hz / dt, (st1 - st0) / Hz / dt)
+        else (-1.0, -1.0)
       }
       overall match {
         // clamp ANY negative to 0: external load cannot be negative — a
@@ -773,48 +801,49 @@ object Bench {
         // long ETL reps reading -1 ("unreadable") from exactly this,
         // which silently disabled contamination detection on the reps
         // that need it most. -1 now ONLY means /proc was unreadable.
-        case Some(avg) =>
+        case Some((avg, steal)) =>
           val mx = windows.synchronized {
             if (windows.isEmpty) avg else windows.max }
-          (math.max(avg, 0.0), math.max(mx, 0.0))
-        case _ => (-1.0, -1.0)
+          ExtSample(math.max(avg, 0.0), math.max(mx, 0.0), math.max(steal, 0.0))
+        case _ => ExtSample(-1.0, -1.0, -1.0)
       }
     }
   }
 
   /** Rep loop with the detect-and-retry discipline: run `attempt` (which
     * must time its own measured window under an [[ExtCpuSampler]] and
-    * return (result, extAvgCores, extMaxCores)); a rep whose external
-    * CPU average exceeds `thresholdCores` is re-run up to
-    * `maxRetriesPerRep` times, keeping the least-contaminated attempt.
-    * Unreadable /proc (ext = -1) counts as clean — there is nothing to
-    * detect against. @return (accepted reps, total retries taken) */
+    * return (result, sample)); a rep whose external CPU average OR steal
+    * average exceeds `thresholdCores` is re-run up to `maxRetriesPerRep`
+    * times, keeping the least-contaminated attempt. Unreadable /proc
+    * (readings = -1) counts as clean — there is nothing to detect
+    * against. @return (accepted reps, total retries taken) */
   private def guardedReps[T](nReps: Int, thresholdCores: Double = 1.0,
                              maxRetriesPerRep: Int = 2)
-                            (attempt: () => (T, Double, Double)): (Seq[(T, Double, Double)], Int) = {
+                            (attempt: () => (T, ExtSample)): (Seq[(T, ExtSample)], Int) = {
     var retries = 0
     val out = (1 to nReps).map { _ =>
       var best = attempt()
       var tries = 0
-      while (best._2 > thresholdCores && tries < maxRetriesPerRep) {
+      while (best._2.contaminated(thresholdCores) && tries < maxRetriesPerRep) {
         tries += 1
         retries += 1
         val a = attempt()
-        if (a._2 >= 0 && a._2 < best._2) best = a
-        if (best._2 <= thresholdCores) tries = maxRetriesPerRep // clean — stop
+        if (a._2.worst >= 0 && a._2.worst < best._2.worst) best = a
+        if (!best._2.contaminated(thresholdCores)) tries = maxRetriesPerRep // clean — stop
       }
       best
     }
     (out, retries)
   }
 
-  /** Median over the CLEAN reps only (ext avg under the threshold, or
-    * unreadable); -1 when every rep was contaminated — the artifact then
-    * says "no uncontaminated measurement exists" instead of laundering a
-    * trampled median as the headline. */
-  private def cleanMedian(reps: Seq[(Double, Double)],
+  /** Median over the CLEAN reps only (ext AND steal averages under the
+    * threshold, or unreadable); -1 when every rep was contaminated — the
+    * artifact then says "no uncontaminated measurement exists" instead of
+    * laundering a trampled median as the headline. */
+  private def cleanMedian(reps: Seq[(Double, ExtSample)],
                           thresholdCores: Double = 1.0): Double = {
-    val clean = reps.collect { case (v, ext) if ext <= thresholdCores => v }
+    val clean = reps.collect {
+      case (v, ext) if !ext.contaminated(thresholdCores) => v }
     if (clean.isEmpty) -1.0
     else {
       val s = clean.sorted
@@ -839,10 +868,10 @@ object Bench {
     var done = false
     while (!done && System.nanoTime() < deadline) {
       cpuSnap() match {
-        case Some((b0, s0)) =>
+        case Some((b0, s0, _)) =>
           Thread.sleep(500)
           cpuSnap() match {
-            case Some((b1, s1)) =>
+            case Some((b1, s1, _)) =>
               val external = (b1 - b0) - (s1 - s0)
               done = external < quietCores * Hz * 0.5 // 0.5 s window
             case _ => done = true

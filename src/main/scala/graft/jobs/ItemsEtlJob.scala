@@ -90,9 +90,18 @@ object ItemsEtlJob {
     // ---- DEDUP: drop ALL copies of keys occurring >1 time --------------
     // (reference quirk, preserved: src/items_etl.py:57-64 keeps flag==1
     // and logs flag==2 — keys with 3+ copies are dropped but not counted)
+    // The flagged frame is the batch's ONE expensive lineage (CSV scan +
+    // the whole-partition count window) and has two consumers: the
+    // duplicated-count action here and everything downstream of the
+    // transform. Persisting it makes the count() the action that fills
+    // the cache, so the scan+window run ONCE per batch instead of twice
+    // (guide §1.2: don't repeat passes; previously the downstream
+    // transform cache re-ran both). Downstream re-derives transform
+    // columns from this cache — narrow, no shuffle.
     val tDedup0 = System.nanoTime()
     val wDup = Window.partitionBy(Schemas.ItemsDedupKeys.map(col): _*)
     val flagged = dfExtracted.withColumn("flag", count(lit(1)).over(wDup))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val duplicatedCount = flagged.filter(col("flag") === 2).count()
     val deduped = flagged.filter(col("flag") === 1)
     val durDedup = secondsSince(tDedup0)
@@ -109,11 +118,14 @@ object ItemsEtlJob {
     val durTransform = secondsSince(tTransform0)
 
     // ---- MERGE / INIT (reference: src/items_etl.py:79-143) -------------
-    // persisted: consumed by the staged count and by both arms of the
-    // merge's staged union — one evaluation of the dedup window instead
-    // of three
+    // No second persist here: dfTransformed is a narrow projection over
+    // the already-cached flagged frame (the dedup phase materialized it),
+    // so its consumers — the staged count and both arms of the merge's
+    // staged union — each replay only cheap column expressions over the
+    // cache. A second full-width copy of the batch in storage memory
+    // bought nothing and competed with the merge join for memory
+    // (guide §5: caching competes with execution memory).
     val tMerge0 = System.nanoTime()
-    dfTransformed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // try/finally: a throwing merge/init must not leak the cached frame
     // into a long-lived session (a bench catches the error and keeps
     // running later sections with the stale cache still pinned)
@@ -165,7 +177,7 @@ object ItemsEtlJob {
       else (-1L, -1L)
     }
     (stagedCount, insertedCount, closedCount)
-    } finally dfTransformed.unpersist(false)
+    } finally flagged.unpersist(false)
     val durMerge = secondsSince(tMerge0)
 
     val metrics = ItemsRunMetrics(
