@@ -161,10 +161,15 @@ object Bench {
                 deleteRecursively(new java.io.File(s"$tmp/$d")))
               System.gc()
             }
-            settle(label = s"header_$n")
+            // settle bound scales with the size: a 10M batch1 init writes
+            // multi-GB whose flush outlives the default 30 s poll bound —
+            // expired, the residue lands in timed rep 1 (r13 isolated 10M
+            // rep1 read ~2× reps 2-3 on BOTH A/B trees). The poll returns
+            // the moment Dirty+Writeback drains, so small sizes pay nothing.
+            settle(maxWaitS = settleBoundS(n), label = s"header_$n")
             HeaderEtlJob.run(spark, s"$tmp/crm/header_20230127.csv",
               s"$tmp/table", s"$tmp/discarded", s"$tmp/metrics")
-            settle(label = s"header_$n")
+            settle(maxWaitS = settleBoundS(n), label = s"header_$n")
             val sampler = new ExtCpuSampler
             val m = HeaderEtlJob.run(spark, s"$tmp/crm/header_20230228.csv",
               s"$tmp/table", s"$tmp/discarded", s"$tmp/metrics")
@@ -405,11 +410,12 @@ object Bench {
                 deleteRecursively(new java.io.File(s"$tmp/$d")))
               System.gc()
             }
-            settle(label = s"items_$n")
+            // size-scaled settle bound — same rationale as the header sweep
+            settle(maxWaitS = settleBoundS(n), label = s"items_$n")
             graft.jobs.ItemsEtlJob.runWithMetrics(spark,
               s"$tmp/crm/items_20230123.txt", s"$tmp/table",
               Some(s"$tmp/metrics"))
-            settle(label = s"items_$n")
+            settle(maxWaitS = settleBoundS(n), label = s"items_$n")
             val sampler = new ExtCpuSampler
             val m = graft.jobs.ItemsEtlJob.runWithMetrics(spark,
               s"$tmp/crm/items_20230125.txt", s"$tmp/table",
@@ -626,6 +632,15 @@ object Bench {
       System.gc()
       Thread.sleep(2000)
     }
+
+  /** Writeback-settle poll bound for an n-row ETL size: the default 30 s
+    * up to 3M rows, then grows with the size (10M → 100 s). This bounds a
+    * POLL, not a sleep — the wait ends the moment Dirty+Writeback drops
+    * under the threshold, so the larger bound costs nothing on a drained
+    * host and exists only so a multi-GB init flush can't expire the wait
+    * and land inside the next timed rep. */
+  private def settleBoundS(n: Long): Int =
+    math.max(30, (n / 100000L).toInt)
 
   /** Block until outstanding page-cache writeback is flushed (plus a GC):
     * run between data generation and a timed rep so the flush of the
